@@ -1,0 +1,80 @@
+"""The ``--genicQc`` reconciliation pass as one set-oriented job.
+
+Reference (GenicQc.java:27-69,190-238): re-scan the VCFs line by line, fetch
+every stored variant whose start_pos lies in the parsed line's
+[start, end] range (JDBC per line), re-derive genic status by probing the
+gene cache with the POINT interval ``(start_pos, start_pos)`` — a
+deliberate divergence from the loader's range probe — and batch-UPDATE rows
+whose status drifted (case-insensitive compare).
+
+Spark design: recompute genic status for the WHOLE variant table with one
+broadcast interval join + a filtered compare — no per-line loop, no range
+re-fetch. An optional ``scope`` DataFrame (chromosome, lo, hi) restricts
+the recompute to ranges touched by a given VCF batch, reproducing the
+reference's visit set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.interval_join import with_exists_flag
+
+
+def genic_qc(
+    variant_store: DataFrame,
+    genes: DataFrame,
+    map_key: int,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """Return (rgd_id, genic_status) rows that need updating (M4).
+
+    ``scope``: optional (chromosome, lo, hi) ranges; when given, only
+    stored variants with ``lo <= start_pos <= hi`` on the same chromosome
+    are re-checked (GenicQc.java:197 semantics). Apply the result with
+    ``operators.upsert.merge_update(store, updates, "rgd_id",
+    ["genic_status"])``.
+    """
+    variants = variant_store.filter(F.col("map_key") == map_key)
+    if scope is not None:
+        sc = scope.select(
+            F.col("chromosome").alias("__schrom"),
+            F.col("lo").alias("__slo"),
+            F.col("hi").alias("__shi"),
+        )
+        variants = (
+            variants.join(
+                F.broadcast(sc),
+                (F.col("chromosome") == F.col("__schrom"))
+                & (F.col("start_pos") >= F.col("__slo"))
+                & (F.col("start_pos") <= F.col("__shi")),
+                "left_semi",
+            )
+        )
+
+    active_genes = genes.filter(F.col("object_status") == "ACTIVE")
+    if "map_key" in genes.columns:
+        active_genes = active_genes.filter(F.col("map_key") == map_key)
+    active_genes = active_genes.select(
+        "chromosome", F.col("start_pos").alias("g_start"), F.col("stop_pos").alias("g_stop")
+    )
+
+    # point probe (start, start): GenicQc.java:232
+    probed = with_exists_flag(
+        variants.withColumn("__qs", F.col("start_pos")).withColumn(
+            "__qe", F.col("start_pos")
+        ),
+        active_genes,
+        flag="__genic",
+        probe_keys=("chromosome", "__qs", "__qe"),
+        interval_keys=("chromosome", "g_start", "g_stop"),
+    )
+    recomputed = probed.withColumn(
+        "new_genic_status", F.when(F.col("__genic"), "GENIC").otherwise("INTERGENIC")
+    )
+    drifted = recomputed.filter(
+        ~F.upper(F.coalesce(F.col("genic_status"), F.lit("")))
+        .eqNullSafe(F.upper(F.col("new_genic_status")))
+    )
+    return drifted.select("rgd_id", F.col("new_genic_status").alias("genic_status"))

@@ -1,0 +1,102 @@
+"""Multi-sample VCF source, Spark-native.
+
+Reference behavior (HrdpVariants.java:87-115, DAO.java:173-199):
+``##`` meta lines skipped, the ``#CHROM`` header maps positional sample
+columns to sample names, data lines are tab-separated with 9 fixed columns
+followed by N per-sample cells; ``.vcf.gz`` is read transparently; input
+dirs are walked recursively keeping ``*.vcf.gz``.
+
+Spark design: one distributed text scan (native gzip). Only the per-file
+header lines — a handful of rows — are collected to the driver to build the
+file → sample-name map, which re-enters the plan as a broadcast dimension.
+Data rows never leave the cluster. Gzip is unsplittable (1 task per file);
+parallelism comes from many files, which matches the reference workload
+(146 strains). For 100 TB, re-stage to bgzip/Parquet first.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXED_COLS = ("chrom", "pos", "vcf_id", "ref", "alt", "qual", "filter", "info", "format")
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    recursive: bool = True,
+    glob: str = "*.vcf*",
+) -> DataFrame:
+    """Read VCF file(s) into rows of the VCF_ROW shape plus aligned
+    ``sample_names``.
+
+    Returns columns: the 9 fixed VCF fields, ``sample_cells``
+    (array<string>, one per sample column), ``sample_names``
+    (array<string>, aligned with cells), ``source_file`` (basename).
+    """
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true").option("pathGlobFilter", glob)
+    raw = reader.text(path).withColumn("source_path", F.input_file_name())
+
+    # headers: tiny (one per file) — safe to collect
+    header_rows = (
+        raw.filter(F.col("value").startswith("#CHROM"))
+        .select("source_path", "value")
+        .collect()
+    )
+    sample_map = []
+    for r in header_rows:
+        cols = r["value"].split("\t")
+        sample_map.append((r["source_path"], cols[9:]))
+    header_df = spark.createDataFrame(
+        sample_map or [("", [])], "source_path string, sample_names array<string>"
+    )
+
+    fields = F.split(F.col("value"), "\t")
+    data = (
+        raw.filter(~F.col("value").startswith("#"))
+        # ragged lines (< 9 tab-separated fields) crash the reference
+        # (ArrayIndexOutOfBounds); a distributed scan must instead drop
+        # them — documented divergence
+        .filter(F.size(fields) >= 9)
+        .select(
+            *[F.get(fields, i).alias(name) for i, name in enumerate(FIXED_COLS)],
+            F.slice(fields, 10, F.greatest(F.size(fields) - F.lit(9), F.lit(0))).alias(
+                "sample_cells"
+            ),
+            F.col("source_path"),
+        )
+        .withColumn("pos", F.col("pos").try_cast("long"))
+    )
+    out = data.join(F.broadcast(header_df), "source_path", "left")
+    return out.withColumn(
+        "source_file", F.element_at(F.split(F.col("source_path"), "/"), -1)
+    ).drop("source_path")
+
+
+def unpivot_samples(df: DataFrame) -> DataFrame:
+    """Explode the aligned (sample_names, sample_cells) arrays into one row
+    per (line, sample column), keeping the 0-based column index.
+
+    Equivalent of the reference's ``for (int i = 9; i < data.length; i++)``
+    loop (HrdpVariants.java:465): ``col_idx`` here == ``i - 9`` there.
+    """
+    zipped = F.arrays_zip(F.col("sample_names"), F.col("sample_cells"))
+    exploded = df.select(
+        *[c for c in df.columns if c not in ("sample_names", "sample_cells")],
+        F.posexplode(zipped).alias("col_idx", "cell_struct"),
+    )
+    return exploded.select(
+        *[c for c in df.columns if c not in ("sample_names", "sample_cells")],
+        "col_idx",
+        F.col("cell_struct.sample_names").alias("sample_name"),
+        F.col("cell_struct.sample_cells").alias("cell"),
+    )
+
+
+def vcf_path_basename(path: str) -> str:
+    return posixpath.basename(path)
