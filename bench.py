@@ -1,0 +1,89 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style action (collect for small
+results) so the full plan executes; timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hrdp_variant_load_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship relational queries + one from each extension
+# family (dedup, similarity, text, events). Heavy O(n^2)-flavored ops
+# (ngram_jaccard, near_dup) are exercised at sf0.01 by tests; the bench
+# keeps the scale-path variants.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "scan_filter_project",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "insert_if_absent",
+    "window_topk_per_group",
+    "agg_count_distinct",
+    "rollup_qty",
+    "events_tumbling_counts",
+    "events_sessionize",
+    "events_asof_last_purchase",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    queries = entrymod.queries()
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = SF_DIR
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

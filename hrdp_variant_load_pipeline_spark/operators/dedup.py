@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Engine extensions for training-data pipelines (BASELINE.json north-star).
+Design notes for 100 TB:
+
+* exact dedup is a single hash-aggregate (map-side partial combine);
+* n-gram Jaccard generates candidate pairs ONLY for docs sharing a shingle
+  (inverted-index self-join) and drops ubiquitous shingles (``max_df``) to
+  bound the quadratic blow-up on hot shingles — the same role stopword
+  removal plays in web-scale dedup;
+* MinHash uses md5-based hash families, so signatures are reproducible
+  across engines and runs (no JVM-specific hashing); LSH bands turn
+  near-dup search into an equi-join on band keys;
+* SimHash is a pure column-expression bit-vote over token md5s.
+
+Everything is built from built-in expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (content_hash, n_docs, keeper_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles, one row per (doc, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle with exact Jaccard over the
+    distinct-shingle sets."""
+    if max_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh_j = sh.join(rare.select("shingle"), "shingle")
+    else:
+        sh_j = sh
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh_j.alias("a")
+    b = sh_j.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold."""
+    sh = shingle_sets(df, id_col, text_col, k)
+    return (
+        _pair_jaccard(sh, max_df)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 6
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min(md5(i || '|' || shingle)).
+
+    md5-string min is engine- and run-stable (no seeded JVM hashing), which
+    makes signatures reproducible for the DuckDB oracle and across
+    incremental runs at scale.
+    """
+    sh = shingle_sets(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 6,
+    band_rows: int = 2,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Bands of ``band_rows`` minhashes become equi-join keys; only candidate
+    pairs sharing a band are verified — the scale path for corpus-level
+    near-dup detection.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat(
+                    *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_val"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc", F.explode(bands).alias("b")).select(
+        "doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_sets(df, id_col, text_col, k)
+    verified = _pair_jaccard(sh, max_df=None).join(cands, ["doc_a", "doc_b"], "left_semi")
+    return (
+        verified.filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash as a bit-string, from token md5s (term-frequency
+    weighted bit vote). Pure column expressions; one shuffle per groupBy."""
+    n_hex = bits // 4
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("hh", F.substring(F.md5("w"), 1, n_hex))
+    pb = (
+        tok.select("doc", "hh", F.explode(F.sequence(F.lit(0), F.lit(n_hex - 1))).alias("p"))
+        .withColumn("v", F.conv(F.substring(F.col("hh"), F.col("p") + 1, 1), 16, 10).cast("int"))
+        .select("doc", "p", "v", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
+        .withColumn("pw", F.pow(F.lit(2.0), F.col("b")).cast("int"))
+        .withColumn("bit", (F.col("v") / F.col("pw")).cast("int") % 2)
+        .withColumn("vote", F.col("bit") * 2 - 1)
+    )
+    votes = pb.groupBy("doc", "p", "b").agg(F.sum("vote").alias("s"))
+    char = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    ordered = votes.select(
+        "doc", (F.col("p") * 4 + F.col("b")).alias("pb"), char.alias("c")
+    )
+    return ordered.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pb", "c"))), lambda x: x["c"]
+            ),
+            "",
+        ).alias("simhash")
+    )

@@ -1,0 +1,74 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata alongside. The
+Spark-side machinery — schema, partition-friendly batch iteration, Arrow
+batch shapes — is real and tested; the actual codec work is stubbed because
+media libraries are not in this environment (BASELINE.json north-star
+allows a deterministic fake / NotImplementedError stub).
+
+``decode_image_features`` runs through ``mapInPandas``: the production
+shape for per-batch Python decode (Arrow transfer, bounded batch memory,
+no per-row overhead). Swap ``_fake_decode`` with a real PIL/ffmpeg call to
+productionize; everything around it stays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len long, content_md5 string, width int, height int, channels int"
+)
+
+
+def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Testdata adapter: treat utf-8 text bytes as the opaque media blob."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.encode(F.col(text_col), "utf-8").alias("payload")
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder (no media libs here).
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload)).
+    """
+    n = len(payload)
+    return (n % 640, (n * 7) % 480, 3)
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Per-batch decode via mapInPandas (Arrow-batched; the UDF hot path).
+
+    Input: (doc_id, payload binary). Output: DECODE_SCHEMA.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            decoded = [_fake_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(p) for p in payloads],
+                    "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def frame_sample_indices(df: DataFrame, n_frames_col: str, every: int) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index (video
+    path); pure explode, no Python."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))),
+    )

@@ -1,0 +1,101 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Engine extensions (BASELINE.json north-star). JVM-side math via
+``zip_with`` / ``aggregate`` higher-order functions — elementwise in
+codegen, no Python round trips. All math in double (floats widened first)
+so results are reproducible against columnar oracles.
+
+Scale paths:
+
+* brute-force top-k broadcasts the (small) query set and scans the corpus
+  once — the right plan when queries ≪ corpus;
+* near-dup pair search blocks on caller-supplied keys (label, coarse
+  quantization, LSH bucket) so the pair space is bounded per block instead
+  of quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Similarity is rounded
+    before ranking and ties break on neighbor id, so results are
+    deterministic and engine-portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    block_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks.
+
+    ``block_cols`` bound the pair space (coarse quantization / labels /
+    LSH buckets); at 100 TB this is what keeps the join from being a
+    corpus×corpus cross product.
+    """
+    sel = corpus.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "cosine", F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
+        )
+    )

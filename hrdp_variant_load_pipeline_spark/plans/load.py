@@ -323,7 +323,7 @@ def run_load(
         ),
         LINE_KEY,
         "inner",
-    ).withColumn("var_freq", F.element_at(F.col("ad"), F.col("j") + 2).try_cast("int"))
+    ).withColumn("var_freq", F.try_element_at(F.col("ad"), F.col("j") + 2).try_cast("int"))
 
     pairs = pairs.filter(F.col("var_freq").isNotNull() & (F.col("var_freq") != 0))
 

@@ -1,0 +1,606 @@
+"""Core relational query battery — SURVEY.md §2 operator inventory.
+
+Each entry is (spark_fn, oracle_sql): the Spark function demonstrates the
+operator through the DataFrame API; the oracle is independently-written
+ANSI SQL for DuckDB over the same parquet views. Column names and rounding
+are aligned on both sides so the driver's order-insensitive value-hash
+matches (floats are rounded after casting to double — DuckDB would
+otherwise keep float32).
+
+Operator coverage mapping (§2 ids in parens) is noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# aggregation pipeline (A*, §2.4; flagship) — TPC-H Q1 shape
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty,
+           round(sum(l_extendedprice)::DOUBLE, 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2) AS sum_disc_price,
+           round(avg(l_quantity)::DOUBLE, 4) AS avg_qty,
+           round(avg(l_discount)::DOUBLE, 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# multi-way equi join + agg + top-k (J6, O-sort/limit) — TPC-H Q3 shape
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# 6-way join through dimension chain (J5/J6 shape at star-schema scale)
+@q(
+    "q5_nation_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2) AS revenue,
+           count(*) AS n_items
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+                  JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    r = table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = table(spark, sf, "nation")
+    s = table(spark, sf, "supplier")
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# scan + filter + projection with parquet pushdown (S1-S4, F1-F7)
+@q(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_quantity > 30
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 30)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # floor(x*100+0.5)/100 instead of F.round: identical IEEE754 ops
+            # on both engines — Spark's round goes through BigDecimal's
+            # shortest-decimal string and breaks ties differently than
+            # DuckDB's exact-binary rounding
+            (
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+                / 100
+            ).alias("disc_price"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+    )
+
+
+# existence join (J1-pattern: left semi) — parts that were ever shipped
+@q(
+    "join_semi_exists",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity >= 45)
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    li = table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+# anti join (J7/M3 pattern) — customers with no orders
+@q(
+    "join_anti_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# range/theta join (J3/J4 shape): customer balance within ±100 of supplier
+@q(
+    "join_range_acctbal",
+    """
+    SELECT c.c_custkey, count(s.s_suppkey) AS n_suppliers
+    FROM customer c LEFT JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY c.c_custkey
+    """,
+)
+def join_range_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 100) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 100
+    )
+    return (
+        c.join(F.broadcast(s), cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+# insert-if-absent (M1): 1995 shipments whose (partkey, suppkey) never
+# appeared in 1994 — the variant-dedup anti-join shape
+@q(
+    "insert_if_absent",
+    """
+    WITH store AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                   WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00'),
+         incoming AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00')
+    SELECT i.l_partkey, i.l_suppkey FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM store s
+                      WHERE s.l_partkey = i.l_partkey AND s.l_suppkey = i.l_suppkey)
+    """,
+)
+def insert_if_absent(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    store = li.filter(F.col("l_shipdate") < cut).select("l_partkey", "l_suppkey").distinct()
+    incoming = (
+        li.filter(F.col("l_shipdate") >= cut).select("l_partkey", "l_suppkey").distinct()
+    )
+    return incoming.join(store, ["l_partkey", "l_suppkey"], "left_anti")
+
+
+# MERGE WHEN MATCHED UPDATE emulation (M2/M4): urgent orders get status 'U'
+@q(
+    "merge_update_status",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    """,
+)
+def merge_update_status(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.upsert import merge_update
+
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    updates = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.lit("U").alias("o_orderstatus"))
+    )
+    return merge_update(o, updates, "o_orderkey", ["o_orderstatus"])
+
+
+# surrogate key allocation (S9): deterministic row_number + base offset
+@q(
+    "surrogate_ids",
+    """
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) + 90000 AS new_id
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def surrogate_ids(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.upsert import assign_surrogate_ids
+
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    out = assign_surrogate_ids(
+        c.select("c_custkey", "c_acctbal"),
+        order_by=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        base_id=90000,
+        id_col="new_id",
+    )
+    return out.select("c_custkey", "new_id")
+
+
+# ranking window (§2.5): top-3 orders per customer
+@q(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# running aggregate window (§2.5): cumulative quantity per supplier
+@q(
+    "window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+             AS running_qty
+    FROM lineitem WHERE l_suppkey <= 3
+    """,
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+# distinct aggregation (§2.4 absent-in-reference surface)
+@q(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# rollup / grouping sets (§2.4)
+@q(
+    "rollup_qty",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_qty(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+# set operations (§2.7): intersect / except with tags
+@q(
+    "set_ops_tagged",
+    """
+    SELECT 'both' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t
+    UNION ALL
+    SELECT 'only_building' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 200000) t2
+    """,
+)
+def set_ops_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = c.intersect(o).select(F.lit("both").alias("tag"), "c_custkey")
+    only = c.exceptAll(o.distinct()).distinct().select(
+        F.lit("only_building").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+# sort + limit (O1/O2)
+@q(
+    "sort_limit_top10",
+    """
+    SELECT o_orderkey, round(o_totalprice::DOUBLE, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_top10(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# generator / explode (§2.9 multi-allelic expansion shape)
+@q(
+    "explode_words",
+    """
+    SELECT p_partkey, t.word
+    FROM part, unnest(string_split(p_name, ' ')) AS t(word)
+    WHERE p_partkey <= 50
+    """,
+)
+def explode_words(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part").filter(F.col("p_partkey") <= 50)
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+# scalar function surface (§2.8): split/substr/replace/length/contains/
+# startswith/null-safe equality/int parse/round
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS type_head,
+           substring(p_name, 1, 5) AS name5,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           length(p_name) AS name_len,
+           CASE WHEN p_type LIKE '%BRUSHED%' THEN 'Y' ELSE 'N' END AS has_brushed,
+           CASE WHEN p_name LIKE 'a%' THEN 'Y' ELSE 'N' END AS starts_a,
+           CASE WHEN p_brand IS NOT DISTINCT FROM 'Brand#1' THEN 1 ELSE 0 END AS null_safe_eq,
+           CAST(p_size AS INTEGER) + 1 AS size_plus,
+           round(p_retailprice::DOUBLE / 7, 3) AS price_div
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_type").contains("BRUSHED"), "Y").otherwise("N").alias("has_brushed"),
+        F.when(F.col("p_name").startswith("a"), "Y").otherwise("N").alias("starts_a"),
+        F.col("p_brand").eqNullSafe(F.lit("Brand#1")).cast("int").alias("null_safe_eq"),
+        (F.col("p_size").cast("int") + 1).alias("size_plus"),
+        F.round(F.col("p_retailprice") / 7, 3).alias("price_div"),
+    )
+
+
+# manual pivot (absent-in-reference; engine surface)
+@q(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS open_total,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS filled_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS partial_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+
+    def tot(status):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        tot("O").alias("open_total"),
+        tot("F").alias("filled_total"),
+        tot("P").alias("partial_total"),
+    )
+
+
+# event-time tumbling window (streaming-equivalent batch form, §2.10)
+@q(
+    "events_tumbling_counts",
+    """
+    SELECT ((epoch_us(ts) // 1000000) // 300) AS bucket, event_type,
+           count(*) AS n, round(sum(value)::DOUBLE, 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return (
+        e.withColumn("bucket", (F.unix_timestamp("ts") / 300).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# sessionization: 30-minute inactivity gap per user
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) // 1000000) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# as-of join (absent in reference; §2.3 engine extension): for each click,
+# the most recent prior purchase value of the same user
+@q(
+    "events_asof_last_purchase",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase
+      FROM events)
+    SELECT event_id, user_id, round(last_purchase::DOUBLE, 2) AS last_purchase
+    FROM w WHERE event_type = 'click'
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_purchase", last_purchase)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.round("last_purchase", 2).alias("last_purchase"))
+    )
+
+
+# semi-structured extraction (engine surface; events.props is JSON text)
+@q(
+    "events_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k")).filter(F.col("k").isNotNull())

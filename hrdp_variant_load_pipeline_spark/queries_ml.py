@@ -1,0 +1,311 @@
+"""Training-data pipeline query battery: text analysis, deduplication,
+similarity search, multimodal plumbing (BASELINE.json north-star operators).
+
+Spark side uses the engine operators (functions/text.py, operators/dedup.py,
+operators/similarity.py, operators/multimodal.py); oracle side is
+independently written DuckDB SQL over the same tables. md5-based hash
+families keep MinHash/SimHash reproducible across both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.functions import text as TXT
+from hrdp_variant_load_pipeline_spark.operators import dedup as DD
+from hrdp_variant_load_pipeline_spark.operators import multimodal as MM
+from hrdp_variant_load_pipeline_spark.operators import similarity as SIM
+from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------- text
+@q(
+    "text_token_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_ratio,
+           round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+                 / len(w), 4) AS stopword_ratio,
+           round(length(replace(text, ' ', ''))::DOUBLE / len(w), 4) AS avg_word_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.distinct_token_ratio(t).alias("distinct_ratio"),
+        TXT.stopword_ratio(t).alias("stopword_ratio"),
+        TXT.avg_word_len(t).alias("avg_word_len"),
+    )
+
+
+@q(
+    "text_lang_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+            len(list_filter(w, x -> x IN ('the','a','is','and'))) AS n_en,
+            len(list_filter(w, x -> x IN ('der','die','das','und'))) AS n_de,
+            len(list_filter(w, x -> x IN ('le','la','les','et'))) AS n_fr,
+            len(list_filter(w, x -> x IN ('el','los','las','y'))) AS n_es
+          FROM t)
+    SELECT doc_id,
+      CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'unknown'
+           WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+           WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+           WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.lang_predict(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# -------------------------------------------------------------------- dedup
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.exact_dedup_groups(table(spark, sf, "documents"), "doc_id", "text")
+
+
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh0 AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                                i -> array_to_string(words[i:i+2], ' '))) AS shingle
+        FROM docs),
+sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM sh0)
+"""
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    shj AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+               FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+    FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), "doc_id", "text", k=3, threshold=0.2, max_df=100
+    )
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+mh AS (SELECT doc, s.i AS seed, min(md5(s.i::VARCHAR || '|' || shingle)) AS h
+       FROM sh, generate_series(0, 5) s(i) GROUP BY doc, s.i),
+sig AS (SELECT doc,
+          min(CASE WHEN seed = 0 THEN h END) AS mh0,
+          min(CASE WHEN seed = 1 THEN h END) AS mh1,
+          min(CASE WHEN seed = 2 THEN h END) AS mh2,
+          min(CASE WHEN seed = 3 THEN h END) AS mh3,
+          min(CASE WHEN seed = 4 THEN h END) AS mh4,
+          min(CASE WHEN seed = 5 THEN h END) AS mh5
+        FROM mh GROUP BY doc),
+bands AS (
+  SELECT doc, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
+  UNION ALL SELECT doc, 1, mh2 || mh3 FROM sig
+  UNION ALL SELECT doc, 2, mh4 || mh5 FROM sig),
+cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2),
+verified AS (
+  SELECT s.doc_a, s.doc_b,
+         round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+  FROM shared s JOIN cand USING (doc_a, doc_b)
+       JOIN sizes sa ON sa.doc = s.doc_a JOIN sizes sb ON sb.doc = s.doc_b)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        table(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=6,
+        band_rows=2,
+        verify_threshold=0.5,
+    )
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc, substring(md5(w), 1, 16) AS hh FROM tok),
+    pb AS (SELECT doc, p.i AS p, b.i AS b,
+             strpos('0123456789abcdef', substring(hh, p.i + 1, 1)) - 1 AS v
+           FROM h, generate_series(0, 15) p(i), generate_series(0, 3) b(i)),
+    votes AS (SELECT doc, p, b,
+                sum(2 * ((v // CAST(power(2, b) AS INT)) % 2) - 1) AS s
+              FROM pb GROUP BY doc, p, b)
+    SELECT doc, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p * 4 + b) AS simhash
+    FROM votes GROUP BY doc
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.simhash(table(spark, sf, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------- similarity
+_COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
+
+@q(
+    "embedding_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS cv
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    dots AS (SELECT query_id, neighbor_id,
+               sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+               sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS na,
+               sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS nb
+             FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id, round({_COS_EXPR}, 6) AS cosine FROM dots),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "embedding_near_dup",
+    f"""
+    WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          a.embedding AS av, b.embedding AS bv
+                   FROM embeddings a JOIN embeddings b
+                     ON a.label = b.label AND a.vec_id < b.vec_id),
+    dots AS (SELECT id_a, id_b,
+               sum(av[i]::DOUBLE * bv[i]::DOUBLE) AS dot,
+               sum(av[i]::DOUBLE * av[i]::DOUBLE) AS na,
+               sum(bv[i]::DOUBLE * bv[i]::DOUBLE) AS nb
+             FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2)
+    SELECT id_a, id_b, round({_COS_EXPR}, 6) AS cosine
+    FROM dots WHERE round({_COS_EXPR}, 6) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.near_dup_pairs(
+        table(spark, sf, "embeddings"), block_cols=["label"], threshold=0.3
+    )
+
+
+# --------------------------------------------------------------- multimodal
+@q(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS byte_len,
+           md5(text) AS content_md5,
+           (octet_length(text::BLOB) % 640)::INT AS width,
+           ((octet_length(text::BLOB) * 7) % 480)::INT AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return MM.decode_image_features(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------- streaming
+# Structured Streaming variant of events_tumbling_counts; no SQL oracle
+# (driver records the weaker rows-only check). Uses the file stream source
+# with a memory sink, drained synchronously.
+@q("streaming_tumbling_counts", None)
+def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    path = os.path.join(sf, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    # the file stream source requires a directory: stream the sf dir with a
+    # glob pinned to the events table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)

@@ -25,7 +25,20 @@ TABLE_NAMES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # set defensively for sessions not built by get_spark (driver-owned)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as long
+    # (spark.sql.legacy.parquet.nanosAsLong, set in get_spark and defensively
+    # here for driver-owned sessions); normalize back to a timestamp column.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer div: double division would lose precision on ns values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
