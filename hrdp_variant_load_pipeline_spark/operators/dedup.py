@@ -29,18 +29,26 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
-) -> DataFrame:
-    """Distinct word k-gram shingles, one row per (doc, shingle)."""
-    words = F.split(F.col(text_col), " ")
+def shingle_array(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column, as an array —
+    computed row-local (narrow, whole-stage codegen), no explode."""
+    words = F.split(text_col, " ")
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(words, i, k), " "),
     )
+    return F.array_distinct(grams)
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles, one row per (doc, shingle) — the
+    inverted-index layout used by the all-pairs Jaccard path."""
     return df.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
 
 
@@ -122,8 +130,34 @@ def minhash_lsh_pairs(
     Bands of ``band_rows`` minhashes become equi-join keys; only candidate
     pairs sharing a band are verified — the scale path for corpus-level
     near-dup detection.
+
+    Shape: shingles stay an ARRAY column (never exploded to rows), so the
+    signature computation is entirely narrow — ``array_min(transform(...))``
+    per seed inside whole-stage codegen, zero shuffles. The only shuffles
+    are the band-bucket self-join and the two verify joins, and
+    verification intersects shingle arrays row-locally
+    (``array_intersect``), costing |cands| not all-pairs.
     """
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    # single-file/tiny inputs arrive as 1 partition; the shingle+md5 work is
+    # CPU-bound, so spread it (no-op at real scale where inputs are split)
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda g, i=i: F.md5(F.concat(F.lit(str(i)), F.lit("|"), g)),
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    docs = (
+        src.select("doc", shingle_array(F.col("__text"), k).alias("sh"))
+        .select("doc", "sh", *sig_cols)
+        .persist()  # consumed by the band explode AND both verify joins
+    )
     n_bands = num_hashes // band_rows
     bands = F.array(
         *[
@@ -136,7 +170,7 @@ def minhash_lsh_pairs(
             for bi in range(n_bands)
         ]
     )
-    exploded = sig.select("doc", F.explode(bands).alias("b")).select(
+    exploded = docs.select("doc", F.explode(bands).alias("b")).select(
         "doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
     )
     a = exploded.alias("a")
@@ -151,10 +185,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh = shingle_sets(df, id_col, text_col, k)
-    verified = _pair_jaccard(sh, max_df=None).join(cands, ["doc_a", "doc_b"], "left_semi")
+    # verify ONLY candidate pairs: two equi-joins pull each side's shingle
+    # array, then the intersection is computed row-locally
+    pairs = cands.join(
+        docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    n_shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jaccard = F.round(
+        n_shared.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_shared), 4
+    )
     return (
-        verified.filter(F.col("jaccard") >= verify_threshold)
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= verify_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
