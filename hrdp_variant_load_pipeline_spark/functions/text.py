@@ -63,6 +63,46 @@ def lang_predict(text: Column) -> Column:
     return F.when(best == 0, "unknown").otherwise(pred)
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization regex (letter runs /
+    digit runs / punctuation singletons) — the usual proxy for LLM token
+    budgeting when the real tokenizer is unavailable cluster-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    no_space = F.replace(text, F.lit(" "), F.lit(""))
+    alnum = F.regexp_replace(no_space, "[^A-Za-z0-9]", "")
+    return F.round(
+        (F.length(no_space) - F.length(alnum)).cast("double")
+        / F.greatest(F.length(no_space), F.lit(1)),
+        4,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards mid-length
+    docs, low punctuation noise, healthy stopword presence, lexical
+    diversity. Pure column arithmetic — portable to any SQL oracle."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / 20.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    diversity_term = distinct_token_ratio(text)
+    score = (
+        0.25 * length_term + 0.25 * punct_term + 0.25 * stop_term + 0.25 * diversity_term
+    )
+    # floor(x*1e4+0.5)/1e4 rather than F.round: the quarter-weighted sum
+    # lands on exact .5 ties at the 5th decimal constantly, and Spark's
+    # BigDecimal HALF_UP disagrees with exact-binary rounding there
+    return F.floor(score * 10000 + 0.5) / 10000
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     lowercase token set (classic shingle-free near-dup prefilter)."""

@@ -65,6 +65,76 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: the scale path for ANN search.
+
+    Deterministic "training": the first ``n_centroids`` corpus vectors (by
+    id) act as centroids — reproducible across engines without an iterative
+    k-means (swap in real centroids at production time; the plan shape is
+    identical). Corpus vectors are assigned to their nearest centroid
+    (one broadcast join — the inverted file); each query probes only its
+    ``nprobe`` nearest centroid buckets, so scan cost drops by
+    ~n_centroids/nprobe vs brute force. Scores are rounded before ranking
+    so argmax/ties are engine-portable.
+
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+
+    # inverted file: nearest centroid per corpus vector (broadcast join)
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos", F.round(cosine(F.col("c_vec"), F.col("cvec")), round_digits)
+        )
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "c_vec", F.col("cent_id").alias("bucket"))
+    )
+
+    # probe list: nprobe nearest centroids per query
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos", F.round(cosine(F.col("q_vec"), F.col("cvec")), round_digits)
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", F.col("cent_id").alias("bucket"))
+    )
+
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     block_cols: list[str],

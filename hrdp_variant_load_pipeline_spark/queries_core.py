@@ -387,6 +387,81 @@ def rollup_qty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# cube / grouping sets (§2.4)
+@q(
+    "cube_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice)::DOUBLE, 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# analytic window surface (§2.5): lag / lead / first_value / ntile
+@q(
+    "window_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice) OVER w::DOUBLE, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w::DOUBLE, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w::DOUBLE, 2) AS first_price,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# exact percentiles with linear interpolation (§2.4 engine surface)
+@q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25)::DOUBLE, 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50)::DOUBLE, 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75)::DOUBLE, 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
 # set operations (§2.7): intersect / except with tags
 @q(
     "set_ops_tagged",

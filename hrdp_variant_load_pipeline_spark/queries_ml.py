@@ -93,6 +93,47 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@q(
+    "text_token_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@q(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             replace(text, ' ', '') AS no_space
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(w)::DOUBLE AS n_tok,
+             round((length(no_space) - length(regexp_replace(no_space, '[^A-Za-z0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(no_space), 1), 4) AS pr,
+             round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+                   / len(w), 4) AS sr,
+             round(len(list_distinct(w))::DOUBLE / len(w), 4) AS dr
+      FROM t)
+    SELECT doc_id,
+           floor((0.25 * least(n_tok / 20.0, 1.0)
+                 + 0.25 * (1.0 - least(pr * 5.0, 1.0))
+                 + 0.25 * least(sr * 4.0, 1.0)
+                 + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
 # -------------------------------------------------------------------- dedup
 @q(
     "dedup_exact",
@@ -249,6 +290,54 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_COS = (
+    "round(sum({a}[i]::DOUBLE * {b}[i]::DOUBLE)"
+    " / (sqrt(sum({a}[i]::DOUBLE * {a}[i]::DOUBLE))"
+    " * sqrt(sum({b}[i]::DOUBLE * {b}[i]::DOUBLE))), 6)"
+)
+
+@q(
+    "embedding_ivf_topk",
+    f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+                   ORDER BY vec_id LIMIT 8),
+    adots AS (SELECT e.vec_id AS neighbor_id, c.cent_id,
+                {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cent_cos
+              FROM embeddings e, cents c, generate_series(1, 64) t(i)
+              GROUP BY 1, 2),
+    assign AS (SELECT neighbor_id, cent_id AS bucket FROM
+                 (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                            ORDER BY cent_cos DESC, cent_id) AS rn FROM adots) x
+               WHERE rn = 1),
+    qdots AS (SELECT e.vec_id AS query_id, c.cent_id,
+                {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cent_cos
+              FROM embeddings e, cents c, generate_series(1, 64) t(i)
+              WHERE e.vec_id < 10 GROUP BY 1, 2),
+    probes AS (SELECT query_id, cent_id AS bucket FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cent_cos DESC, cent_id) AS rn FROM qdots) x
+               WHERE rn <= 2),
+    cand AS (SELECT p.query_id, a.neighbor_id FROM probes p
+             JOIN assign a USING (bucket) WHERE a.neighbor_id <> p.query_id),
+    scored AS (SELECT cd.query_id, cd.neighbor_id,
+                 {_IVF_COS.format(a="qe.embedding", b="ce.embedding")} AS cosine
+               FROM cand cd
+               JOIN embeddings qe ON qe.vec_id = cd.query_id
+               JOIN embeddings ce ON ce.vec_id = cd.neighbor_id,
+                    generate_series(1, 64) t(i)
+               GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), n_centroids=8, nprobe=2, k=5
+    )
+
+
 # --------------------------------------------------------------- multimodal
 @q(
     "multimodal_decode_stub",
@@ -265,6 +354,24 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     return MM.decode_image_features(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, n_frames, unnest(range(0, n_frames, 5))::INT AS frame_idx
+    FROM (SELECT doc_id, (octet_length(text::BLOB) % 60 + 1)::INT AS n_frames
+          FROM documents) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    with_frames = MM.with_binary_payload(d, "doc_id", "text").select(
+        "doc_id", (F.octet_length("payload") % 60 + 1).cast("int").alias("n_frames")
+    )
+    return MM.frame_sample_indices(with_frames, "n_frames", every=5).select(
+        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
 
 
 # ---------------------------------------------------------------- streaming
@@ -303,6 +410,37 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     query = (
         agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+# arbitrary per-key state via applyInPandasWithState (§2.10 extension);
+# rows-only check — group-state semantics are not SQL-expressible
+@q("streaming_stateful_totals", None)
+def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import running_user_totals
+
+    path = os.path.join(sf, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+        .select("user_id", "value")
+    )
+    out = running_user_totals(stream)
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update").format("memory").queryName(name).start()
     )
     try:
         query.processAllAvailable()

@@ -64,8 +64,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def test_streaming_query_runs(spark):
-    df = QUERIES["streaming_tumbling_counts"](spark, SF_DIR)
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_no_oracle_query_runs(spark, name):
+    """Weaker rows-only check for non-SQL-expressible queries (mirrors the
+    driver's behavior for entries without oracle_sql)."""
+    df = QUERIES[name](spark, SF_DIR)
     assert df.count() > 0
 
 
