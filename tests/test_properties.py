@@ -1,0 +1,136 @@
+"""Property-based invariants (SURVEY.md §5.4) over random VCF-shaped input.
+
+Hypothesis generates REF/ALT/position tuples (seeded, deterministic via
+derandomize); invariants are checked in bulk through the engine's actual
+column expressions — one Spark job per property, not one per example.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.functions.normalize import normalize_allele
+from hrdp_variant_load_pipeline_spark.plans.load import run_load
+from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
+
+BASES = st.text(alphabet="ACGT", min_size=1, max_size=6)
+
+
+def _collect_cases(n=200):
+    """Materialize a deterministic batch of hypothesis examples."""
+    cases = []
+
+    @settings(max_examples=n, derandomize=True, deadline=None)
+    @given(ref=BASES, alt=st.one_of(BASES, st.just("*")), pos=st.integers(1, 10_000_000),
+           is_copy=st.booleans())
+    def gen(ref, alt, pos, is_copy):
+        cases.append((ref, ref, alt, pos, is_copy))
+
+    gen()
+    return cases
+
+
+def test_normalize_invariants_bulk(spark):
+    cases = _collect_cases(300)
+    df = spark.createDataFrame(
+        cases, "copy_ref string, orig_ref string, var string, raw_start long, is_copy boolean"
+    )
+    n = normalize_allele(
+        F.col("copy_ref"), F.col("orig_ref"), F.col("var"), F.col("raw_start"), F.col("is_copy")
+    )
+    out = df.select("copy_ref", "var", "raw_start", "is_copy", n.alias("n")).select(
+        "copy_ref", "var", "raw_start", "is_copy", "n.*"
+    )
+    bad = out.filter(
+        (F.col("end_pos") < F.col("start_pos"))
+        | (F.col("start_pos") < F.col("raw_start"))
+        | F.col("variant_type").isNull()
+        | ~F.col("variant_type").isin(
+            "snv", "snp", "mnv", "insertion", "deletion", "delins"
+        )
+        # a deletion stores ref, never var; an insertion stores var, never ref
+        | (F.col("variant_type").isin("deletion") & F.col("var_nuc").isNotNull())
+        | (F.col("variant_type").isin("insertion") & F.col("ref_nuc").isNotNull())
+        # padding base only appears on trimmed indel paths
+        | (F.col("variant_type").isin("snv", "snp", "mnv") & F.col("padding_base").isNotNull())
+    )
+    rows = bad.collect()
+    assert not rows, f"invariant violations: {rows[:5]}"
+
+
+def test_explode_count_matches_allele_count(spark, tmp_path):
+    """Each VCF line yields exactly len(split(ALT or REF, ',')) variant
+    candidates after multi-allelic expansion."""
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]
+    expected = 0
+    alts = ["G", "G,T", "G,T,C", "*", "AC", "A"]
+    for i, alt in enumerate(alts):
+        lines.append(f"chr1\t{100 + i * 10}\t.\tAC\t{alt}\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10")
+        expected += len(alt.split(","))
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "X_Y_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    vcf = read_vcf(spark, str(vdir))
+    genes = spark.createDataFrame([], schemas.GENE)
+    samples = spark.createDataFrame(
+        [(1, "S1", "U", 380, 372, None, None, None)], schemas.SAMPLE
+    )
+    res = run_load(
+        vcf,
+        genes,
+        samples,
+        spark.createDataFrame([], schemas.VARIANT),
+        spark.createDataFrame([], schemas.VARIANT_SAMPLE_DETAIL),
+        map_key=372,
+    )
+    assert res.all_line_variants.count() == expected
+
+
+def test_load_idempotence_random_store(spark):
+    """Re-matching the produced variants against themselves finds zero new
+    rows for any normalized output (dedup identity is total)."""
+    from hrdp_variant_load_pipeline_spark.plans.load import _dedup_against_store
+
+    cases = _collect_cases(150)
+    df = spark.createDataFrame(
+        cases, "copy_ref string, orig_ref string, var string, raw_start long, is_copy boolean"
+    )
+    n = normalize_allele(
+        F.col("copy_ref"), F.col("orig_ref"), F.col("var"), F.col("raw_start"), F.col("is_copy")
+    )
+    variants = (
+        df.select(n.alias("n"), "raw_start", "is_copy")
+        .select("n.*", "raw_start", "is_copy")
+        .withColumn("rgd_id", F.monotonically_increasing_id())
+        .withColumn("map_key", F.lit(372))
+        .withColumn("chromosome", F.lit("1"))
+        .withColumn("rs_id", F.lit(None).cast("string"))
+        .dropDuplicates(["start_pos", "ref_nuc", "var_nuc"])
+    )
+    cand = variants.select(
+        F.lit("f").alias("source_file"),
+        "chromosome",
+        F.col("raw_start").alias("pos"),
+        F.coalesce("ref_nuc", F.lit("")).alias("ref"),
+        F.coalesce("var_nuc", F.lit("")).alias("alt"),
+        F.lit(0).alias("allele_idx"),
+        "rs_id",
+        "start_pos",
+        F.col("start_pos").alias("probe_start"),
+        "ref_nuc",
+        "var_nuc",
+        "map_key",
+        "end_pos",
+    )
+    matched = _dedup_against_store(cand, variants)
+    unmatched = matched.filter(F.col("store_rgd_id").isNull()).count()
+    assert unmatched == 0
