@@ -46,15 +46,27 @@ def brute_force_topk(
     before ranking and ties break on neighbor id, so results are
     deterministic and engine-portable.
     """
+    # norms are per-row, so compute them BEFORE the pair join: O(n+q)
+    # instead of O(n*q) sqrt-of-self-dot evaluations
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -91,9 +103,18 @@ def ivf_topk(
     cents = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("cvec_norm"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # per-row norms precomputed before any pair join (O(n), not O(n*pairs))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
 
     # inverted file: nearest centroid per corpus vector (broadcast join)
     w_assign = Window.partitionBy("neighbor_id").orderBy(
@@ -102,24 +123,36 @@ def ivf_topk(
     assigned = (
         c.crossJoin(F.broadcast(cents))
         .withColumn(
-            "cent_cos", F.round(cosine(F.col("c_vec"), F.col("cvec")), round_digits)
+            "cent_cos",
+            F.round(
+                dot(F.col("c_vec"), F.col("cvec")) / (F.col("c_norm") * F.col("cvec_norm")),
+                round_digits,
+            ),
         )
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "c_vec", F.col("cent_id").alias("bucket"))
+        .select("neighbor_id", "c_vec", "c_norm", F.col("cent_id").alias("bucket"))
     )
 
     # probe list: nprobe nearest centroids per query
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
-            "cent_cos", F.round(cosine(F.col("q_vec"), F.col("cvec")), round_digits)
+            "cent_cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("cvec")) / (F.col("q_norm") * F.col("cvec_norm")),
+                round_digits,
+            ),
         )
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", F.col("cent_id").alias("bucket"))
+        .select("query_id", "q_vec", "q_norm", F.col("cent_id").alias("bucket"))
     )
 
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -127,7 +160,11 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+            "cosine",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
@@ -153,6 +190,7 @@ def near_dup_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),  # per-row, before the pair join
     )
     a = sel.alias("a")
     b = sel.alias("b")
@@ -162,7 +200,11 @@ def near_dup_pairs(
     return (
         a.join(b, cond)
         .withColumn(
-            "cosine", F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+            "cosine",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select(
