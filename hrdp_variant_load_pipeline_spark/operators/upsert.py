@@ -53,6 +53,48 @@ def assign_surrogate_ids(
     return df.withColumn(id_col, (F.row_number().over(w) + F.lit(base_id)).cast("long"))
 
 
+def assign_surrogate_ids_scalable(
+    df: DataFrame,
+    order_by: Sequence,
+    base_id: int,
+    id_col: str = "rgd_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Surrogate-key allocation without the single-partition sort.
+
+    A no-partitionBy window funnels every row through ONE task — fine for
+    small new-row batches, fatal at 100 TB. This variant range-partitions
+    on the order keys (parallel sort), ranks within each partition, and
+    adds per-partition offsets computed from a tiny one-row-per-partition
+    aggregate. The partitioned frame is persisted so the offset pass and
+    the id pass see identical partition ids. Result ids are identical to
+    the global-window version for any total order.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["count"]
+    offset_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.col("__offset") + F.lit(base_id)).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
 def merge_update(
     store: DataFrame,
     updates: DataFrame,

@@ -234,26 +234,22 @@ def run_load(
         row = variant_store.agg(F.max("rgd_id").alias("m")).collect()[0]
         next_rgd_id = (row["m"] or 0) + 1
 
-    is_new = F.col("store_rgd_id").isNull()
-    w_ids = Window.orderBy("source_file", "chromosome", "pos", "allele_idx", "var_nuc")
-    with_ids = matched.withColumn(
-        "rgd_id",
-        F.when(
-            is_new,
-            F.row_number().over(
-                Window.orderBy(
-                    F.when(is_new, 0).otherwise(1),
-                    "source_file",
-                    "chromosome",
-                    "pos",
-                    "allele_idx",
-                    "var_nuc",
-                )
-            )
-            + F.lit(next_rgd_id - 1),
-        ).otherwise(F.col("store_rgd_id")).cast("long"),
-    ).withColumn("is_new", is_new)
-    _ = w_ids
+    # id allocation (S9): only NEW rows get ids, via the range-partitioned
+    # parallel allocator — never a global single-partition window
+    from hrdp_variant_load_pipeline_spark.operators.upsert import (
+        assign_surrogate_ids_scalable,
+    )
+
+    matched = matched.withColumn("is_new", F.col("store_rgd_id").isNull())
+    new_rows = assign_surrogate_ids_scalable(
+        matched.filter("is_new"),
+        order_by=["source_file", "chromosome", "pos", "allele_idx", "var_nuc"],
+        base_id=next_rgd_id - 1,
+    )
+    existing_rows = matched.filter(~F.col("is_new")).withColumn(
+        "rgd_id", F.col("store_rgd_id").cast("long")
+    )
+    with_ids = new_rows.unionByName(existing_rows)
 
     variant_cols = [
         "rgd_id",

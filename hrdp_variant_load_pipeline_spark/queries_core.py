@@ -286,10 +286,12 @@ def merge_update_status(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def surrogate_ids(spark: SparkSession, sf: str) -> DataFrame:
-    from hrdp_variant_load_pipeline_spark.operators.upsert import assign_surrogate_ids
+    from hrdp_variant_load_pipeline_spark.operators.upsert import (
+        assign_surrogate_ids_scalable,
+    )
 
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
-    out = assign_surrogate_ids(
+    out = assign_surrogate_ids_scalable(
         c.select("c_custkey", "c_acctbal"),
         order_by=[F.desc("c_acctbal"), F.asc("c_custkey")],
         base_id=90000,
