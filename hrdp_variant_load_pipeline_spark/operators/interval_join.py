@@ -123,12 +123,13 @@ def interval_join_binned(
     i_chrom, i_start, i_stop = interval_keys
 
     def binned(df, chrom, lo, hi, prefix):
+        # floor, not cast-truncate: truncation mis-bins negative coordinates
         return df.withColumn(
             f"{prefix}bin",
             F.explode(
                 F.sequence(
-                    (F.col(lo) / bin_size).cast("long"),
-                    (F.col(hi) / bin_size).cast("long"),
+                    F.floor(F.col(lo) / bin_size).cast("long"),
+                    F.floor(F.col(hi) / bin_size).cast("long"),
                 )
             ),
         )

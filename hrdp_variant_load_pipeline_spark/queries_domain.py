@@ -231,6 +231,46 @@ def strain_names(spark: SparkSession, sf: str) -> DataFrame:
     FROM customer c
     """,
 )
+def _interval_sides(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    s = table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    return c, s
+
+
+# the binned (scale-path) interval join strategy, same semantics as the
+# broadcast form — equi key on (chromosome, bin) + residual range filter;
+# acctbal coordinates are negative-capable, exercising floor binning
+@q(
+    "interval_join_binned_counts",
+    """
+    SELECT c.c_custkey, count(*) AS n_overlap
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50
+    GROUP BY c.c_custkey
+    """,
+)
+def interval_join_binned_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.interval_join import (
+        interval_join_binned,
+    )
+
+    c, s = _interval_sides(spark, sf)
+    probes = c.withColumn("k", F.lit(1))
+    iv = s.withColumn("k", F.lit(1))
+    pairs = interval_join_binned(
+        probes,
+        iv,
+        bin_size=100,
+        probe_keys=("k", "c_acctbal", "c_acctbal"),
+        interval_keys=("k", "lo", "hi"),
+    )
+    return pairs.groupBy("c_custkey").agg(F.count("*").alias("n_overlap"))
+
+
 def genic_interval_flag(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
     s = table(spark, sf, "supplier").select(
