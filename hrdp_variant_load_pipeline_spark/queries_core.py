@@ -562,6 +562,41 @@ def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# date/time scalar surface (§2.8): extract, trunc, diff, add
+@q(
+    "scalar_datetime_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           dayofweek(l_shipdate) AS ship_dow,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate) AS days_since_95,
+           strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday
+        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+            "ship_month_start"
+        ),
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        F.date_format(F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
 # manual pivot (absent-in-reference; engine surface)
 @q(
     "pivot_status",
