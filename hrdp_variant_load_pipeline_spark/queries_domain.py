@@ -217,20 +217,6 @@ def strain_names(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("fname", derive_strain_name(F.col("fname")).alias("strain"))
 
 
-# genic-status flag via the loader's actual exists-interval operator,
-# demonstrated on the star schema: customer balance point vs supplier
-# ±50 intervals (J3/F10 shape)
-@q(
-    "genic_interval_flag",
-    """
-    SELECT c.c_custkey,
-           CASE WHEN EXISTS (SELECT 1 FROM supplier s
-                             WHERE c.c_acctbal >= s.s_acctbal - 50
-                               AND c.c_acctbal <= s.s_acctbal + 50)
-                THEN 'GENIC' ELSE 'INTERGENIC' END AS status
-    FROM customer c
-    """,
-)
 def _interval_sides(spark: SparkSession, sf: str):
     c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
     s = table(spark, sf, "supplier").select(
@@ -271,6 +257,20 @@ def interval_join_binned_counts(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("c_custkey").agg(F.count("*").alias("n_overlap"))
 
 
+# genic-status flag via the loader's actual exists-interval operator,
+# demonstrated on the star schema: customer balance point vs supplier
+# ±50 intervals (J3/F10 shape)
+@q(
+    "genic_interval_flag",
+    """
+    SELECT c.c_custkey,
+           CASE WHEN EXISTS (SELECT 1 FROM supplier s
+                             WHERE c.c_acctbal >= s.s_acctbal - 50
+                               AND c.c_acctbal <= s.s_acctbal + 50)
+                THEN 'GENIC' ELSE 'INTERGENIC' END AS status
+    FROM customer c
+    """,
+)
 def genic_interval_flag(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
     s = table(spark, sf, "supplier").select(
