@@ -240,7 +240,10 @@ def run_load(
         assign_surrogate_ids_scalable,
     )
 
-    matched = matched.withColumn("is_new", F.col("store_rgd_id").isNull())
+    # diamond reuse: matched feeds the allocator's range-sampling pass, the
+    # new branch, and the existing branch — persist so the scan → normalize
+    # → genic join → dedup chain runs once, not 3-4 times
+    matched = matched.withColumn("is_new", F.col("store_rgd_id").isNull()).persist()
     new_rows = assign_surrogate_ids_scalable(
         matched.filter("is_new"),
         order_by=["source_file", "chromosome", "pos", "allele_idx", "var_nuc"],

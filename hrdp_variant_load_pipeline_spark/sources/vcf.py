@@ -16,12 +16,55 @@ parallelism comes from many files, which matches the reference workload
 
 from __future__ import annotations
 
+import fnmatch
+import gzip
+import io
+import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FIXED_COLS = ("chrom", "pos", "vcf_id", "ref", "alt", "qual", "filter", "info", "format")
+
+#: stop scanning a file for its #CHROM header after this many lines
+_HEADER_SCAN_LIMIT = 10_000
+
+
+def _list_local_files(path: str, glob: str, recursive: bool) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    if recursive:
+        for root, _dirs, files in os.walk(path):
+            out.extend(
+                os.path.join(root, f) for f in files if fnmatch.fnmatch(f, glob)
+            )
+    else:
+        out = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if fnmatch.fnmatch(f, glob) and os.path.isfile(os.path.join(path, f))
+        ]
+    return sorted(out)
+
+
+def _read_header_line(fpath: str) -> str | None:
+    """Stream the head of one file until its ``#CHROM`` line.
+
+    Headers sit at the start of a VCF; reading them driver-side is O(files),
+    whereas filtering a distributed text scan for them reads the ENTIRE
+    corpus once just to find one line per file.
+    """
+    opener = gzip.open if fpath.endswith(".gz") else open
+    with opener(fpath, "rb") as raw, io.TextIOWrapper(raw, encoding="utf-8") as f:
+        for _ in range(_HEADER_SCAN_LIMIT):
+            line = f.readline()
+            if not line:
+                return None
+            if line.startswith("#CHROM"):
+                return line.rstrip("\n")
+    return None
 
 
 def read_vcf(
@@ -42,19 +85,38 @@ def read_vcf(
         reader = reader.option("recursiveFileLookup", "true").option("pathGlobFilter", glob)
     raw = reader.text(path).withColumn("source_path", F.input_file_name())
 
-    # headers: tiny (one per file) — safe to collect
-    header_rows = (
-        raw.filter(F.col("value").startswith("#CHROM"))
-        .select("source_path", "value")
-        .collect()
+    # headers sit at each file's head: read them driver-side (O(files),
+    # bounded bytes per file) instead of filtering a distributed scan that
+    # reads the whole corpus to find one line per file. Falls back to the
+    # distributed scan for non-local stores or colliding basenames.
+    local_files = (
+        _list_local_files(path, glob if recursive else "*", recursive)
+        if "://" not in path
+        else []
     )
-    sample_map = []
-    for r in header_rows:
-        cols = r["value"].split("\t")
-        sample_map.append((r["source_path"], cols[9:]))
-    header_df = spark.createDataFrame(
-        sample_map or [("", [])], "source_path string, sample_names array<string>"
-    )
+    basenames = [os.path.basename(p) for p in local_files]
+    if local_files and len(set(basenames)) == len(basenames):
+        sample_map = []
+        for p in local_files:
+            header = _read_header_line(p)
+            if header is not None:
+                sample_map.append((os.path.basename(p), header.split("\t")[9:]))
+        header_df = spark.createDataFrame(
+            sample_map or [("", [])], "source_file string, sample_names array<string>"
+        )
+    else:
+        header_rows = (
+            raw.filter(F.col("value").startswith("#CHROM"))
+            .select("source_path", "value")
+            .collect()
+        )
+        sample_map = [
+            (r["source_path"].rsplit("/", 1)[-1], r["value"].split("\t")[9:])
+            for r in header_rows
+        ]
+        header_df = spark.createDataFrame(
+            sample_map or [("", [])], "source_file string, sample_names array<string>"
+        )
 
     fields = F.split(F.col("value"), "\t")
     data = (
@@ -72,10 +134,10 @@ def read_vcf(
         )
         .withColumn("pos", F.col("pos").try_cast("long"))
     )
-    out = data.join(F.broadcast(header_df), "source_path", "left")
-    return out.withColumn(
+    out = data.withColumn(
         "source_file", F.element_at(F.split(F.col("source_path"), "/"), -1)
     ).drop("source_path")
+    return out.join(F.broadcast(header_df), "source_file", "left")
 
 
 def unpivot_samples(df: DataFrame) -> DataFrame:
