@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 from hrdp_variant_load_pipeline_spark.operators.interval_join import with_exists_flag
 
 
+def scope_from_vcf(vcf: DataFrame) -> DataFrame:
+    """Derive the (chromosome, lo, hi) visit ranges of a VCF batch.
+
+    Reproduces the reference's visit set (it re-fetches stored variants in
+    each parsed line's range, GenicQc.java:197) as one aggregate instead of
+    a per-line query: QC then touches only chromosomes/ranges the batch
+    touched.
+    """
+    from hrdp_variant_load_pipeline_spark.functions.normalize import (
+        is_unplaced_contig,
+        normalize_chromosome,
+    )
+
+    return (
+        vcf.filter(~is_unplaced_contig(F.col("chrom")))
+        .select(normalize_chromosome(F.col("chrom")).alias("chromosome"), "pos")
+        .groupBy("chromosome")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    )
+
+
 def genic_qc(
     variant_store: DataFrame,
     genes: DataFrame,

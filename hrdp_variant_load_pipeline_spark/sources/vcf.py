@@ -162,3 +162,22 @@ def unpivot_samples(df: DataFrame) -> DataFrame:
 
 def vcf_path_basename(path: str) -> str:
     return posixpath.basename(path)
+
+
+def restage_to_parquet(
+    vcf: DataFrame, dest: str, partition_by: tuple[str, ...] = ("source_file",)
+) -> None:
+    """One-time restage of parsed VCF rows to splittable Parquet.
+
+    Gzip text is unsplittable (1 task/file); for repeated processing at
+    scale, pay the scan once and write columnar, partitioned storage —
+    every later pass gets column pruning, predicate pushdown, and
+    arbitrary parallelism. ``read_restaged`` round-trips the result.
+    """
+    vcf.write.mode("overwrite").partitionBy(*partition_by).parquet(dest)
+
+
+def read_restaged(spark: SparkSession, path: str) -> DataFrame:
+    """Read rows previously written by ``restage_to_parquet`` — same shape
+    as ``read_vcf`` output, usable anywhere a VCF DataFrame is."""
+    return spark.read.parquet(path)

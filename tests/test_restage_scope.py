@@ -1,0 +1,74 @@
+"""VCF restage round-trip and QC scope derivation."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.plans.genic_qc import genic_qc, scope_from_vcf
+from hrdp_variant_load_pipeline_spark.plans.load import run_load
+from hrdp_variant_load_pipeline_spark.sources.vcf import (
+    read_restaged,
+    read_vcf,
+    restage_to_parquet,
+)
+
+VCF = """##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
+chr2\t900\t.\tC\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
+chr1\t400\t.\tG\tC\t50\tPASS\t.\tGT:AD:DP\t1/1:0,9:9
+chr1_scaffold\t5\t.\tA\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
+"""
+
+
+def _write_vcf(tmp_path):
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    return str(vdir)
+
+
+def test_restage_roundtrip_equivalent_load(spark, tmp_path):
+    vdir = _write_vcf(tmp_path)
+    vcf = read_vcf(spark, vdir)
+    dest = str(tmp_path / "staged")
+    restage_to_parquet(vcf, dest)
+    staged = read_restaged(spark, dest)
+
+    genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
+    samples = spark.createDataFrame([(1, "S1", "U", 380, 372, None, None, None)], schemas.SAMPLE)
+    empty_v = spark.createDataFrame([], schemas.VARIANT)
+    empty_d = spark.createDataFrame([], schemas.VARIANT_SAMPLE_DETAIL)
+
+    a = run_load(vcf, genes, samples, empty_v, empty_d, map_key=372)
+    b = run_load(staged, genes, samples, empty_v, empty_d, map_key=372)
+    cols = ["chromosome", "start_pos", "ref_nuc", "var_nuc", "variant_type", "genic_status"]
+    assert sorted(map(tuple, a.new_variants.select(*cols).collect())) == sorted(
+        map(tuple, b.new_variants.select(*cols).collect())
+    )
+    assert a.new_sample_details.count() == b.new_sample_details.count()
+
+
+def test_scope_from_vcf_and_scoped_qc(spark, tmp_path):
+    vdir = _write_vcf(tmp_path)
+    vcf = read_vcf(spark, vdir)
+    scope = {(r["chromosome"]): (r["lo"], r["hi"]) for r in scope_from_vcf(vcf).collect()}
+    assert scope == {"1": (100, 400), "2": (900, 900)}
+
+    # a store row on chr5 (outside scope) with a WRONG status must be left
+    # alone by scoped QC; an in-scope drifted row must be caught
+    store = spark.createDataFrame(
+        [
+            (1, None, None, None, None, "snv", 3, "1", None, 120, 121, "INTERGENIC", 372),
+            (2, None, None, None, None, "snv", 3, "5", None, 100, 101, "GENIC", 372),
+        ],
+        schemas.VARIANT,
+    )
+    genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
+    updates = genic_qc(store, genes, map_key=372, scope=scope_from_vcf(vcf))
+    rows = {r["rgd_id"]: r["genic_status"] for r in updates.collect()}
+    assert rows == {1: "GENIC"}  # in-scope drift repaired; chr5 untouched
