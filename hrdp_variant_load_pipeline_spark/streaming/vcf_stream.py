@@ -1,0 +1,84 @@
+"""Continuous VCF ingest: the --runLoad DAG as a Structured Streaming job.
+
+The reference is a cron-run batch loader (run.sh); this is the engine's
+streaming variant (SURVEY.md §2.10): a file-source stream watches the
+landing directory, and each micro-batch of newly-arrived VCF files runs
+through the SAME batch load plan via ``foreachBatch`` — dedup against the
+store keeps ingest idempotent, so replays and overlapping drops are safe.
+
+Design note: ``foreachBatch`` hands us exactly-once file batches with full
+batch-API access; the load plan stays one implementation. The stream
+carries only file arrivals — per-file parsing re-enters through
+``read_vcf`` so header handling, normalization, and dedup are identical to
+the batch path. State (the variant/detail stores) lives in the sinks, not
+the stream, so a restart resumes from the checkpoint with no rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.plans.load import LoadResult, run_load
+from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
+
+
+def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def stream_vcf_loader(
+    spark: SparkSession,
+    input_dir: str,
+    genes: DataFrame,
+    samples: DataFrame,
+    variant_store_dir: str,
+    detail_store_dir: str,
+    map_key: int,
+    checkpoint_dir: str,
+    on_batch: Callable[[int, LoadResult], None] | None = None,
+):
+    """Start the streaming loader; returns the StreamingQuery.
+
+    Each micro-batch: collect the batch's distinct file paths (tiny), parse
+    those files with the batch VCF source, run the full load plan against
+    the current stores, append the new rows. Call
+    ``query.processAllAvailable()`` to drain synchronously in tests.
+    """
+    stream = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.vcf*")
+        .text(input_dir)
+        .select(F.input_file_name().alias("path"))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        paths = [r["path"] for r in batch_df.select("path").distinct().collect()]
+        if not paths:
+            return
+        local = [p.removeprefix("file:") for p in paths]
+        vcf = read_vcf(spark, local[0] if len(local) == 1 else os.path.commonpath(local))
+        # restrict to this batch's files (commonpath may cover extras)
+        basenames = {os.path.basename(p) for p in local}
+        vcf = vcf.filter(F.col("source_file").isin(*basenames))
+
+        vstore = _read_store(spark, variant_store_dir, schemas.VARIANT)
+        dstore = _read_store(spark, detail_store_dir, schemas.VARIANT_SAMPLE_DETAIL)
+        res = run_load(vcf, genes, samples, vstore, dstore, map_key)
+        res.new_variants.write.mode("append").parquet(variant_store_dir)
+        res.new_sample_details.write.mode("append").parquet(detail_store_dir)
+        if on_batch is not None:
+            on_batch(batch_id, res)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
