@@ -624,6 +624,35 @@ def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# SQL entry point (engine surface): the same catalog through spark.sql —
+# TPC-H Q6 forecasting-revenue shape
+@q(
+    "sql_interface_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount)::DOUBLE, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_interface_q6(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 # event-time tumbling window (streaming-equivalent batch form, §2.10)
 @q(
     "events_tumbling_counts",
