@@ -65,6 +65,42 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, byte_len long, sample_rate int, n_samples long, duration_ms long"
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Audio-path twin of ``decode_image_features``: mapInPandas over
+    (doc_id, payload binary) → deterministic fake header fields.
+
+    Real implementation would parse the container header (e.g. soundfile /
+    ffprobe); the Arrow batch plumbing and output schema are the
+    production shape.
+    """
+
+    def _fake_probe(payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        rate = 8000 + (n % 5) * 8000  # 8/16/24/32/40 kHz
+        samples = n * 64
+        return rate, samples, samples * 1000 // rate
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [_fake_probe(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "sample_rate": [p[0] for p in probed],
+                    "n_samples": [p[1] for p in probed],
+                    "duration_ms": [p[2] for p in probed],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def frame_sample_indices(df: DataFrame, n_frames_col: str, every: int) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame index (video
     path); pure explode, no Python."""

@@ -374,6 +374,49 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_audio_probe",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS byte_len,
+           (8000 + (octet_length(text::BLOB) % 5) * 8000)::INT AS sample_rate,
+           (octet_length(text::BLOB) * 64)::BIGINT AS n_samples,
+           (octet_length(text::BLOB) * 64 * 1000)
+             // (8000 + (octet_length(text::BLOB) % 5) * 8000) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio_probe(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return MM.decode_audio_features(MM.with_binary_payload(d, "doc_id", "text"))
+
+
+# skew-salted join (engine surface beside AQE skew handling): lineitem ⋈
+# orders where a few orderkeys dominate would hot-spot one reducer; the
+# salted join spreads each key over 8 — results identical to plain join
+@q(
+    "skew_salted_join_agg",
+    """
+    SELECT o.o_orderpriority, count(*) AS n,
+           round(sum(l.l_extendedprice)::DOUBLE, 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.skew import salted_join
+
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------- streaming
 # Structured Streaming variant of events_tumbling_counts; no SQL oracle
 # (driver records the weaker rows-only check). Uses the file stream source
