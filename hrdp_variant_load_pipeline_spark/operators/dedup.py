@@ -144,13 +144,14 @@ def minhash_lsh_pairs(
     # CPU-bound, so spread it (no-op at real scale where inputs are split)
     if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
+    def _seeded_hash(seed: int):
+        # closure factory, NOT `lambda g, i=i`: a two-parameter lambda is
+        # interpreted by F.transform as the (element, index) form, silently
+        # passing the ARRAY INDEX as the second arg and shadowing the seed
+        return lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit("|"), g))
+
     sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda g, i=i: F.md5(F.concat(F.lit(str(i)), F.lit("|"), g)),
-            )
-        ).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     docs = (
