@@ -222,6 +222,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# near-dup clusters: minhash pairs -> connected components -> canonical id
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    closure AS (SELECT src, dst FROM reach UNION SELECT src, src FROM edges)
+    SELECT src AS doc, min(dst) AS cluster FROM closure GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = DD.minhash_lsh_pairs(
+        table(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=6,
+        band_rows=2,
+        verify_threshold=0.5,
+    )
+    return DD.connected_components(pairs)
+
+
 @q(
     "dedup_simhash",
     """
