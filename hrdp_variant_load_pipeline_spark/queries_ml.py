@@ -270,6 +270,59 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return DD.simhash(table(spark, sf, "documents"), "doc_id", "text")
 
 
+# composite training-data cleaning pipeline: quality gate -> exact-dup
+# canonicalization -> per-language corpus stats (the end-to-end shape a
+# 100 TB pretraining-data job runs; every stage is one of the operators
+# above, composed)
+@q(
+    "corpus_clean_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, text, lang, string_split(text, ' ') AS w,
+             replace(text, ' ', '') AS no_space
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, lang, len(w)::DOUBLE AS n_tok,
+             round((length(no_space) - length(regexp_replace(no_space, '[^A-Za-z0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(no_space), 1), 4) AS pr,
+             round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+                   / len(w), 4) AS sr,
+             round(len(list_distinct(w))::DOUBLE / len(w), 4) AS dr
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, lang, n_tok,
+             floor((0.25 * least(n_tok / 20.0, 1.0)
+                   + 0.25 * (1.0 - least(pr * 5.0, 1.0))
+                   + 0.25 * least(sr * 4.0, 1.0)
+                   + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality
+      FROM m),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    canon AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                       ORDER BY doc_id) AS rn FROM kept)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           floor(avg(quality) * 10000 + 0.5) / 10000 AS avg_quality
+    FROM canon WHERE rn = 1 GROUP BY lang
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        TXT.token_count(F.col("text")).cast("double").alias("n_tok"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return canon.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.floor(F.avg("quality") * 10000 + 0.5) / 10000).alias("avg_quality"),
+    )
+
+
 # --------------------------------------------------------------- similarity
 _COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
 
