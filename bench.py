@@ -44,7 +44,10 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "corpus_clean_pipeline",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
 ]
 
 
