@@ -498,6 +498,58 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# grouped pandas UDF (applyInPandas — the per-group Python escape hatch):
+# per-user purchase-value trend, centered least-squares slope. The same
+# closed form is written in SQL; x is centered per group so the sums stay
+# small (epoch-seconds squared would otherwise cancel catastrophically)
+@q(
+    "events_user_trend",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS x, value AS y
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, x - avg(x) OVER (PARTITION BY user_id) AS xc,
+                 y - avg(y) OVER (PARTITION BY user_id) AS yc
+          FROM p),
+    s AS (SELECT user_id, count(*) AS n, sum(xc * yc) AS sxy, sum(xc * xc) AS sxx
+          FROM c GROUP BY user_id)
+    SELECT user_id, n,
+           floor(sxy / sxx * 10000 + 0.5) / 10000 AS slope
+    FROM s WHERE n >= 3 AND sxx > 0
+    """,
+)
+def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    e = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / 1_000_000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        xc = pdf["x"] - pdf["x"].mean()
+        yc = pdf["y"] - pdf["y"].mean()
+        sxx = float((xc * xc).sum())
+        sxy = float((xc * yc).sum())
+        if n < 3 or sxx <= 0:
+            return pd.DataFrame({"user_id": [], "n": [], "slope": []})
+        slope = math.floor(sxy / sxx * 10000 + 0.5) / 10000
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n": [n], "slope": [slope]}
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        trend, "user_id long, n long, slope double"
+    )
+
+
 # ---------------------------------------------------------------- streaming
 # Structured Streaming variant of events_tumbling_counts; no SQL oracle
 # (driver records the weaker rows-only check). Uses the file stream source
