@@ -1,0 +1,104 @@
+"""Edge-case hardening: empty inputs, unknown samples, malformed cells."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from hrdp_variant_load_pipeline_spark.plans.genic_qc import genic_qc
+from hrdp_variant_load_pipeline_spark.plans.load import run_load
+from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
+
+HEADER = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tGHOST\n"
+
+
+def _load(spark, tmp_path, body, samples_rows):
+    vdir = tmp_path / "v"
+    vdir.mkdir()
+    with gzip.open(vdir / "A_B_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(HEADER + body)
+    vcf = read_vcf(spark, str(vdir))
+    genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
+    samples = spark.createDataFrame(samples_rows, schemas.SAMPLE)
+    return run_load(
+        vcf,
+        genes,
+        samples,
+        spark.createDataFrame([], schemas.VARIANT),
+        spark.createDataFrame([], schemas.VARIANT_SAMPLE_DETAIL),
+        map_key=372,
+    )
+
+
+def test_unknown_sample_column_dropped_not_crashed(spark, tmp_path):
+    """GHOST has no dimension row: its cells drop (the reference would NPE,
+    documented divergence); S1 still loads."""
+    body = "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10\t0/1:5,5:10\n"
+    res = _load(spark, tmp_path, body, [(1, "S1", "U", 380, 372, None, None, None)])
+    details = res.new_sample_details.collect()
+    assert len(details) == 1 and details[0]["sample_id"] == 1
+
+
+def test_all_filtered_vcf_yields_empty_outputs(spark, tmp_path):
+    body = (
+        "chr1_scaffold\t10\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10\t./.:.:.\n"
+        "chr2\t20\t.\tC\tT\t50\tPASS\t.\tGT:AD:DP\t0/0:9,0:9\t./.:.:.\n"
+    )
+    res = _load(spark, tmp_path, body, [(1, "S1", "U", 380, 372, None, None, None)])
+    # scaffold line dropped entirely; chr2 line survives as a variant but
+    # yields no sample details (all GTs filtered)
+    assert res.new_variants.count() == 1
+    assert res.new_sample_details.count() == 0
+
+
+def test_malformed_cells_yield_null_depth_rows(spark, tmp_path):
+    """Cells with truncated AD / non-numeric DP survive with nulls instead
+    of aborting the job (ANSI-safe scan path)."""
+    body = "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:7:xyz\t0/1:3,4:12\n"
+    res = _load(
+        spark,
+        tmp_path,
+        body,
+        [(1, "S1", "U", 380, 372, None, None, None), (2, "GHOST", "U", 380, 372, None, None, None)],
+    )
+    rows = {r["sample_id"]: r for r in res.new_sample_details.collect()}
+    # S1: AD has no allele entry at index 1 -> no detail row (var_freq null)
+    # GHOST: proper cell -> detail row with depth 12
+    assert set(rows) == {2}
+    assert rows[2]["total_depth"] == 12
+
+
+def test_genic_qc_empty_store_and_empty_genes(spark):
+    empty_v = spark.createDataFrame([], schemas.VARIANT)
+    genes = spark.createDataFrame([], schemas.GENE)
+    assert genic_qc(empty_v, genes, map_key=372).count() == 0
+
+    one = spark.createDataFrame(
+        [(1, None, None, None, None, "snv", 3, "1", None, 100, 101, "GENIC", 372)],
+        schemas.VARIANT,
+    )
+    # no genes -> everything INTERGENIC -> the GENIC row drifts
+    drift = genic_qc(one, genes, map_key=372).collect()
+    assert [(r["rgd_id"], r["genic_status"]) for r in drift] == [(1, "INTERGENIC")]
+
+
+def test_minhash_empty_and_single_doc(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(empty, "doc_id", "text").count() == 0
+    one = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert minhash_lsh_pairs(one, "doc_id", "text").count() == 0
+
+
+def test_connected_components_chain_and_star(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
