@@ -370,3 +370,15 @@ def run_load(
         new_sample_details=details,
         all_line_variants=line_variants,
     )
+
+
+def load_metrics(result: LoadResult) -> dict[str, int]:
+    """Run counters (A1): the reference logs variants entered / sample rows
+    created / dedup hits per run (HrdpVariants.java:116-133). One aggregate
+    per output instead of incrementing driver-side counters in a loop."""
+    return {
+        "variants_entered": result.new_variants.count(),
+        "sample_details_entered": result.new_sample_details.count(),
+        "existing_matched": result.all_line_variants.filter(~F.col("is_new")).count(),
+        "end_pos_drift_detected": result.end_pos_updates.count(),
+    }

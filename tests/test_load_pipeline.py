@@ -220,3 +220,14 @@ def test_genic_qc_drift(spark, vcf_dir, dims):
         v["rgd_id"] for v in first.new_variants.collect() if v["chromosome"] == "MT"
     }
     assert lower_updates == {i: "INTERGENIC" for i in mt_ids}
+
+
+def test_load_metrics(spark, vcf_dir, dims):
+    from hrdp_variant_load_pipeline_spark.plans.load import load_metrics
+
+    res = run(spark, vcf_dir, dims)
+    m = load_metrics(res)
+    assert m["variants_entered"] == 5
+    assert m["sample_details_entered"] == res.new_sample_details.count()
+    assert m["existing_matched"] == 0  # empty store
+    assert m["end_pos_drift_detected"] == 0
