@@ -1,0 +1,102 @@
+"""Command-line entry point — the reference's ``Manager.main`` dispatch
+(``Manager.java:16-26``): ``--runLoad`` and ``--genicQc`` subcommands, a
+config file instead of Spring XML.
+
+Config (JSON; see sources/config.py):
+
+.. code-block:: json
+
+    {
+      "map_key": 372,
+      "input_dir": "/data/vcfs",
+      "samples": {"SAMPLE_NAME": 101, "...": 102},
+      "genes_path": "/stores/genes",
+      "variant_store": "/stores/variants",
+      "detail_store": "/stores/details"
+    }
+
+Stores are partitioned Parquet directories (created on first load); genes
+is any Parquet with the GENE schema (or loaded via JDBC upstream).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.operators.upsert import merge_update
+from hrdp_variant_load_pipeline_spark.plans.genic_qc import genic_qc, scope_from_vcf
+from hrdp_variant_load_pipeline_spark.plans.load import load_metrics, run_load
+from hrdp_variant_load_pipeline_spark.session import get_spark
+from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples_dimension
+from hrdp_variant_load_pipeline_spark.sources.sinks import write_parquet_store
+from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
+
+
+def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
+    vcf = read_vcf(spark, cfg["input_dir"])
+    genes = spark.read.parquet(cfg["genes_path"])
+    samples = samples_dimension(spark, cfg["samples"], cfg["map_key"])
+    vstore = _read_store(spark, cfg["variant_store"], schemas.VARIANT)
+    dstore = _read_store(spark, cfg["detail_store"], schemas.VARIANT_SAMPLE_DETAIL)
+
+    res = run_load(vcf, genes, samples, vstore, dstore, map_key=cfg["map_key"])
+    write_parquet_store(res.new_variants, cfg["variant_store"])
+    write_parquet_store(res.new_sample_details, cfg["detail_store"])
+    return load_metrics(res)
+
+
+def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
+    genes = spark.read.parquet(cfg["genes_path"])
+    store = spark.read.parquet(cfg["variant_store"])
+    scope = None
+    if cfg.get("input_dir"):
+        scope = scope_from_vcf(read_vcf(spark, cfg["input_dir"]))
+    updates = genic_qc(store, genes, map_key=cfg["map_key"], scope=scope)
+    n = updates.count()
+    if n:
+        repaired = merge_update(store, updates, "rgd_id", ["genic_status"])
+        # rewrite via temp dir semantics is sink-specific; default store is
+        # small-dimension parquet — overwrite in place after materializing
+        repaired_rows = repaired.collect()
+        spark.createDataFrame(repaired_rows, store.schema).write.mode(
+            "overwrite"
+        ).parquet(cfg["variant_store"])
+    return {"genic_status_updated": n}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="hrdp-variants-spark")
+    parser.add_argument("--runLoad", action="store_true")
+    parser.add_argument("--genicQc", action="store_true")
+    parser.add_argument("--config", required=True)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    spark = get_spark("hrdp-variants-cli")
+    try:
+        if args.runLoad:
+            out = cmd_run_load(spark, cfg)
+        elif args.genicQc:
+            out = cmd_genic_qc(spark, cfg)
+        else:
+            parser.error("one of --runLoad / --genicQc is required")
+        for k, v in out.items():
+            print(f"{k}: {v}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

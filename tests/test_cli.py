@@ -1,0 +1,65 @@
+"""CLI dispatch parity: --runLoad then --genicQc against parquet stores."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from hrdp_variant_load_pipeline_spark import schemas
+from hrdp_variant_load_pipeline_spark.cli import cmd_genic_qc, cmd_run_load
+
+VCF = """##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
+chr1\t400\t.\tC\tT\t50\tPASS\t.\tGT:AD:DP\t1/1:0,9:9
+"""
+
+
+def test_cli_load_then_qc(spark, tmp_path):
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE).write.parquet(
+        genes_path
+    )
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+    }
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2 and m["sample_details_entered"] == 2
+
+    # re-run: idempotent
+    m2 = cmd_run_load(spark, cfg)
+    assert m2["variants_entered"] == 0 and m2["sample_details_entered"] == 0
+
+    # corrupt a genic status, then QC repairs exactly that row
+    store = spark.read.parquet(cfg["variant_store"])
+    from pyspark.sql import functions as F
+
+    flipped = store.withColumn(
+        "genic_status",
+        F.when(F.col("start_pos") == 100, "INTERGENIC").otherwise(F.col("genic_status")),
+    )
+    rows = flipped.collect()
+    spark.createDataFrame(rows, store.schema).write.mode("overwrite").parquet(
+        cfg["variant_store"]
+    )
+    q = cmd_genic_qc(spark, cfg)
+    assert q["genic_status_updated"] == 1
+    fixed = spark.read.parquet(cfg["variant_store"])
+    status = {r["start_pos"]: r["genic_status"] for r in fixed.collect()}
+    assert status[100] == "GENIC" and status[400] == "INTERGENIC"
+
+    # QC is now a fixpoint
+    assert cmd_genic_qc(spark, cfg)["genic_status_updated"] == 0
+    assert os.path.exists(str(tmp_path / "cfg.json"))
