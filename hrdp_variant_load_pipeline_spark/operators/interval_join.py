@@ -76,32 +76,27 @@ def with_exists_flag(
 ) -> DataFrame:
     """Add a boolean column: does any interval overlap this probe?
 
-    Implemented as a broadcast left-outer join against the DISTINCT
-    chromosome-level interval set with an aggregated ``max`` — no row
-    duplication reaches the caller. The exists-aggregation groups on a
-    synthetic unique id, which AQE handles; for existence at extreme scale
-    prefer pre-merging intervals per chromosome (disjoint unions) so each
-    probe matches at most one interval.
+    Implemented as broadcast left-semi ∪ left-anti against the interval
+    dimension: both joins are narrow (no shuffle at any probe-side scale),
+    no row duplication ever materializes, and the union preserves the
+    probe schema exactly. This beats the left-join + exists-aggregation
+    form, whose groupBy shuffles every probe row.
     """
     p_chrom, p_start, p_stop = probe_keys
     i_chrom, i_start, i_stop = interval_keys
-    # Merge overlapping intervals per chromosome so each well-formed probe
-    # matches few merged spans → left join duplicates are bounded.
     iv = intervals.select(
         F.col(i_chrom).alias("__ichrom"),
         F.col(i_start).alias("__istart"),
         F.col(i_stop).alias("__istop"),
     )
-    pid = "__probe_id"
-    pr = probes.withColumn(pid, F.monotonically_increasing_id())
     cond = (F.col(p_chrom) == F.col("__ichrom")) & overlap_predicate(
         F.col(p_start), F.col(p_stop), F.col("__istart"), F.col("__istop")
     )
-    joined = pr.join(F.broadcast(iv), cond, "left")
-    grouped = joined.groupBy(*[F.col(c) for c in pr.columns]).agg(
-        F.max(F.col("__ichrom").isNotNull()).alias(flag)
+    hits = probes.join(F.broadcast(iv), cond, "left_semi").withColumn(flag, F.lit(True))
+    misses = probes.join(F.broadcast(iv), cond, "left_anti").withColumn(
+        flag, F.lit(False)
     )
-    return grouped.drop(pid)
+    return hits.unionByName(misses)
 
 
 def interval_join_binned(
