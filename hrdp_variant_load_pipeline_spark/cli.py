@@ -66,12 +66,12 @@ def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     n = updates.count()
     if n:
         repaired = merge_update(store, updates, "rgd_id", ["genic_status"])
-        # rewrite via temp dir semantics is sink-specific; default store is
-        # small-dimension parquet — overwrite in place after materializing
-        repaired_rows = repaired.collect()
-        spark.createDataFrame(repaired_rows, store.schema).write.mode(
-            "overwrite"
-        ).parquet(cfg["variant_store"])
+        # localCheckpoint materializes executor-side and cuts lineage to the
+        # input files, making overwrite-in-place safe without a driver
+        # collect (a Delta/Iceberg sink would be a real MERGE instead)
+        repaired.localCheckpoint().write.mode("overwrite").parquet(
+            cfg["variant_store"]
+        )
     return {"genic_status_updated": n}
 
 
