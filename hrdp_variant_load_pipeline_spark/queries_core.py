@@ -624,6 +624,73 @@ def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# math scalar surface (§2.8): abs/ceil/floor/mod/power/sqrt/ln/exp/sign
+@q(
+    "scalar_math_funcs",
+    """
+    SELECT s_suppkey,
+           round(abs(s_acctbal)::DOUBLE, 2) AS abs_bal,
+           ceil(s_acctbal)::BIGINT AS ceil_bal,
+           floor(s_acctbal)::BIGINT AS floor_bal,
+           s_suppkey % 7 AS mod7,
+           round(power(s_suppkey, 2)::DOUBLE, 2) AS sq,
+           round(sqrt(abs(s_acctbal))::DOUBLE, 4) AS sqrt_bal,
+           round(ln(s_suppkey + 1)::DOUBLE, 4) AS ln_key,
+           sign(s_acctbal)::INT AS sgn,
+           greatest(s_suppkey % 5, s_suppkey % 3) AS gmax,
+           least(s_suppkey % 5, s_suppkey % 3) AS lmin
+    FROM supplier
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs(bal), 2).alias("abs_bal"),
+        F.ceil(bal).alias("ceil_bal"),
+        F.floor(bal).alias("floor_bal"),
+        (k % 7).alias("mod7"),
+        F.round(F.pow(k, 2), 2).alias("sq"),
+        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
+        F.round(F.log(k + 1), 4).alias("ln_key"),
+        F.signum(bal).cast("int").alias("sgn"),
+        F.greatest(k % 5, k % 3).alias("gmax"),
+        F.least(k % 5, k % 3).alias("lmin"),
+    )
+
+
+# unpivot/melt (engine surface): wide metrics -> long (metric, value)
+@q(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           round(l_quantity::DOUBLE, 2) AS value
+    FROM lineitem WHERE l_orderkey <= 50
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount::DOUBLE, 2)
+    FROM lineitem WHERE l_orderkey <= 50
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', round(l_tax::DOUBLE, 2)
+    FROM lineitem WHERE l_orderkey <= 50
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 50)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("metric", "^l_", "").alias("metric"),
+        F.round(F.col("value").cast("double"), 2).alias("value"),
+    )
+
+
 # SQL entry point (engine surface): the same catalog through spark.sql —
 # TPC-H Q6 forecasting-revenue shape
 @q(
