@@ -624,6 +624,53 @@ def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# correlated scalar subquery, decorrelated (TPC-H Q17 shape): lineitems
+# below 20% of their part's average quantity
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+    SELECT count(*) AS n_lines,
+           round(sum(l.l_extendedprice)::DOUBLE / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+# grouped HAVING (TPC-H Q18 shape): orders whose total quantity exceeds 250
+@q(
+    "q18_large_orders",
+    """
+    SELECT l_orderkey, round(sum(l_quantity)::DOUBLE, 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("__raw"),
+        )
+        .filter(F.col("__raw") > 250)
+        .drop("__raw")
+    )
+
+
 # math scalar surface (§2.8): abs/ceil/floor/mod/power/sqrt/ln/exp/sign
 @q(
     "scalar_math_funcs",
