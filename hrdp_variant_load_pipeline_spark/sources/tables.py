@@ -25,8 +25,10 @@ TABLE_NAMES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # set defensively for sessions not built by get_spark (driver-owned):
+    # timestamps must render UTC to match the UTC-naive DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # set defensively for sessions not built by get_spark (driver-owned)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as long
