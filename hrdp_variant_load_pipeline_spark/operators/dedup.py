@@ -236,24 +236,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint: convergence is a
+        # cheap filter on the materialized frame, no extra join per round
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
+        labels = stepped.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
