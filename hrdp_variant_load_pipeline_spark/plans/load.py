@@ -158,6 +158,15 @@ def parse_variants(vcf: DataFrame, genes: DataFrame, map_key: int) -> DataFrame:
         active_genes = active_genes.filter(F.col("map_key") == map_key)
     active_genes = active_genes.select("chromosome", "start_pos", "stop_pos")
 
+    # the exists-flag evaluates its probe side twice (semi ∪ anti, both
+    # shuffle-free); persist AND materialize the parsed candidates first —
+    # a lazy persist would be raced by the two branches inside one action
+    # and the gzip scan + normalize chain would still run twice
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+
     flagged = with_exists_flag(
         cand,
         active_genes,
