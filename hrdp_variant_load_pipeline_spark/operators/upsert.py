@@ -106,7 +106,7 @@ def merge_update(
     ``updates`` must carry ``key`` + ``set_cols``. Store rows with a
     matching key get the new column values; everything else passes through.
     Equivalent of DAO.java:142-163's keyed batch UPDATE. With a Delta/
-    Iceberg sink this becomes a real MERGE INTO (see sources/jdbc.py for
+    Iceberg sink this becomes a real MERGE INTO (see sources/sinks.py for
     the sink abstraction).
     """
     upd = updates.select(key, *set_cols)
