@@ -108,3 +108,14 @@ def fingerprint(text: Column) -> Column:
     lowercase token set (classic shingle-free near-dup prefilter)."""
     norm = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
     return F.md5(norm)
+
+
+def gram_hashes(text: Column, k: int = 5) -> Column:
+    """md5 of every lowercase char k-gram, as an array column."""
+    t = F.lower(text)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substr(t, i, F.lit(k)),
+    )
+    return F.transform(grams, lambda g: F.md5(g))

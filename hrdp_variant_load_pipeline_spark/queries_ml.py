@@ -134,6 +134,52 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
 
 
+@q(
+    "text_winnow_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    g AS MATERIALIZED (SELECT doc_id,
+            list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> md5(substring(t, i, 5))) AS hashes
+          FROM t),
+    w AS (SELECT doc_id,
+            list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
+                           j -> list_min(hashes[j:j+7])) AS wins
+          FROM g)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(wins)), '')) AS winnow_fp
+    FROM w
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # winnowing (Schleimer et al. SIGMOD'03): min gram-hash per sliding
+    # window, digest of the sorted distinct selections. Explode + leading
+    # window-min + re-aggregate: each gram md5 is computed ONCE — a nested
+    # array-transform formulation re-evaluates the whole hash array per
+    # window position (O(n^2) md5s; measured 150s at sf0.001)
+    window = 8
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    # repartition BEFORE the gram hashing so the CPU-heavy transform runs
+    # across all cores, not on the single input-file partition
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    src = d.select("doc_id", TXT.gram_hashes(F.col("text"), k=5).alias("h"))
+    exploded = src.select("doc_id", F.size("h").alias("n_h"), F.posexplode("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    wins = exploded.withColumn("win_min", F.min("col").over(w)).filter(
+        (F.col("pos") <= F.col("n_h") - window) | (F.col("pos") == 0)
+    )
+    return wins.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_set("win_min")), "")
+        ).alias("winnow_fp")
+    )
+
+
 # -------------------------------------------------------------------- dedup
 @q(
     "dedup_exact",
