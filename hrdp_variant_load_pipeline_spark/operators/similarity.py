@@ -172,6 +172,28 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization: per-vector symmetric scale to [-127, 127].
+
+    The storage scale-path for embedding corpora (4× smaller than float32,
+    distance ranking almost preserved). floor(x*scale+0.5) rounding keeps
+    the result bit-identical across engines. Returns
+    (id, scale, q array<int>); dequantize ≈ q / scale.
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, 127.0 / max_abs).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int")
+        ).alias("q"),
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     block_cols: list[str],

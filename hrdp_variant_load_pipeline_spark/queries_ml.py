@@ -465,6 +465,24 @@ def embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs
+               FROM embeddings),
+    s AS (SELECT vec_id, embedding,
+            CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END AS scale
+          FROM m)
+    SELECT vec_id, round(scale, 6) AS scale,
+           list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.quantize_int8(table(spark, sf, "embeddings"))
+
+
 # --------------------------------------------------------------- multimodal
 @q(
     "multimodal_decode_stub",
