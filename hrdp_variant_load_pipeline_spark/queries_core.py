@@ -366,6 +366,33 @@ def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# approximate aggregation (§2.4 engine surface): sketches are
+# engine-specific, so the cross-engine check is the ACCURACY CONTRACT —
+# each engine asserts its own approx_count_distinct lands within 5% of
+# exact, and the booleans must agree
+@q(
+    "agg_approx_distinct_check",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+              <= 0.05 * count(DISTINCT l_partkey)) AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_check(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("approx_within_5pct"),
+    )
+
+
 # rollup / grouping sets (§2.4)
 @q(
     "rollup_qty",
