@@ -416,6 +416,34 @@ def rollup_qty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# explicit GROUPING SETS + grouping() markers (§2.4)
+@q(
+    "grouping_sets_marked",
+    """
+    SELECT coalesce(l_returnflag, '-') AS rf,
+           coalesce(l_linestatus, '-') AS ls,
+           grouping(l_returnflag)::INT AS g_rf,
+           grouping(l_linestatus)::INT AS g_ls,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_marked(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '-') AS rf,
+               coalesce(l_linestatus, '-') AS ls,
+               cast(grouping(l_returnflag) AS INT) AS g_rf,
+               cast(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # cube / grouping sets (§2.4)
 @q(
     "cube_status_priority",
