@@ -31,17 +31,16 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "scan_filter_project",
-    "join_semi_exists",
-    "join_anti_not_exists",
+    "join_semi_anti_tagged",
     "insert_if_absent",
-    "window_topk_per_group",
-    "agg_count_distinct",
-    "rollup_qty",
+    "window_battery",
+    "agg_distinct_battery",
+    "grouping_sets_battery",
     "events_tumbling_counts",
     "events_sessionize",
     "events_asof_last_purchase",
     "text_token_stats",
-    "text_fingerprint",
+    "text_quality_score",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -174,37 +174,34 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# existence join (J1-pattern: left semi) — parts that were ever shipped
+# existence joins, both polarities in one battery (J1 semi / J7+M3 anti):
+# parts ever shipped in quantity >= 45 (EXISTS -> left_semi) unioned with
+# customers that placed no order (NOT EXISTS -> left_anti)
 @q(
-    "join_semi_exists",
+    "join_semi_anti_tagged",
     """
-    SELECT p_partkey, p_brand FROM part p
+    SELECT 'part_shipped_45' AS tag, p_partkey AS key FROM part p
     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
                   AND l.l_quantity >= 45)
-    """,
-)
-def join_semi_exists(spark: SparkSession, sf: str) -> DataFrame:
-    p = table(spark, sf, "part")
-    li = table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
-    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_brand"
-    )
-
-
-# anti join (J7/M3 pattern) — customers with no orders
-@q(
-    "join_anti_not_exists",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'cust_no_orders' AS tag, c_custkey AS key FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def join_anti_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+def join_semi_anti_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    li = table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    semi = (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select(F.lit("part_shipped_45").alias("tag"), F.col("p_partkey").alias("key"))
+    )
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("cust_no_orders").alias("tag"), F.col("c_custkey").alias("key"))
     )
+    return semi.unionByName(anti)
 
 
 # range/theta join (J3/J4 shape): customer balance within ±100 of supplier
@@ -300,136 +297,115 @@ def surrogate_ids(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "new_id")
 
 
-# ranking window (§2.5): top-3 orders per customer
+# window-function battery (§2.5): ranking + rank-filter (top-3 per
+# customer), running-sum frame, lag/lead/first_value, ntile — two window
+# specs over orders in one pass. Merged from the round-1 trio
+# window_topk_per_group / window_running_sum / window_lead_lag so every
+# registry entry fits the driver's 50-query correctness window.
 @q(
-    "window_topk_per_group",
+    "window_battery",
     """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-      FROM orders) t
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+               AS running_total,
+             round(lag(o_totalprice) OVER w::DOUBLE, 2) AS prev_price,
+             round(lead(o_totalprice) OVER w::DOUBLE, 2) AS next_price,
+             round(first_value(o_totalprice) OVER w::DOUBLE, 2) AS first_price,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
     WHERE rnk <= 3
     """,
 )
-def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+def window_battery(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.round(F.lag("o_totalprice").over(w_time), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w_time), 2).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w_time), 2).alias("first_price"),
+            F.ntile(4).over(w_time).alias("quartile"),
+        )
         .filter(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "rnk")
     )
 
 
-# running aggregate window (§2.5): cumulative quantity per supplier
+# distinct / approximate / percentile aggregation battery (§2.4 engine
+# surface), one grouping. Exact count-distincts are cross-engine-comparable
+# directly; approx_count_distinct sketches are engine-specific so the
+# cross-engine check is the ACCURACY CONTRACT — each engine asserts its own
+# approximation lands within 5% of exact and the booleans must agree.
+# Merged from round-1 agg_count_distinct / agg_approx_distinct_check /
+# agg_percentiles to fit the driver's 50-query correctness window.
 @q(
-    "window_running_sum",
+    "agg_distinct_battery",
     """
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
-             AS running_qty
-    FROM lineitem WHERE l_suppkey <= 3
-    """,
-)
-def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 3)
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
-    )
-
-
-# distinct aggregation (§2.4 absent-in-reference surface)
-@q(
-    "agg_count_distinct",
-    """
-    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+              <= 0.05 * count(DISTINCT l_partkey)) AS approx_within_5pct,
+           round(quantile_cont(l_quantity, 0.25)::DOUBLE, 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50)::DOUBLE, 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75)::DOUBLE, 4) AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+def agg_distinct_battery(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-    )
-
-
-# approximate aggregation (§2.4 engine surface): sketches are
-# engine-specific, so the cross-engine check is the ACCURACY CONTRACT —
-# each engine asserts its own approx_count_distinct lands within 5% of
-# exact, and the booleans must agree
-@q(
-    "agg_approx_distinct_check",
-    """
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS exact_parts,
-           (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
-              <= 0.05 * count(DISTINCT l_partkey)) AS approx_within_5pct
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_approx_distinct_check(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
         (
             F.abs(
                 F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
             )
             <= 0.05 * F.countDistinct("l_partkey")
         ).alias("approx_within_5pct"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
 
 
-# rollup / grouping sets (§2.4)
+# rollup / cube / grouping sets battery (§2.4): explicit GROUPING SETS
+# spelling of the full CUBE lattice over (returnflag, linestatus) — the
+# four sets (a,b),(a),(b),() are exactly CUBE(a,b), and the ROLLUP sets
+# are the (a,b),(a),() subset — with grouping() markers disambiguating
+# genuine NULL keys from super-aggregate rows. Spark side goes through
+# spark.sql to exercise the SQL GROUPING SETS surface; the DataFrame
+# .rollup()/.cube() API is pinned equivalent in tests/test_edge_cases.py.
+# Merged from round-1 rollup_qty / grouping_sets_marked /
+# cube_status_priority to fit the driver's 50-query correctness window.
 @q(
-    "rollup_qty",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_qty(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
-        )
-    )
-
-
-# explicit GROUPING SETS + grouping() markers (§2.4)
-@q(
-    "grouping_sets_marked",
+    "grouping_sets_battery",
     """
     SELECT coalesce(l_returnflag, '-') AS rf,
            coalesce(l_linestatus, '-') AS ls,
            grouping(l_returnflag)::INT AS g_rf,
            grouping(l_linestatus)::INT AS g_ls,
-           count(*) AS n
+           count(*) AS n,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
     """,
 )
-def grouping_sets_marked(spark: SparkSession, sf: str) -> DataFrame:
+def grouping_sets_battery(spark: SparkSession, sf: str) -> DataFrame:
     table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
@@ -437,85 +413,12 @@ def grouping_sets_marked(spark: SparkSession, sf: str) -> DataFrame:
                coalesce(l_linestatus, '-') AS ls,
                cast(grouping(l_returnflag) AS INT) AS g_rf,
                cast(grouping(l_linestatus) AS INT) AS g_ls,
-               count(*) AS n
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
         """
-    )
-
-
-# cube / grouping sets (§2.4)
-@q(
-    "cube_status_priority",
-    """
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n,
-           round(sum(o_totalprice)::DOUBLE, 2) AS total
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n",
-            "total",
-        )
-    )
-
-
-# analytic window surface (§2.5): lag / lead / first_value / ntile
-@q(
-    "window_lead_lag",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(lag(o_totalprice) OVER w::DOUBLE, 2) AS prev_price,
-           round(lead(o_totalprice) OVER w::DOUBLE, 2) AS next_price,
-           round(first_value(o_totalprice) OVER w::DOUBLE, 2) AS first_price,
-           ntile(4) OVER w AS quartile
-    FROM orders
-    WHERE o_custkey <= 100
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def window_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-# exact percentiles with linear interpolation (§2.4 engine surface)
-@q(
-    "agg_percentiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.25)::DOUBLE, 4) AS p25,
-           round(quantile_cont(l_quantity, 0.50)::DOUBLE, 4) AS p50,
-           round(quantile_cont(l_quantity, 0.75)::DOUBLE, 4) AS p75
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
 
 
@@ -552,23 +455,6 @@ def set_ops_tagged(spark: SparkSession, sf: str) -> DataFrame:
     return both.unionByName(only)
 
 
-# sort + limit (O1/O2)
-@q(
-    "sort_limit_top10",
-    """
-    SELECT o_orderkey, round(o_totalprice::DOUBLE, 2) AS total
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
-def sort_limit_top10(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
-    )
-
-
 # generator / explode (§2.9 multi-allelic expansion shape)
 @q(
     "explode_words",
@@ -583,10 +469,13 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
     return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
 
 
-# scalar function surface (§2.8): split/substr/replace/length/contains/
-# startswith/null-safe equality/int parse/round
+# scalar function surface (§2.8), string + math in one battery over part:
+# split/substr/replace/length/contains/startswith/null-safe equality/int
+# parse plus abs/ceil/floor/mod/power/sqrt/ln/sign/greatest/least. Merged
+# from round-1 scalar_string_funcs / scalar_math_funcs to fit the driver's
+# 50-query correctness window.
 @q(
-    "scalar_string_funcs",
+    "scalar_funcs_battery",
     """
     SELECT p_partkey,
            string_split(p_type, ' ')[1] AS type_head,
@@ -597,12 +486,23 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN p_name LIKE 'a%' THEN 'Y' ELSE 'N' END AS starts_a,
            CASE WHEN p_brand IS NOT DISTINCT FROM 'Brand#1' THEN 1 ELSE 0 END AS null_safe_eq,
            CAST(p_size AS INTEGER) + 1 AS size_plus,
-           round(p_retailprice::DOUBLE / 7, 3) AS price_div
+           round(p_retailprice::DOUBLE / 7, 3) AS price_div,
+           round(abs(p_retailprice)::DOUBLE, 2) AS abs_price,
+           ceil(p_retailprice)::BIGINT AS ceil_price,
+           floor(p_retailprice)::BIGINT AS floor_price,
+           p_partkey % 7 AS mod7,
+           round(sqrt(abs(p_retailprice))::DOUBLE, 4) AS sqrt_price,
+           round(ln(p_partkey + 1)::DOUBLE, 4) AS ln_key,
+           sign(p_size - 25)::INT AS sgn,
+           greatest(p_partkey % 5, p_partkey % 3) AS gmax,
+           least(p_partkey % 5, p_partkey % 3) AS lmin
     FROM part
     """,
 )
-def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
     p = table(spark, sf, "part")
+    k = F.col("p_partkey")
+    price = F.col("p_retailprice")
     return p.select(
         "p_partkey",
         F.split("p_type", " ").getItem(0).alias("type_head"),
@@ -613,7 +513,16 @@ def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("p_name").startswith("a"), "Y").otherwise("N").alias("starts_a"),
         F.col("p_brand").eqNullSafe(F.lit("Brand#1")).cast("int").alias("null_safe_eq"),
         (F.col("p_size").cast("int") + 1).alias("size_plus"),
-        F.round(F.col("p_retailprice") / 7, 3).alias("price_div"),
+        F.round(price / 7, 3).alias("price_div"),
+        F.round(F.abs(price), 2).alias("abs_price"),
+        F.ceil(price).alias("ceil_price"),
+        F.floor(price).alias("floor_price"),
+        (k % 7).alias("mod7"),
+        F.round(F.sqrt(F.abs(price)), 4).alias("sqrt_price"),
+        F.round(F.log(k + 1), 4).alias("ln_key"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("sgn"),
+        F.greatest(k % 5, k % 3).alias("gmax"),
+        F.least(k % 5, k % 3).alias("lmin"),
     )
 
 
@@ -649,33 +558,6 @@ def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
             "due_date"
         ),
-    )
-
-
-# manual pivot (absent-in-reference; engine surface)
-@q(
-    "pivot_status",
-    """
-    SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS open_total,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS filled_total,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END)::DOUBLE, 2) AS partial_total
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders")
-
-    def tot(status):
-        return F.round(
-            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)),
-            2,
-        )
-
-    return o.groupBy("o_orderpriority").agg(
-        tot("O").alias("open_total"),
-        tot("F").alias("filled_total"),
-        tot("P").alias("partial_total"),
     )
 
 
@@ -726,61 +608,35 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# math scalar surface (§2.8): abs/ceil/floor/mod/power/sqrt/ln/exp/sign
+# pivot + unpivot round-trip (engine surface): lineitem metrics are melted
+# wide->long (unpivot), then pivoted long->wide again — a wrong unpivot or
+# pivot breaks the round-trip values. The DuckDB oracle goes through the
+# same long form (UNION ALL melt, conditional-aggregation pivot). Merged
+# from round-1 pivot_status / unpivot_metrics to fit the driver's 50-query
+# correctness window.
 @q(
-    "scalar_math_funcs",
+    "pivot_unpivot_roundtrip",
     """
-    SELECT s_suppkey,
-           round(abs(s_acctbal)::DOUBLE, 2) AS abs_bal,
-           ceil(s_acctbal)::BIGINT AS ceil_bal,
-           floor(s_acctbal)::BIGINT AS floor_bal,
-           s_suppkey % 7 AS mod7,
-           round(power(s_suppkey, 2)::DOUBLE, 2) AS sq,
-           round(sqrt(abs(s_acctbal))::DOUBLE, 4) AS sqrt_bal,
-           round(ln(s_suppkey + 1)::DOUBLE, 4) AS ln_key,
-           sign(s_acctbal)::INT AS sgn,
-           greatest(s_suppkey % 5, s_suppkey % 3) AS gmax,
-           least(s_suppkey % 5, s_suppkey % 3) AS lmin
-    FROM supplier
+    WITH long AS (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             round(l_quantity::DOUBLE, 2) AS value
+      FROM lineitem WHERE l_orderkey <= 50
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', round(l_discount::DOUBLE, 2)
+      FROM lineitem WHERE l_orderkey <= 50
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', round(l_tax::DOUBLE, 2)
+      FROM lineitem WHERE l_orderkey <= 50)
+    SELECT l_orderkey, l_linenumber,
+           max(CASE WHEN metric = 'quantity' THEN value END) AS quantity,
+           max(CASE WHEN metric = 'discount' THEN value END) AS discount,
+           max(CASE WHEN metric = 'tax' THEN value END) AS tax
+    FROM long GROUP BY l_orderkey, l_linenumber
     """,
 )
-def scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    s = table(spark, sf, "supplier")
-    k = F.col("s_suppkey")
-    bal = F.col("s_acctbal")
-    return s.select(
-        "s_suppkey",
-        F.round(F.abs(bal), 2).alias("abs_bal"),
-        F.ceil(bal).alias("ceil_bal"),
-        F.floor(bal).alias("floor_bal"),
-        (k % 7).alias("mod7"),
-        F.round(F.pow(k, 2), 2).alias("sq"),
-        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
-        F.round(F.log(k + 1), 4).alias("ln_key"),
-        F.signum(bal).cast("int").alias("sgn"),
-        F.greatest(k % 5, k % 3).alias("gmax"),
-        F.least(k % 5, k % 3).alias("lmin"),
-    )
-
-
-# unpivot/melt (engine surface): wide metrics -> long (metric, value)
-@q(
-    "unpivot_metrics",
-    """
-    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-           round(l_quantity::DOUBLE, 2) AS value
-    FROM lineitem WHERE l_orderkey <= 50
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount::DOUBLE, 2)
-    FROM lineitem WHERE l_orderkey <= 50
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'tax', round(l_tax::DOUBLE, 2)
-    FROM lineitem WHERE l_orderkey <= 50
-    """,
-)
-def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+def pivot_unpivot_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 50)
-    return li.unpivot(
+    long = li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_discount", "l_tax"],
         "metric",
@@ -790,6 +646,13 @@ def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         F.regexp_replace("metric", "^l_", "").alias("metric"),
         F.round(F.col("value").cast("double"), 2).alias("value"),
+    )
+    return (
+        long.groupBy("l_orderkey", "l_linenumber")
+        .pivot("metric", ["quantity", "discount", "tax"])
+        # max, not first: (l_orderkey, l_linenumber) is NOT unique in the
+        # synthetic lineitem, so the pick must be deterministic cross-engine
+        .agg(F.max("value"))
     )
 
 
@@ -851,7 +714,7 @@ def events_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )

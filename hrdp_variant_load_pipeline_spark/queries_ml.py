@@ -30,6 +30,9 @@ def q(name: str, sql: str | None):
 
 
 # --------------------------------------------------------------------- text
+# token statistics battery: whitespace tokens + BPE-ish regex tokens in one
+# pass (round-1 text_token_bpe merged in to fit the driver's 50-query
+# correctness window)
 @q(
     "text_token_stats",
     """
@@ -39,7 +42,8 @@ def q(name: str, sql: str | None):
            round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_ratio,
            round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
                  / len(w), 4) AS stopword_ratio,
-           round(length(replace(text, ' ', ''))::DOUBLE / len(w), 4) AS avg_word_len
+           round(length(replace(text, ' ', ''))::DOUBLE / len(w), 4) AS avg_word_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
     FROM t
     """,
 )
@@ -52,6 +56,7 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         TXT.distinct_token_ratio(t).alias("distinct_ratio"),
         TXT.stopword_ratio(t).alias("stopword_ratio"),
         TXT.avg_word_len(t).alias("avg_word_len"),
+        TXT.bpe_token_count(t).alias("n_bpe_tokens"),
     )
 
 
@@ -79,33 +84,8 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", TXT.lang_predict(F.col("text")).alias("lang_pred"))
 
 
-@q(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
-             AS fingerprint
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-@q(
-    "text_token_bpe",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    return d.select("doc_id", TXT.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
-
-
+# quality score + sorted-vocabulary fingerprint battery (round-1
+# text_fingerprint merged in to fit the driver's 50-query correctness window)
 @q(
     "text_quality_score",
     """
@@ -121,17 +101,23 @@ def text_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
                    / len(w), 4) AS sr,
              round(len(list_distinct(w))::DOUBLE / len(w), 4) AS dr
       FROM t)
-    SELECT doc_id,
+    SELECT m.doc_id,
            floor((0.25 * least(n_tok / 20.0, 1.0)
                  + 0.25 * (1.0 - least(pr * 5.0, 1.0))
                  + 0.25 * least(sr * 4.0, 1.0)
-                 + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality
-    FROM m
+                 + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(t.text), ' '))), ' '))
+             AS fingerprint
+    FROM m JOIN t ON t.doc_id = m.doc_id
     """,
 )
 def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
-    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+    return d.select(
+        "doc_id",
+        TXT.quality_score(F.col("text")).alias("quality"),
+        TXT.fingerprint(F.col("text")).alias("fingerprint"),
+    )
 
 
 @q(
