@@ -253,11 +253,44 @@ def run_load(
     # new branch, and the existing branch — persist so the scan → normalize
     # → genic join → dedup chain runs once, not 3-4 times
     matched = matched.withColumn("is_new", F.col("store_rgd_id").isNull()).persist()
-    new_rows = assign_surrogate_ids_scalable(
-        matched.filter("is_new"),
+
+    # ---- intra-batch dedup of new variants --------------------------------
+    # The reference inserts per line and RE-PROBES the DB for every later
+    # line (HrdpVariants.java:310-314), so the same variant appearing in
+    # several files/lines of one run collapses onto the first insert's id.
+    # A store-snapshot anti-join alone misses that: each occurrence would
+    # mint its own rgd_id and duplicate the variant row. Set-oriented
+    # equivalent: group new candidates on the residual match key
+    # (map_key, chromosome, start_pos, ref_nuc, var_nuc — null-safe via a
+    # sentinel-coalesced composite key, mirroring eqNullSafe in
+    # _dedup_against_store), allocate ONE id per distinct variant from its
+    # first occurrence in file order, and fan the id back to every
+    # line-allele so sample details all attach to the same variant.
+    vkey = F.concat_ws(
+        "\x01",
+        F.col("map_key").cast("string"),
+        F.col("chromosome"),
+        F.col("start_pos").cast("string"),
+        F.coalesce(F.col("ref_nuc"), F.lit("\x02")),
+        F.coalesce(F.col("var_nuc"), F.lit("\x02")),
+    )
+    news = matched.filter("is_new").withColumn("__vkey", vkey)
+    w_first = Window.partitionBy("__vkey").orderBy(
+        "source_file", "pos", "allele_idx"
+    )
+    canon = (
+        news.withColumn("__occ", F.row_number().over(w_first))
+        .filter(F.col("__occ") == 1)
+        .drop("__occ")
+    )
+    canon_ids = assign_surrogate_ids_scalable(
+        canon,
         order_by=["source_file", "chromosome", "pos", "allele_idx", "var_nuc"],
         base_id=next_rgd_id - 1,
     )
+    new_rows = news.join(
+        canon_ids.select("__vkey", "rgd_id"), "__vkey", "inner"
+    ).drop("__vkey")
     existing_rows = matched.filter(~F.col("is_new")).withColumn(
         "rgd_id", F.col("store_rgd_id").cast("long")
     )
@@ -278,7 +311,9 @@ def run_load(
         "genic_status",
         "map_key",
     ]
-    new_variants = with_ids.filter("is_new").select(*variant_cols)
+    # one variant row per distinct new variant (the canonical first
+    # occurrence), not one per line-allele
+    new_variants = canon_ids.select(*variant_cols)
 
     end_pos_updates = (
         with_ids.filter(
@@ -339,6 +374,20 @@ def run_load(
     # reference's per-pair JDBC count probe (DAO.java:64-66)
     existing_pairs = detail_store.select("rgd_id", "sample_id")
     pairs = pairs.join(existing_pairs, ["rgd_id", "sample_id"], "left_anti")
+
+    # intra-batch (rgd_id, sample_id) dedup: with new-variant ids fanned
+    # across files, the same variant×sample pair can now arrive from
+    # several source files in one run; keep the first occurrence in file
+    # order (the reference's insert-then-probe would find the earlier
+    # insert and skip)
+    w_pair = Window.partitionBy("rgd_id", "sample_id").orderBy(
+        "source_file", "pos", "ref", "alt", "col_idx"
+    )
+    pairs = (
+        pairs.withColumn("__pn", F.row_number().over(w_pair))
+        .filter(F.col("__pn") == 1)
+        .drop("__pn")
+    )
 
     z = zygosity_struct(
         F.col("var_freq"),

@@ -231,3 +231,93 @@ def test_load_metrics(spark, vcf_dir, dims):
     assert m["sample_details_entered"] == res.new_sample_details.count()
     assert m["existing_matched"] == 0  # empty store
     assert m["end_pos_drift_detected"] == 0
+
+
+def test_intra_batch_dedup_across_files(spark, tmp_path, dims):
+    """The same variant in two strain files of one run must collapse onto
+    ONE rgd_id / one variant row (the reference's per-line insert-then-
+    reprobe finds the first file's insert), with sample details from both
+    files attached to that id and (rgd_id, sample_id) pairs deduped."""
+    import gzip as _gzip
+
+    shared = "chr2\t700\trs7\tA\tG\t50\tPASS\tAC=1\tGT:AD:DP\t0/1:10,7:17"
+    only_b = "chr2\t900\t.\tT\tC\t50\tPASS\tAC=1\tGT:AD:DP\t0/1:6,6:12"
+    header = (
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tACI_EurMcwi_2019"
+    )
+    header_b = (
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tBN_NHsdMcwi_2019"
+    )
+    d = tmp_path / "dupvcf"
+    d.mkdir()
+    with _gzip.open(d / "A_STRAIN_2021_v1.vcf.gz", "wt") as f:
+        f.write("##fileformat=VCFv4.2\n" + header + "\n" + shared + "\n")
+    with _gzip.open(d / "B_STRAIN_2021_v1.vcf.gz", "wt") as f:
+        f.write(
+            "##fileformat=VCFv4.2\n" + header_b + "\n" + shared + "\n" + only_b + "\n"
+        )
+
+    genes, samples = dims
+    vcf = read_vcf(spark, str(d))
+    res = run_load(
+        vcf,
+        genes,
+        samples,
+        _empty(spark, VARIANT),
+        _empty(spark, VARIANT_SAMPLE_DETAIL),
+        map_key=372,
+        next_rgd_id=5000,
+    )
+    variants = res.new_variants.collect()
+    # 2 distinct variants, not 3: the shared (2, 700, A->G) appears once
+    assert len(variants) == 2
+    by_pos = {v["start_pos"]: v for v in variants}
+    assert set(by_pos) == {700, 900}
+    assert by_pos[700]["rs_id"] == "rs7"
+
+    details = res.new_sample_details.collect()
+    shared_id = by_pos[700]["rgd_id"]
+    # both files' sample columns attach to the single shared id
+    got = {(dd["rgd_id"], dd["sample_id"]) for dd in details}
+    assert (shared_id, 381) in got and (shared_id, 382) in got
+    # and no duplicate (rgd_id, sample_id) pairs survive
+    assert len(got) == len(details)
+
+
+def test_intra_batch_dedup_same_pair_two_files(spark, tmp_path, dims):
+    """Same variant AND same sample column in two files: exactly one
+    detail row survives, carrying the first file's depths."""
+    import gzip as _gzip
+
+    header = (
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tACI_EurMcwi_2019"
+    )
+    d = tmp_path / "pairvcf"
+    d.mkdir()
+    with _gzip.open(d / "A_STRAIN_2021_v1.vcf.gz", "wt") as f:
+        f.write(
+            "##fileformat=VCFv4.2\n" + header + "\n"
+            + "chr3\t100\t.\tA\tG\t50\tPASS\tAC=1\tGT:AD:DP\t0/1:3,9:12\n"
+        )
+    with _gzip.open(d / "B_STRAIN_2021_v1.vcf.gz", "wt") as f:
+        f.write(
+            "##fileformat=VCFv4.2\n" + header + "\n"
+            + "chr3\t100\t.\tA\tG\t50\tPASS\tAC=1\tGT:AD:DP\t0/1:4,8:12\n"
+        )
+
+    genes, samples = dims
+    vcf = read_vcf(spark, str(d))
+    res = run_load(
+        vcf,
+        genes,
+        samples,
+        _empty(spark, VARIANT),
+        _empty(spark, VARIANT_SAMPLE_DETAIL),
+        map_key=372,
+        next_rgd_id=6000,
+    )
+    assert res.new_variants.count() == 1
+    details = res.new_sample_details.collect()
+    assert len(details) == 1
+    # first occurrence in file order wins: A_STRAIN's var_freq=9
+    assert details[0]["var_freq"] == 9
