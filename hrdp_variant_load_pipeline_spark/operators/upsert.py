@@ -108,12 +108,26 @@ def merge_update(
     Equivalent of DAO.java:142-163's keyed batch UPDATE. With a Delta/
     Iceberg sink this becomes a real MERGE INTO (see sources/sinks.py for
     the sink abstraction).
+
+    Scale/correctness hardening:
+
+    * updates are reduced to ONE row per key first (max over the set-col
+      tuple — deterministic cross-run): duplicate keys (e.g. the same
+      rgd_id's end_pos from several files) would otherwise fan out store
+      rows through the join and DUPLICATE the store after overwrite;
+    * no forced broadcast hint: an update set can approach store size
+      (genic-QC drift after a gene-annotation refresh), and a forced
+      broadcast of an unbounded side is a driver/executor OOM at scale.
+      Catalyst/AQE picks broadcast automatically when the reduced update
+      set is below ``spark.sql.autoBroadcastJoinThreshold``.
     """
-    upd = updates.select(key, *set_cols)
-    renamed = upd.select(
-        F.col(key), *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+    upd = (
+        updates.select(key, *set_cols)
+        .groupBy(key)
+        .agg(F.max(F.struct(*set_cols)).alias("__u"))
+        .select(F.col(key), *[F.col(f"__u.{c}").alias(f"__new_{c}") for c in set_cols])
     )
-    joined = store.join(F.broadcast(renamed), key, "left")
+    joined = store.join(upd, key, "left")
     out = joined
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))

@@ -102,3 +102,24 @@ def test_connected_components_chain_and_star(spark):
     )
     out = {r["doc"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_merge_update_duplicate_update_keys_no_fanout(spark):
+    """Duplicate keys in the update set must NOT fan out store rows (that
+    would duplicate the store after overwrite); the max set-col tuple per
+    key wins, deterministically."""
+    from hrdp_variant_load_pipeline_spark.operators.upsert import merge_update
+
+    store = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, end_pos long, tag string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 15), (1, 17), (2, 25)], "k long, end_pos long"
+    )
+    out = merge_update(store, updates, "k", ["end_pos"]).orderBy("k").collect()
+    assert len(out) == 3
+    assert [(r["k"], r["end_pos"], r["tag"]) for r in out] == [
+        (1, 17, "a"),  # max of the two duplicate updates
+        (2, 25, "b"),
+        (3, 30, "c"),
+    ]
