@@ -21,6 +21,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of all currently-persisted RDDs (includes localCheckpoint data,
+    which Dataset.unpersist() can NOT release — it only touches the SQL
+    cache manager)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Release specific persisted RDDs by id via the JVM registry — the
+    only handle that reaches checkpoint RDDs. Only ever called on ids this
+    module created itself (diff against a pre-snapshot), so concurrent
+    caches owned by other operators are never touched."""
+    m = sc._jsc.getPersistentRDDs()
+    for k in ids:
+        r = m.get(k)
+        if r is not None:
+            r.unpersist()
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical texts: (content_hash, n_docs, keeper_id)."""
     return (
@@ -157,7 +176,8 @@ def minhash_lsh_pairs(
     docs = (
         src.select("doc", shingle_array(F.col("__text"), k).alias("sh"))
         .select("doc", "sh", *sig_cols)
-        .persist()  # consumed by the band explode AND both verify joins
+        .persist()  # consumed by the band explode AND both verify joins;
+        # released in the finally below once the result is materialized
     )
     n_bands = num_hashes // band_rows
     bands = F.array(
@@ -195,11 +215,19 @@ def minhash_lsh_pairs(
     jaccard = F.round(
         n_shared.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_shared), 4
     )
-    return (
+    result = (
         pairs.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # materialize the (small) pair set so the (large) persisted doc/shingle
+    # frame can be released NOW instead of leaking for the session lifetime
+    # — in a long-lived session each minhash call would otherwise pin a
+    # full copy of the corpus shingles in the cache
+    try:
+        return result.localCheckpoint()
+    finally:
+        docs.unpersist()
 
 
 def connected_components(
@@ -217,70 +245,112 @@ def connected_components(
     grow with iterations. Converges in O(diameter) rounds — near-dup
     clusters are shallow (stars/chains), so the loop is short. The
     driver-side loop carries only a converged/not flag, never data.
+
+    Storage hygiene: each round's checkpoint supersedes the previous one,
+    and ``Dataset.unpersist`` cannot release checkpoint RDDs — so superseded
+    rounds are released by id through the JVM persistent-RDD registry
+    (diffed against a pre-call snapshot: only RDDs THIS call created are
+    touched). Only the final round's checkpoint — the returned frame's
+    backing data — stays, owned by the caller. ``edges`` is unpersisted on
+    exit.
     """
+    sc = pairs.sparkSession.sparkContext
+    seen = _persistent_rdd_ids(sc)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # carry the previous label through the checkpoint: convergence is a
-        # cheap filter on the materialized frame, no extra join per round
-        stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+    try:
+        # materialize edges BEFORE the first checkpoint so its cached RDD id
+        # lands in the snapshot, not in the first round's diff (it must not
+        # be released until the loop ends)
+        edges.count()
+        seen |= _persistent_rdd_ids(sc)
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
-        labels = stepped.drop("__old")
-        if changed == 0:
-            break
+        prev_round = _persistent_rdd_ids(sc) - seen
+        seen |= prev_round
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            # carry the previous label through the checkpoint: convergence
+            # is a cheap filter on the materialized frame, no extra join
+            # per round
+            stepped = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()  # eager: materialized before the release below
+            )
+            this_round = _persistent_rdd_ids(sc) - seen
+            seen |= this_round
+            changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
+            labels = stepped.drop("__old")
+            _unpersist_rdd_ids(sc, prev_round)  # superseded round, safe to drop
+            prev_round = this_round
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash as a bit-string, from token md5s (term-frequency
-    weighted bit vote). Pure column expressions; one shuffle per groupBy."""
+    weighted bit vote).
+
+    Fully ROW-LOCAL: each token is md5-hashed once into an array column,
+    then ``aggregate``/``zip_with`` folds the per-token ±1 bit votes into
+    one ``bits``-length vote vector per document — no explode, no shuffle,
+    the whole operator is a single narrow projection inside whole-stage
+    codegen. (The round-1 formulation exploded every token into
+    hex-position × bit rows — a 64× inflation of the token stream feeding
+    a two-level shuffle aggregation; at corpus scale that was the worst
+    bytes-per-row plan in the repo.)
+
+    Bit order matches the cross-engine oracle: output char index
+    ``i = hex_pos * 4 + bit`` with the bit index LSB-first within each
+    hex nibble.
+    """
     n_hex = bits // 4
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("hh", F.substring(F.md5("w"), 1, n_hex))
-    pb = (
-        tok.select("doc", "hh", F.explode(F.sequence(F.lit(0), F.lit(n_hex - 1))).alias("p"))
-        .withColumn("v", F.conv(F.substring(F.col("hh"), F.col("p") + 1, 1), 16, 10).cast("int"))
-        .select("doc", "p", "v", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
-        .withColumn("pw", F.pow(F.lit(2.0), F.col("b")).cast("int"))
-        .withColumn("bit", (F.col("v") / F.col("pw")).cast("int") % 2)
-        .withColumn("vote", F.col("bit") * 2 - 1)
+    # one md5 per token (duplicates kept: term-frequency weighting)
+    hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda w: F.substring(F.md5(w), 1, n_hex)
     )
-    votes = pb.groupBy("doc", "p", "b").agg(F.sum("vote").alias("s"))
-    char = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
-    ordered = votes.select(
-        "doc", (F.col("p") * 4 + F.col("b")).alias("pb"), char.alias("c")
+
+    def vote(hh: Column, i: Column) -> Column:
+        # vote for global bit i: hex digit i//4 of the token hash, bit i%4
+        v = F.conv(hh.substr((i / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+        pw = F.pow(F.lit(2.0), (i % 4)).cast("int")
+        return ((v / pw).cast("int") % 2) * 2 - 1
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, hh: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, i: a + vote(hh, i),
+        ),
     )
-    return ordered.groupBy("doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pb", "c"))), lambda x: x["c"]
-            ),
-            "",
-        ).alias("simhash")
+    sig = F.array_join(
+        F.transform(votes, lambda s: F.when(s > 0, "1").otherwise("0")), ""
+    )
+    # explode-based formulations drop null texts; keep that contract
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), sig.alias("simhash")
     )

@@ -76,27 +76,39 @@ def with_exists_flag(
 ) -> DataFrame:
     """Add a boolean column: does any interval overlap this probe?
 
-    Implemented as broadcast left-semi ∪ left-anti against the interval
-    dimension: both joins are narrow (no shuffle at any probe-side scale),
-    no row duplication ever materializes, and the union preserves the
-    probe schema exactly. This beats the left-join + exists-aggregation
-    form, whose groupBy shuffles every probe row.
+    SINGLE-PASS: intervals are aggregated into one (chromosome,
+    array<struct<s,e>>) row per chromosome (a dimension-sized shuffle),
+    broadcast, and left-joined on the chromosome equi key — one row per
+    chromosome means zero probe-row duplication — then the flag is a
+    row-local ``exists`` over the interval array. The probe side is
+    scanned exactly ONCE with no exchange.
+
+    (The round-1 semi ∪ anti formulation was also shuffle-free but
+    evaluated the probe side TWICE — a double scan of the full probe
+    table unless every caller remembered to persist first. Same
+    per-chromosome-fits-in-memory assumption as ``interval_join``'s
+    broadcast; use ``interval_join_binned`` past ~10^4 intervals per
+    chromosome.)
     """
     p_chrom, p_start, p_stop = probe_keys
     i_chrom, i_start, i_stop = interval_keys
-    iv = intervals.select(
-        F.col(i_chrom).alias("__ichrom"),
-        F.col(i_start).alias("__istart"),
-        F.col(i_stop).alias("__istop"),
+    per_chrom = intervals.groupBy(F.col(i_chrom).alias("__ichrom")).agg(
+        F.collect_list(
+            F.struct(F.col(i_start).alias("s"), F.col(i_stop).alias("e"))
+        ).alias("__ivs")
     )
-    cond = (F.col(p_chrom) == F.col("__ichrom")) & overlap_predicate(
-        F.col(p_start), F.col(p_stop), F.col("__istart"), F.col("__istop")
+    joined = probes.join(
+        F.broadcast(per_chrom), F.col(p_chrom) == F.col("__ichrom"), "left"
     )
-    hits = probes.join(F.broadcast(iv), cond, "left_semi").withColumn(flag, F.lit(True))
-    misses = probes.join(F.broadcast(iv), cond, "left_anti").withColumn(
-        flag, F.lit(False)
+    hit = F.exists(
+        "__ivs",
+        lambda iv: overlap_predicate(
+            F.col(p_start), F.col(p_stop), iv["s"], iv["e"]
+        ),
     )
-    return hits.unionByName(misses)
+    return joined.withColumn(flag, F.coalesce(hit, F.lit(False))).drop(
+        "__ichrom", "__ivs"
+    )
 
 
 def interval_join_binned(

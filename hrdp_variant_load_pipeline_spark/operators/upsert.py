@@ -59,6 +59,7 @@ def assign_surrogate_ids_scalable(
     base_id: int,
     id_col: str = "rgd_id",
     num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Surrogate-key allocation without the single-partition sort.
 
@@ -69,6 +70,11 @@ def assign_surrogate_ids_scalable(
     aggregate. The partitioned frame is persisted so the offset pass and
     the id pass see identical partition ids. Result ids are identical to
     the global-window version for any total order.
+
+    The internal persist outlives this call (the returned frame reads it
+    lazily); pass ``cache_registry`` to receive the persisted frame and
+    ``unpersist()`` it once the result has been materialized — long-lived
+    sessions (streaming micro-batches) leak cache otherwise.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -78,6 +84,8 @@ def assign_surrogate_ids_scalable(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
     offsets, acc = [], 0
     for r in counts:

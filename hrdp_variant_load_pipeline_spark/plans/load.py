@@ -74,6 +74,16 @@ class LoadResult:
     end_pos_updates: DataFrame  # (rgd_id, end_pos) drift, detected-not-applied
     new_sample_details: DataFrame  # VARIANT_SAMPLE_DETAIL schema
     all_line_variants: DataFrame  # internal: new+existing per line (for QC/tests)
+    cached: tuple = ()  # frames run_load persisted; released via release()
+
+    def release(self) -> None:
+        """Unpersist the plan's internal caches. Call AFTER the outputs
+        have been materialized (written / collected): repeated loads in a
+        long-lived session — the streaming loader runs one per micro-batch
+        — accumulate cached partitions without bound otherwise. Outputs
+        consumed after release() recompute from source."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def parse_variants(vcf: DataFrame, genes: DataFrame, map_key: int) -> DataFrame:
@@ -158,15 +168,8 @@ def parse_variants(vcf: DataFrame, genes: DataFrame, map_key: int) -> DataFrame:
         active_genes = active_genes.filter(F.col("map_key") == map_key)
     active_genes = active_genes.select("chromosome", "start_pos", "stop_pos")
 
-    # the exists-flag evaluates its probe side twice (semi ∪ anti, both
-    # shuffle-free); persist AND materialize the parsed candidates first —
-    # a lazy persist would be raced by the two branches inside one action
-    # and the gzip scan + normalize chain would still run twice
-    from pyspark.storagelevel import StorageLevel
-
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-
+    # with_exists_flag is single-pass over its probe side — no persist or
+    # materialization needed here; the scan → normalize chain runs once
     flagged = with_exists_flag(
         cand,
         active_genes,
@@ -251,8 +254,11 @@ def run_load(
 
     # diamond reuse: matched feeds the allocator's range-sampling pass, the
     # new branch, and the existing branch — persist so the scan → normalize
-    # → genic join → dedup chain runs once, not 3-4 times
+    # → genic join → dedup chain runs once, not 3-4 times. Tracked in
+    # LoadResult.cached; callers release once outputs are materialized.
+    cache_registry: list = []
     matched = matched.withColumn("is_new", F.col("store_rgd_id").isNull()).persist()
+    cache_registry.append(matched)
 
     # ---- intra-batch dedup of new variants --------------------------------
     # The reference inserts per line and RE-PROBES the DB for every later
@@ -287,6 +293,7 @@ def run_load(
         canon,
         order_by=["source_file", "chromosome", "pos", "allele_idx", "var_nuc"],
         base_id=next_rgd_id - 1,
+        cache_registry=cache_registry,
     )
     new_rows = news.join(
         canon_ids.select("__vkey", "rgd_id"), "__vkey", "inner"
@@ -427,6 +434,7 @@ def run_load(
         end_pos_updates=end_pos_updates,
         new_sample_details=details,
         all_line_variants=line_variants,
+        cached=tuple(cache_registry),
     )
 
 

@@ -72,10 +72,15 @@ def stream_vcf_loader(
         vstore = _read_store(spark, variant_store_dir, schemas.VARIANT)
         dstore = _read_store(spark, detail_store_dir, schemas.VARIANT_SAMPLE_DETAIL)
         res = run_load(vcf, genes, samples, vstore, dstore, map_key)
-        res.new_variants.write.mode("append").parquet(variant_store_dir)
-        res.new_sample_details.write.mode("append").parquet(detail_store_dir)
-        if on_batch is not None:
-            on_batch(batch_id, res)
+        try:
+            res.new_variants.write.mode("append").parquet(variant_store_dir)
+            res.new_sample_details.write.mode("append").parquet(detail_store_dir)
+            if on_batch is not None:
+                on_batch(batch_id, res)
+        finally:
+            # one load per micro-batch: without this the per-load caches
+            # accumulate for the lifetime of the streaming query
+            res.release()
 
     return (
         stream.writeStream.foreachBatch(process)

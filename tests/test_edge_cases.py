@@ -123,3 +123,28 @@ def test_merge_update_duplicate_update_keys_no_fanout(spark):
         (2, 25, "b"),
         (3, 30, "c"),
     ]
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Only the FINAL round's checkpoint (the returned frame's backing
+    data) may remain persisted; superseded rounds and the edge cache must
+    be released — an unbounded chain of round checkpoints is a storage
+    leak in iterative jobs."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def cached_ids():
+        sc = spark.sparkContext
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    # chain 0-1-2-...-9: diameter 9 forces many propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    before = cached_ids()
+    out = connected_components(pairs)
+    rows = {(r["doc"], r["cluster"]) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(10)}
+    leftover = cached_ids() - before
+    assert len(leftover) <= 1, f"round checkpoints leaked: {leftover}"

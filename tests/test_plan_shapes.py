@@ -41,14 +41,16 @@ def test_anti_join_no_cartesian(spark):
     assert "LeftAnti" in plan and "CartesianProduct" not in plan
 
 
-def test_exists_flag_zero_shuffle(spark):
-    """The genic exists-flag (semi ∪ anti, both broadcast) must not
-    introduce any exchange beyond the scans themselves."""
+def test_exists_flag_single_probe_scan_no_probe_shuffle(spark):
+    """The genic exists-flag must scan its probe side exactly ONCE (the
+    round-1 semi ∪ anti form scanned it twice) and must not shuffle probe
+    rows; the only exchange is the dimension-side per-chromosome
+    aggregate + its broadcast."""
     from hrdp_variant_load_pipeline_spark.operators.interval_join import (
         with_exists_flag,
     )
 
-    probes = spark.range(100).selectExpr(
+    probes = spark.range(98765).selectExpr(
         "'1' AS chromosome", "id * 10 AS q_start", "id * 10 + 5 AS q_stop"
     )
     iv = spark.range(10).selectExpr(
@@ -60,8 +62,16 @@ def test_exists_flag_zero_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange hashpartitioning" not in plan
+    # exactly one scan of the probe relation
+    assert plan.count("Range (0, 98765") == 1
     assert "BroadcastExchange" in plan
+    # any hash exchange belongs to the 10-row dimension aggregate, never
+    # to the probe side: the probe Range must not sit under an exchange
+    for section in plan.split("Exchange hashpartitioning")[1:]:
+        first_range = next(
+            (ln for ln in section.splitlines() if "Range (" in ln), ""
+        )
+        assert "Range (0, 98765" not in first_range
 
 
 def test_minhash_no_cartesian(spark):
@@ -99,3 +109,11 @@ def test_merge_update_no_forced_broadcast_hint(spark):
 
     hinted = store.join(SF.broadcast(updates), "k", "left")
     assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_simhash_no_explode_no_shuffle(spark):
+    """SimHash is a row-local aggregate/zip_with fold: the plan must
+    contain no Generate (explode) and no exchange at all."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "Generate" not in plan
+    assert "Exchange" not in plan

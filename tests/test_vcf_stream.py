@@ -49,3 +49,38 @@ def test_streaming_incremental_idempotent(spark, tmp_path):
         assert chroms == {"1", "2"}
     finally:
         query.stop()
+
+
+def test_streaming_releases_caches_per_batch(spark, tmp_path):
+    """Each micro-batch's run_load persists intermediates; the foreachBatch
+    handler must release them, or a long-lived streaming session grows its
+    cache without bound."""
+    vdir = str(tmp_path / "landing")
+    os.makedirs(vdir)
+    vstore = str(tmp_path / "variants")
+    dstore = str(tmp_path / "details")
+    ckpt = str(tmp_path / "ckpt")
+
+    genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
+    samples = spark.createDataFrame(
+        [(1, "S1", "U", 380, 372, None, None, None)], schemas.SAMPLE
+    )
+
+    def cached_rdd_ids():
+        sc = spark.sparkContext
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = cached_rdd_ids()
+    _write(vdir, "A_X_2020_v1_PASS.vcf.gz", LINE_A)
+    query = stream_vcf_loader(
+        spark, vdir, genes, samples, vstore, dstore, map_key=372, checkpoint_dir=ckpt
+    )
+    try:
+        query.processAllAvailable()
+        for i, line in enumerate((LINE_B, LINE_C)):
+            _write(vdir, f"F{i}_X_2020_v1_PASS.vcf.gz", line)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+    leaked = cached_rdd_ids() - before
+    assert not leaked, f"micro-batches leaked persisted RDDs: {leaked}"
