@@ -294,11 +294,13 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                 )
-                .localCheckpoint()  # eager: materialized before the release below
+                # lazy checkpoint: the convergence count below materializes
+                # it — ONE job per round, not checkpoint-job + count-job
+                .localCheckpoint(eager=False)
             )
+            changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
             this_round = _persistent_rdd_ids(sc) - seen
             seen |= this_round
-            changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
             labels = stepped.drop("__old")
             _unpersist_rdd_ids(sc, prev_round)  # superseded round, safe to drop
             prev_round = this_round
