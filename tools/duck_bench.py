@@ -1,0 +1,85 @@
+"""DuckDB side of the crossover benchmark: run the bench.py HEADLINE
+oracles against a given sf dir, one query per subprocess with a hard
+timeout so a super-linear oracle (e.g. the recursive-CTE transitive
+closure behind dedup_clusters) cannot wedge the whole run or fill the
+disk with spill files.
+
+Usage: python tools/duck_bench.py SF_DIR [TIMEOUT_S] > duck_times.json
+Prints one JSON line {query: seconds | "DNF"}.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+WORKER = r"""
+import glob, json, os, sys, time
+import duckdb
+
+sf_dir, name = sys.argv[1], sys.argv[2]
+sql = json.load(sys.stdin)[name]
+con = duckdb.connect()
+con.execute("SET temp_directory='/tmp/duck_spill'")
+con.execute("SET memory_limit='48GB'")
+for t in %(tables)r:
+    p = os.path.join(sf_dir, t + ".parquet")
+    files = sorted(glob.glob(os.path.join(p, "*.parquet"))) if os.path.isdir(p) else [p]
+    if files:
+        con.execute(
+            "CREATE VIEW %%s AS SELECT * FROM read_parquet(%%s)" %% (t, repr(files))
+        )
+best = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    el = time.perf_counter() - t0
+    best = el if best is None or el < best else best
+print(json.dumps(round(best, 3)))
+"""
+
+
+def main() -> None:
+    import bench
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    oracles = entrymod.oracle_sql()
+    worker_src = WORKER % {"tables": TABLES}
+    payload = json.dumps({k: v for k, v in oracles.items()})
+
+    times: dict[str, float | str] = {}
+    for name in bench.HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", worker_src, sf_dir, name],
+                input=payload, capture_output=True, text=True, timeout=timeout,
+            )
+            if out.returncode != 0:
+                times[name] = "ERR"
+                print(f"# {name}: ERR {out.stderr.strip()[:200]}", file=sys.stderr)
+            else:
+                times[name] = json.loads(out.stdout.strip().splitlines()[-1])
+                print(f"# {name}: {times[name]}s", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            times[name] = "DNF"
+            print(f"# {name}: DNF (> {timeout}s)", file=sys.stderr)
+        subprocess.run(["rm", "-rf", "/tmp/duck_spill"], check=False)
+    print(json.dumps(times))
+
+
+if __name__ == "__main__":
+    main()
