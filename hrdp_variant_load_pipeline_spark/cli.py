@@ -22,6 +22,7 @@ is any Parquet with the GENE schema (or loaded via JDBC upstream).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +34,11 @@ from hrdp_variant_load_pipeline_spark.plans.load import load_metrics, run_load
 from hrdp_variant_load_pipeline_spark.session import get_spark
 from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples_dimension
 from hrdp_variant_load_pipeline_spark.sources.sinks import write_parquet_store
-from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
+from hrdp_variant_load_pipeline_spark.sources.vcf import (
+    read_restaged,
+    read_vcf,
+    restage_to_parquet,
+)
 
 
 def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -43,8 +48,33 @@ def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _vcf_input(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Parsed VCF rows for this run, restaged when ``restage_dir`` is set.
+
+    Gzip text is unsplittable (1 task/file), so every pass over the raw
+    drop is bounded by the largest file. With ``restage_dir`` in the
+    config, the first run pays that scan once and writes splittable,
+    columnar parquet; this run and every later one (re-loads, genic QC
+    scoping) read the restage instead — column-pruned, arbitrarily
+    parallel. The restage is keyed by a ``_SUCCESS`` marker: delete the
+    directory to force a re-stage after new files land.
+    """
+    dest = cfg.get("restage_dir")
+    if not dest:
+        return read_vcf(spark, cfg["input_dir"])
+    if "://" in dest:  # remote store: probe by reading, restage on miss
+        try:
+            return read_restaged(spark, dest)
+        except Exception:
+            restage_to_parquet(read_vcf(spark, cfg["input_dir"]), dest)
+            return read_restaged(spark, dest)
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        restage_to_parquet(read_vcf(spark, cfg["input_dir"]), dest)
+    return read_restaged(spark, dest)
+
+
 def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
-    vcf = read_vcf(spark, cfg["input_dir"])
+    vcf = _vcf_input(spark, cfg)
     genes = spark.read.parquet(cfg["genes_path"])
     samples = samples_dimension(spark, cfg["samples"], cfg["map_key"])
     vstore = _read_store(spark, cfg["variant_store"], schemas.VARIANT)
@@ -61,7 +91,7 @@ def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     store = spark.read.parquet(cfg["variant_store"])
     scope = None
     if cfg.get("input_dir"):
-        scope = scope_from_vcf(read_vcf(spark, cfg["input_dir"]))
+        scope = scope_from_vcf(_vcf_input(spark, cfg))
     updates = genic_qc(store, genes, map_key=cfg["map_key"], scope=scope)
     n = updates.count()
     if n:

@@ -63,3 +63,41 @@ def test_cli_load_then_qc(spark, tmp_path):
     # QC is now a fixpoint
     assert cmd_genic_qc(spark, cfg)["genic_status_updated"] == 0
     assert os.path.exists(str(tmp_path / "cfg.json"))
+
+
+def test_cli_restage_first_load(spark, tmp_path):
+    """With restage_dir set, the first load writes splittable parquet and
+    later loads read it instead of re-scanning gzip (deleting the raw
+    input between runs proves which source is scanned)."""
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE).write.parquet(
+        genes_path
+    )
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+        "restage_dir": str(tmp_path / "restage"),
+    }
+
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2 and m["sample_details_entered"] == 2
+    assert os.path.exists(os.path.join(cfg["restage_dir"], "_SUCCESS"))
+
+    # remove the raw gzip input: a re-run must come from the restage only
+    import shutil
+
+    shutil.rmtree(vdir)
+    m2 = cmd_run_load(spark, cfg)
+    assert m2["variants_entered"] == 0 and m2["sample_details_entered"] == 0
+
+    # genic QC scoping also reads the restage, not input_dir
+    q = cmd_genic_qc(spark, cfg)
+    assert q["genic_status_updated"] == 0
