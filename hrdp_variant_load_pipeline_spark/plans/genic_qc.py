@@ -23,24 +23,46 @@ from hrdp_variant_load_pipeline_spark.operators.interval_join import with_exists
 
 
 def scope_from_vcf(vcf: DataFrame) -> DataFrame:
-    """Derive the (chromosome, lo, hi) visit ranges of a VCF batch.
+    """Derive the distinct per-line (chromosome, lo, hi) visit ranges of a
+    VCF batch — the exact set of ranges the reference's QC pass re-fetches
+    stored variants for (GenicQc.java:197).
 
-    Reproduces the reference's visit set (it re-fetches stored variants in
-    each parsed line's range, GenicQc.java:197) as one aggregate instead of
-    a per-line query: QC then touches only chromosomes/ranges the batch
-    touched.
+    Faithful to ``GenicQc.parseLineData``, which derives ONE range per
+    data line (the multi-allelic copies are declared but never expanded
+    there — unlike the loader):
+
+    * multi-allelic ALT lines probe ``[pos, pos+1]`` with NO further
+      normalization (GenicQc.java:113-116 sets end=start+1 and skips the
+      typing branches);
+    * every other line runs the same single-allele normalization as the
+      loader (GenicQc.java:118-180 mirrors HrdpVariants.java:205-280,
+      including consulting a comma-containing REF verbatim when only REF
+      is multi-allelic) and probes the normalized [start_pos, end_pos].
+
+    Distinct ranges only: N lines at the same locus probe once. The result
+    is bounded by the batch's line count, so ``genic_qc`` broadcasts it.
     """
     from hrdp_variant_load_pipeline_spark.functions.normalize import (
         is_unplaced_contig,
+        normalize_allele,
         normalize_chromosome,
     )
 
-    return (
-        vcf.filter(~is_unplaced_contig(F.col("chrom")))
-        .select(normalize_chromosome(F.col("chrom")).alias("chromosome"), "pos")
-        .groupBy("chromosome")
-        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    lines = vcf.filter(~is_unplaced_contig(F.col("chrom"))).select(
+        normalize_chromosome(F.col("chrom")).alias("chromosome"),
+        "pos",
+        "ref",
+        "alt",
     )
+    n = normalize_allele(
+        F.col("ref"), F.col("ref"), F.col("alt"), F.col("pos"), F.lit(False)
+    )
+    multi_alt = F.col("alt").contains(",")
+    return lines.select(
+        "chromosome",
+        F.when(multi_alt, F.col("pos")).otherwise(n["start_pos"]).alias("lo"),
+        F.when(multi_alt, F.col("pos") + 1).otherwise(n["end_pos"]).alias("hi"),
+    ).distinct()
 
 
 def genic_qc(

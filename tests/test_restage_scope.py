@@ -20,6 +20,8 @@ VCF = """##fileformat=VCFv4.2
 chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
 chr2\t900\t.\tC\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
 chr1\t400\t.\tG\tC\t50\tPASS\t.\tGT:AD:DP\t1/1:0,9:9
+chr2\t500\t.\tA\tATT\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
+chr1\t700\t.\tA\tG,T\t50\tPASS\t.\tGT:AD:DP\t1/2:0,5,4:9
 chr1_scaffold\t5\t.\tA\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:5,5:10
 """
 
@@ -56,19 +58,35 @@ def test_restage_roundtrip_equivalent_load(spark, tmp_path):
 def test_scope_from_vcf_and_scoped_qc(spark, tmp_path):
     vdir = _write_vcf(tmp_path)
     vcf = read_vcf(spark, vdir)
-    scope = {(r["chromosome"]): (r["lo"], r["hi"]) for r in scope_from_vcf(vcf).collect()}
-    assert scope == {"1": (100, 400), "2": (900, 900)}
+    scope = {
+        (r["chromosome"], r["lo"], r["hi"]) for r in scope_from_vcf(vcf).collect()
+    }
+    # one range per line (GenicQc.java parses per line, no copy fan-out):
+    # snv lines [pos, pos+1]; the A->ATT insertion normalizes to
+    # [pos+1, pos+2]; the multi-allelic ALT line probes [pos, pos+1] raw
+    assert scope == {
+        ("1", 100, 101),
+        ("1", 400, 401),
+        ("2", 900, 901),
+        ("2", 501, 502),
+        ("1", 700, 701),
+    }
 
-    # a store row on chr5 (outside scope) with a WRONG status must be left
-    # alone by scoped QC; an in-scope drifted row must be caught
+    # rows the per-line visit set must treat differently:
+    #  rgd 1: chr1 start=100 -> inside line range [100,101], drift caught
+    #  rgd 2: chr5 -> chromosome never visited, WRONG status untouched
+    #  rgd 3: chr1 start=120 -> inside the OLD per-chromosome span
+    #         [100,401] but inside NO line's range: the reference QC never
+    #         visits it, so scoped QC must leave its drift alone
     store = spark.createDataFrame(
         [
-            (1, None, None, None, None, "snv", 3, "1", None, 120, 121, "INTERGENIC", 372),
+            (1, None, None, None, None, "snv", 3, "1", None, 100, 101, "INTERGENIC", 372),
             (2, None, None, None, None, "snv", 3, "5", None, 100, 101, "GENIC", 372),
+            (3, None, None, None, None, "snv", 3, "1", None, 120, 121, "INTERGENIC", 372),
         ],
         schemas.VARIANT,
     )
     genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
     updates = genic_qc(store, genes, map_key=372, scope=scope_from_vcf(vcf))
     rows = {r["rgd_id"]: r["genic_status"] for r in updates.collect()}
-    assert rows == {1: "GENIC"}  # in-scope drift repaired; chr5 untouched
+    assert rows == {1: "GENIC"}  # visited drift repaired; 2 and 3 untouched
