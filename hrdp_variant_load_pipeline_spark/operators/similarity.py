@@ -92,21 +92,32 @@ def ivf_topk(
     Deterministic "training": the first ``n_centroids`` corpus vectors (by
     id) act as centroids — reproducible across engines without an iterative
     k-means (swap in real centroids at production time; the plan shape is
-    identical). Corpus vectors are assigned to their nearest centroid
-    (one broadcast join — the inverted file); each query probes only its
-    ``nprobe`` nearest centroid buckets, so scan cost drops by
-    ~n_centroids/nprobe vs brute force. Scores are rounded before ranking
-    so argmax/ties are engine-portable.
+    identical). Scores are rounded before ranking so argmax/ties are
+    engine-portable.
+
+    Scale shape: the centroid set is tiny by construction, so it is
+    collapsed to ONE array row and broadcast; bucket assignment (nearest
+    centroid per corpus vector) and probe selection (``nprobe`` nearest per
+    query) are then row-local array argmax/sort — the corpus is NEVER
+    shuffled for assignment (the previous window-over-neighbor_id shape
+    shuffled the full corpus once before any probing). The only remaining
+    wide ops are the bucket equi-join and the per-query top-k rank.
 
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    cents = (
+    cent_arr = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cvec"),
             norm(F.col(vec_col)).alias("cvec_norm"),
+        )
+        # single array row (bounded: n_centroids structs), broadcast below
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
+            ).alias("__cents")
         )
     )
     # per-row norms precomputed before any pair join (O(n), not O(n*pairs))
@@ -116,43 +127,60 @@ def ivf_topk(
         norm(F.col(vec_col)).alias("c_norm"),
     )
 
-    # inverted file: nearest centroid per corpus vector (broadcast join)
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("cent_cos"), F.asc("cent_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_cos",
-            F.round(
-                dot(F.col("c_vec"), F.col("cvec")) / (F.col("c_norm") * F.col("cvec_norm")),
-                round_digits,
+    def _cent_scored(vec: Column, vnorm: Column) -> Column:
+        """Array of (neg_cos, cent_id) structs, one per centroid; natural
+        struct ordering = (cos desc, cent_id asc)."""
+        return F.transform(
+            F.col("__cents"),
+            lambda x: F.struct(
+                (
+                    -F.round(
+                        dot(vec, x["cvec"]) / (vnorm * x["cvec_norm"]),
+                        round_digits,
+                    )
+                ).alias("neg_cos"),
+                x["cent_id"].alias("cent_id"),
             ),
         )
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "c_vec", "c_norm", F.col("cent_id").alias("bucket"))
+
+    # inverted file: nearest centroid per corpus vector, row-local argmax.
+    # coalesce makes the bucket expression non-nullable, so the downstream
+    # equi-join does NOT infer an IsNotNull(bucket) predicate — which
+    # Catalyst would push into this cross join's condition and evaluate the
+    # whole 8-dot-product argmax a second time per corpus row
+    assigned = (
+        c.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "bucket",
+            F.coalesce(
+                F.array_min(_cent_scored(F.col("c_vec"), F.col("c_norm")))["cent_id"],
+                F.lit(-1),
+            ),
+        )
+        .select("neighbor_id", "c_vec", "c_norm", "bucket")
     )
 
-    # probe list: nprobe nearest centroids per query
+    # probe list: nprobe nearest centroids per query, row-local sort+slice
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_cos",
-            F.round(
-                dot(F.col("q_vec"), F.col("cvec")) / (F.col("q_norm") * F.col("cvec_norm")),
-                round_digits,
-            ),
+        q.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                F.slice(
+                    F.array_sort(_cent_scored(F.col("q_vec"), F.col("q_norm"))),
+                    1,
+                    nprobe,
+                )
+            ).alias("__p"),
         )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", F.col("cent_id").alias("bucket"))
+        .select("query_id", "q_vec", "q_norm", F.col("__p.cent_id").alias("bucket"))
     )
 
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

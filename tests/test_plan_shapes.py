@@ -117,3 +117,17 @@ def test_simhash_no_explode_no_shuffle(spark):
     plan = _plan(spark, "dedup_simhash")
     assert "Generate" not in plan
     assert "Exchange" not in plan
+
+
+def test_ivf_assignment_no_corpus_shuffle(spark):
+    """IVF bucket assignment must be row-local: the corpus is never
+    shuffled to pick each vector's nearest centroid (the window-based
+    form exchanged the FULL corpus — embedding vectors included — 8x
+    replicated). The only hash exchange allowed is the final per-query
+    top-k rank."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # and that one exchange is the per-query rank, prefixed by a partial
+    # WindowGroupLimit so only ~k rows per group reach the shuffle
+    pre, _, _ = plan.partition("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in pre
