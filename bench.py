@@ -3,8 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized via a count-style action (collect for small
-results) so the full plan executes; timings exclude session startup.
+Each query is materialized through the ``noop`` sink so EVERY output
+column is computed — a bare ``count()`` lets Catalyst prune the projected
+expressions away entirely, silently timing just the scan for any query
+that ends in a projection (the DuckDB side fetches full rows, so count()
+timings would not be comparable). Timings exclude session startup.
 """
 
 from __future__ import annotations
@@ -65,17 +68,17 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        best, n = None, 0
+        best = None
         for _ in range(2):  # best-of-2: report steady state, not JIT noise
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
             # drop operator-internal persists so runs stay independent
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -367,18 +367,32 @@ def window_battery(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_distinct_battery(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # two sub-aggregations joined on the (tiny) group key instead of one
+    # mixed agg: two DISTINCT sets + an HLL + exact percentiles in a single
+    # agg force an Expand (3x the input) feeding an interpreted
+    # ObjectHashAggregate; split, the distinct half stays in codegen
+    # HashAggregate and the percentile half aggregates un-expanded rows
+    # (measured ~4x faster at sf0.1, identical results)
+    dist = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
-            )
-            <= 0.05 * F.countDistinct("l_partkey")
-        ).alias("approx_within_5pct"),
+        F.approx_count_distinct("l_partkey").alias("__acd"),
+    )
+    pct = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+    return dist.join(pct, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_supps",
+        (F.abs(F.col("__acd") - F.col("n_parts")) <= 0.05 * F.col("n_parts")).alias(
+            "approx_within_5pct"
+        ),
+        "p25",
+        "p50",
+        "p75",
     )
 
 

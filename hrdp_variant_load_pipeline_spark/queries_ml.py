@@ -346,8 +346,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         TXT.token_count(F.col("text")).cast("double").alias("n_tok"),
         TXT.quality_score(F.col("text")).alias("quality"),
     ).filter(F.col("quality") >= 0.5)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # canonical row per exact-duplicate group (lowest doc_id) via min_by
+    # hash-agg, NOT a window: partial aggregation combines map-side and the
+    # shuffle carries (md5, slim struct) — the window form exchanged every
+    # kept row WITH its full text as part of the partition sort
+    canon = (
+        scored.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min_by(F.struct("lang", "n_tok", "quality"), "doc_id").alias("c"))
+        .select("c.lang", "c.n_tok", "c.quality")
+    )
     return canon.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
