@@ -367,23 +367,37 @@ def window_battery(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_distinct_battery(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
-    # two sub-aggregations joined on the (tiny) group key instead of one
-    # mixed agg: two DISTINCT sets + an HLL + exact percentiles in a single
-    # agg force an Expand (3x the input) feeding an interpreted
-    # ObjectHashAggregate; split, the distinct half stays in codegen
-    # HashAggregate and the percentile half aggregates un-expanded rows
-    # (measured ~4x faster at sf0.1, identical results)
-    dist = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.approx_count_distinct("l_partkey").alias("__acd"),
+    # sub-aggregations joined on the (tiny) group key instead of one mixed
+    # agg: DISTINCT sets + an HLL + exact percentiles in a single agg force
+    # an Expand (3x the input) feeding an interpreted ObjectHashAggregate.
+    # Each count-distinct runs as a TWO-LEVEL aggregation — dedup the
+    # (flag, key) pairs with map-side partial combine, then count — the
+    # canonical 100 TB shape (the shuffle carries distinct pairs, not
+    # rows, and no Expand replicates the input). The HLL over deduped
+    # pairs is register-identical to one over the raw column (duplicates
+    # never change an HLL). Measured ~4x faster than the mixed agg at
+    # sf0.1, value-identical.
+    dist_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.approx_count_distinct("l_partkey").alias("__acd"),
+        )
+    )
+    dist_supps = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_supps"))
     )
     pct = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
-    return dist.join(pct, "l_returnflag").select(
+    return dist_parts.join(dist_supps, "l_returnflag").join(pct, "l_returnflag").select(
         "l_returnflag",
         "n_parts",
         "n_supps",
