@@ -79,3 +79,35 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_bucketed_store(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...] = ("chromosome", "start_pos"),
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, optionally sorted, catalog-managed parquet store.
+
+    The co-location path for the hot store-probe joins (variant dedup on
+    every load, genic-QC scope probes): a table bucketed on its join keys
+    is read pre-partitioned, so a join against it needs NO exchange (and
+    with ``sort_cols`` no sort) on the store side — at 146-strain /
+    100 TB scale the store is orders of magnitude larger than any
+    incoming batch, so that is the shuffle worth deleting. Bucketing
+    requires ``saveAsTable`` (the bucket spec lives in the catalog, plain
+    ``.parquet(path)`` writes cannot carry it).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed_store(spark, table_name: str) -> DataFrame:
+    """Read back a ``write_bucketed_store`` table with its bucket spec
+    intact (the catalog carries it; reads report the bucketing to the
+    planner so joins/aggregations on the bucket keys skip the exchange)."""
+    return spark.table(table_name)
