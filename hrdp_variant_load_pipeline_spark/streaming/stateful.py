@@ -48,3 +48,29 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: first event per key wins, duplicates within
+    the watermark horizon are dropped.
+
+    The streaming counterpart of ``operators.dedup.exact`` for
+    at-least-once sources (replayed files, redelivered messages):
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    expires entries once the watermark passes, so state is bounded by the
+    duplicate-arrival horizon instead of growing with the stream — the
+    property that makes this runnable forever at ingest scale.
+
+    Semantics note: the watermark advances AFTER each micro-batch, so a
+    duplicate in the same batch that jumps event time forward is still
+    dropped against the old state; only events arriving after that batch
+    see the expired state and are readmitted as fresh keys.
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
