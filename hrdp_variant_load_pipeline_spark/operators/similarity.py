@@ -77,6 +77,89 @@ def brute_force_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF training: cosine assignment,
+    element-wise mean update.
+
+    Each iteration is two narrow-plus-one-shuffle stages: (1) row-local
+    nearest-centroid assignment against the broadcast centroid array
+    (identical shape to ``ivf_topk``'s inverted file — the corpus is never
+    shuffled); (2) ``posexplode`` the assigned vectors to (bucket, dim,
+    value) and hash-aggregate per-dimension means — the shuffle carries
+    ``n_centroids x dim`` partial sums per partition after map-side
+    combine, independent of corpus size. Buckets that lose all members
+    keep their previous centroid. Initialization is the first
+    ``n_centroids`` vectors by id (deterministic across runs); float-sum
+    ordering makes exact values run-dependent in the last digits, which is
+    why ``ivf_topk``'s cross-engine oracle keeps the deterministic
+    first-n stand-in while production search uses this trainer via the
+    ``centroids`` parameter.
+
+    Returns (cent_id, cvec) — pass as ``ivf_topk(..., centroids=...)``.
+    """
+    c = corpus.select(F.col(vec_col).alias("c_vec"), norm(F.col(vec_col)).alias("c_norm"))
+    w = Window.orderBy(id_col)
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .withColumn("cent_id", F.row_number().over(w).cast("long") - 1)
+        .select("cent_id", F.col(vec_col).alias("cvec"))
+    )
+    for _ in range(n_iter):
+        cent_arr = cents.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cent_id", "cvec", norm(F.col("cvec")).alias("cvec_norm"))
+                )
+            ).alias("__cents")
+        )
+        scored = F.transform(
+            F.col("__cents"),
+            lambda x: F.struct(
+                (
+                    -F.round(
+                        dot(F.col("c_vec"), x["cvec"])
+                        / (F.col("c_norm") * x["cvec_norm"]),
+                        round_digits,
+                    )
+                ).alias("neg_cos"),
+                x["cent_id"].alias("cent_id"),
+            ),
+        )
+        assigned = c.crossJoin(F.broadcast(cent_arr)).select(
+            F.coalesce(F.array_min(scored)["cent_id"], F.lit(-1)).alias("bucket"),
+            "c_vec",
+        )
+        means = (
+            assigned.select("bucket", F.posexplode("c_vec").alias("i", "x"))
+            .groupBy("bucket", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select(
+                F.col("bucket").alias("cent_id"),
+                F.transform("im", lambda s: s["m"]).alias("new_cvec"),
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce("new_cvec", "cvec").alias("cvec")
+            )
+            # k rows; truncate the per-iteration lineage so n_iter rounds
+            # don't stack n_iter full assignment plans
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,6 +169,7 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the scale path for ANN search.
 
@@ -105,20 +189,27 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    cent_arr = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cvec"),
-            norm(F.col(vec_col)).alias("cvec_norm"),
+    if centroids is not None:  # e.g. train_centroids output
+        cent_src = centroids.select(
+            F.col("cent_id"),
+            F.col("cvec"),
+            norm(F.col("cvec")).alias("cvec_norm"),
         )
-        # single array row (bounded: n_centroids structs), broadcast below
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
-            ).alias("__cents")
+    else:
+        cent_src = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cvec"),
+                norm(F.col(vec_col)).alias("cvec_norm"),
+            )
         )
+    # single array row (bounded: n_centroids structs), broadcast below
+    cent_arr = cent_src.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
+        ).alias("__cents")
     )
     # per-row norms precomputed before any pair join (O(n), not O(n*pairs))
     c = corpus.select(

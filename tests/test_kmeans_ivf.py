@@ -1,0 +1,94 @@
+"""Distributed k-means IVF training: convergence and search quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    dot,
+    ivf_topk,
+    norm,
+    train_centroids,
+)
+
+
+def _clustered_corpus(spark, per_cluster=60, dim=8):
+    """Three well-separated clusters on distinct axes with deterministic
+    jitter; ids interleave the clusters so the first-n init straddles
+    cluster boundaries and training has real work to do."""
+    base = spark.range(3 * per_cluster).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cluster")
+    )
+    jitter = (F.col("vec_id") % 7).cast("double") / 100.0
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == F.col("cluster").cast("int") * 2, 1.0 + jitter)
+        .otherwise(jitter / 2),
+    )
+    return base.select("vec_id", "cluster", vec.alias("embedding"))
+
+
+def _inertia(corpus, cents):
+    """Mean (1 - cosine(vector, nearest centroid)) over the corpus."""
+    carr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cvec")).alias("cs")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda x: dot(F.col("embedding"), x["cvec"])
+            / (norm(F.col("embedding")) * norm(x["cvec"])),
+        )
+    )
+    row = (
+        corpus.crossJoin(F.broadcast(carr))
+        .select(F.avg(1 - best).alias("inertia"))
+        .collect()[0]
+    )
+    return float(row["inertia"])
+
+
+def test_kmeans_reduces_inertia_and_aligns_clusters(spark):
+    corpus = _clustered_corpus(spark)
+    init = train_centroids(corpus, n_centroids=3, n_iter=0)
+    trained = train_centroids(corpus, n_centroids=3, n_iter=4)
+    assert trained.count() == 3
+    assert _inertia(corpus, trained) < _inertia(corpus, init) - 1e-6
+
+    # after training, every vector's nearest centroid is constant within a
+    # true cluster and distinct across clusters
+    carr = trained.agg(F.collect_list(F.struct("cent_id", "cvec")).alias("cs"))
+    assign = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda x: F.struct(
+                (
+                    -dot(F.col("embedding"), x["cvec"])
+                    / (norm(F.col("embedding")) * norm(x["cvec"]))
+                ).alias("neg"),
+                x["cent_id"].alias("cent_id"),
+            ),
+        )
+    )["cent_id"]
+    assigned = corpus.crossJoin(F.broadcast(carr)).select("cluster", assign.alias("b"))
+    buckets_per_cluster = (
+        assigned.groupBy("cluster").agg(F.countDistinct("b").alias("n")).collect()
+    )
+    assert all(r["n"] == 1 for r in buckets_per_cluster)
+    assert assigned.select("b").distinct().count() == 3
+
+
+def test_ivf_with_trained_centroids_matches_brute_force_top1(spark):
+    corpus = _clustered_corpus(spark)
+    trained = train_centroids(corpus, n_centroids=3, n_iter=4)
+    queries = corpus.filter(F.col("vec_id") < 6)
+    exact = brute_force_topk(corpus, queries, k=1)
+    approx = ivf_topk(
+        corpus, queries, n_centroids=3, nprobe=1, k=1, centroids=trained
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # with per-cluster buckets and nprobe=1, the true nearest neighbor
+    # lives in the probed bucket for every query
+    assert a == e
