@@ -10,8 +10,11 @@ Scale paths:
 * brute-force top-k broadcasts the (small) query set and scans the corpus
   once — the right plan when queries ≪ corpus;
 * near-dup pair search blocks on caller-supplied keys (label, coarse
-  quantization, LSH bucket) so the pair space is bounded per block instead
-  of quadratic in the corpus.
+  quantization) or on self-contained hyperplane-LSH buckets
+  (``near_dup_pairs_lsh``) so the pair space is bounded per block instead
+  of quadratic in the corpus;
+* IVF centroids come from the deterministic first-n stand-in (oracle
+  path) or a real distributed k-means (``train_centroids``).
 """
 
 from __future__ import annotations
@@ -351,4 +354,108 @@ def near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
         )
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-sketch LSH buckets: bit j of a vector's sketch is the sign of
+    its dot product with pseudo-random hyperplane j.
+
+    Plane components are derived by hashing ``(seed, plane, dim-index)``
+    into [-1, 1] — deterministic across runs and executors with NO stored
+    plane matrix (nothing to broadcast or keep consistent). With
+    ``n_planes`` split into bands of ``band_planes`` bits (banding exactly
+    like MinHash-LSH), vectors at cosine ~0.9 collide in at least one band
+    with high probability while unrelated vectors rarely do.
+
+    Output: one row per (vector, band): (id, band_idx, bucket).
+    """
+
+    def plane_component(j: int):
+        # two-parameter lambda: F.transform passes (element, index) — the
+        # index IS dimension i, hashed with the plane id into [-1, 1]
+        return lambda x, i: x.cast("double") * (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(j), i), F.lit(10007)).cast("double")
+            / 5003.5
+            - 1.0
+        )
+
+    v = F.col(vec_col)
+    bits = [
+        (F.aggregate(
+            F.transform(v, plane_component(j)), F.lit(0.0), lambda acc, x: acc + x
+        ) >= 0).cast("long")
+        for j in range(n_planes)
+    ]
+    n_bands = n_planes // band_planes
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                sum(
+                    bits[b * band_planes + r] * (1 << r)
+                    for r in range(band_planes)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(bands).alias("bb")
+    ).select("id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    band_planes: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with self-contained LSH blocking.
+
+    The scale path when no natural blocking key exists: candidates are
+    pairs sharing any (band, bucket) from ``hyperplane_buckets`` — a pure
+    equi-self-join — then ONLY candidates are verified with the exact
+    cosine (two id-equi-joins pull the vectors; the intersection math is
+    row-local). Same candidate→verify shape as MinHash-LSH for text:
+    bounded by collisions, never all-pairs. Verification makes precision
+    exact; recall is tuned by (n_planes, band_planes).
+    """
+    bk = hyperplane_buckets(corpus, id_col, vec_col, n_planes, band_planes, seed)
+    a, b = bk.alias("a"), bk.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    return (
+        cands.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
