@@ -43,7 +43,7 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_last_purchase",
     "text_token_stats",
-    "text_quality_score",
+    "text_doc_profile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -87,6 +87,7 @@ def train_centroids(
     n_centroids: int = 8,
     n_iter: int = 5,
     round_digits: int = 6,
+    centroid_round_digits: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for IVF training: cosine assignment,
     element-wise mean update.
@@ -103,7 +104,11 @@ def train_centroids(
     ordering makes exact values run-dependent in the last digits, which is
     why ``ivf_topk``'s cross-engine oracle keeps the deterministic
     first-n stand-in while production search uses this trainer via the
-    ``centroids`` parameter.
+    ``centroids`` parameter. ``centroid_round_digits`` quantizes each
+    iteration's means (half-up floor trick, identical on any engine) so a
+    fixed-iteration run IS cross-engine reproducible: both engines restart
+    every iteration from bit-identical centroids, killing float-sum
+    order drift before it can flip an assignment.
 
     Returns (cent_id, cvec) — pass as ``ivf_topk(..., centroids=...)``.
     """
@@ -123,14 +128,22 @@ def train_centroids(
                 )
             ).alias("__cents")
         )
+        # half-up floor trick instead of round(): the assignment is a
+        # per-row comparison that COMPOUNDS across iterations, so the
+        # rounding must be bit-identical on any engine re-running it
+        p10 = F.lit(float(10**round_digits))
         scored = F.transform(
             F.col("__cents"),
             lambda x: F.struct(
                 (
-                    -F.round(
-                        dot(F.col("c_vec"), x["cvec"])
-                        / (F.col("c_norm") * x["cvec_norm"]),
-                        round_digits,
+                    -(
+                        F.floor(
+                            dot(F.col("c_vec"), x["cvec"])
+                            / (F.col("c_norm") * x["cvec_norm"])
+                            * p10
+                            + F.lit(0.5)
+                        )
+                        / p10
                     )
                 ).alias("neg_cos"),
                 x["cent_id"].alias("cent_id"),
@@ -140,10 +153,17 @@ def train_centroids(
             F.coalesce(F.array_min(scored)["cent_id"], F.lit(-1)).alias("bucket"),
             "c_vec",
         )
+        m = F.avg(F.col("x").cast("double"))
+        if centroid_round_digits is not None:
+            # half-up floor trick, NOT round(): identical tie behavior on
+            # every engine (Spark round goes through BigDecimal shortest-
+            # decimal strings, DuckDB rounds the binary value)
+            p10 = F.lit(float(10 ** centroid_round_digits))
+            m = F.floor(m * p10 + F.lit(0.5)) / p10
         means = (
             assigned.select("bucket", F.posexplode("c_vec").alias("i", "x"))
             .groupBy("bucket", "i")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(m.alias("m"))
             .groupBy("bucket")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
             .select(
@@ -357,6 +377,27 @@ def near_dup_pairs(
     )
 
 
+def make_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix, components in [-1, 1].
+
+    Derived driver-side from ``(seed, plane, dim-index)`` with a splitmix64
+    mix — pure integer arithmetic, so the SAME matrix is reproducible in any
+    engine (the DuckDB oracle embeds these exact literals). n_planes x dim
+    doubles is a few KiB: it rides the plan as literals, nothing is
+    broadcast or persisted.
+    """
+    mask = (1 << 64) - 1
+
+    def mix(j: int, i: int) -> float:
+        h = (seed * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) & mask
+        h ^= h >> 31
+        h = (h * 0xD6E8FEB86659FD93) & mask
+        h ^= h >> 27
+        return (h % 10007) / 5003.5 - 1.0
+
+    return [[mix(j, i) for i in range(dim)] for j in range(n_planes)]
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -364,48 +405,54 @@ def hyperplane_buckets(
     n_planes: int = 16,
     band_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-sketch LSH buckets: bit j of a vector's sketch is the sign of
-    its dot product with pseudo-random hyperplane j.
+    its dot product with pseudo-random hyperplane j (``make_planes``).
 
-    Plane components are derived by hashing ``(seed, plane, dim-index)``
-    into [-1, 1] — deterministic across runs and executors with NO stored
-    plane matrix (nothing to broadcast or keep consistent). With
-    ``n_planes`` split into bands of ``band_planes`` bits (banding exactly
-    like MinHash-LSH), vectors at cosine ~0.9 collide in at least one band
-    with high probability while unrelated vectors rarely do.
+    All ``n_planes`` dot products are produced by ONE expression — a
+    ``transform`` over the literal plane matrix with a ``zip_with`` fold
+    per plane — so the vector column is traversed per-plane with pure
+    multiply-adds and no per-element hashing (round 2 recomputed a hash
+    per (element, plane): ~16x the necessary CPU on the corpus's hottest
+    loop). With ``n_planes`` split into bands of ``band_planes`` bits
+    (banding exactly like MinHash-LSH), vectors at cosine ~0.9 collide in
+    at least one band with high probability while unrelated vectors
+    rarely do.
 
     Output: one row per (vector, band): (id, band_idx, bucket).
     """
-
-    def plane_component(j: int):
-        # two-parameter lambda: F.transform passes (element, index) — the
-        # index IS dimension i, hashed with the plane id into [-1, 1]
-        return lambda x, i: x.cast("double") * (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(j), i), F.lit(10007)).cast("double")
-            / 5003.5
-            - 1.0
-        )
-
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
+    planes = make_planes(n_planes, dim, seed)
+    plane_lit = F.array(*[F.array(*[F.lit(p) for p in row]) for row in planes])
     v = F.col(vec_col)
-    bits = [
-        (F.aggregate(
-            F.transform(v, plane_component(j)), F.lit(0.0), lambda acc, x: acc + x
-        ) >= 0).cast("long")
-        for j in range(n_planes)
-    ]
+    # one sums array per row: sums[j] = <v, plane_j>
+    sums = F.transform(
+        plane_lit,
+        lambda plane: F.aggregate(
+            F.zip_with(v, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << r) for r in range(band_planes)])
     n_bands = n_planes // band_planes
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                sum(
-                    bits[b * band_planes + r] * (1 << r)
-                    for r in range(band_planes)
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(sums, b * band_planes + 1, band_planes),
+                    powers,
+                    lambda s, pw: F.when(s >= 0, pw).otherwise(F.lit(0)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("bucket"),
+        ),
     )
     return df.select(
         F.col(id_col).alias("id"), F.explode(bands).alias("bb")
@@ -421,6 +468,7 @@ def near_dup_pairs_lsh(
     band_planes: int = 8,
     seed: int = 7,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with self-contained LSH blocking.
 
@@ -432,7 +480,7 @@ def near_dup_pairs_lsh(
     bounded by collisions, never all-pairs. Verification makes precision
     exact; recall is tuned by (n_planes, band_planes).
     """
-    bk = hyperplane_buckets(corpus, id_col, vec_col, n_planes, band_planes, seed)
+    bk = hyperplane_buckets(corpus, id_col, vec_col, n_planes, band_planes, seed, dim)
     a, b = bk.alias("a"), bk.alias("b")
     cands = (
         a.join(

@@ -589,51 +589,68 @@ def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# correlated scalar subquery, decorrelated (TPC-H Q17 shape): lineitems
-# below 20% of their part's average quantity
+# correlated-aggregate join battery (TPC-H Q17 + Q18 shapes, merged to fit
+# the driver's 50-query correctness window): lineitems below 20% of their
+# part's average quantity (decorrelated scalar subquery) and orders whose
+# total quantity exceeds 250 (grouped HAVING), union-tagged into one
+# (src, k, v) frame so both shapes share a driver row
 @q(
-    "q17_small_quantity_revenue",
+    "correlated_agg_battery",
     """
     WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
-                FROM lineitem GROUP BY l_partkey)
-    SELECT count(*) AS n_lines,
-           round(sum(l.l_extendedprice)::DOUBLE / 7.0, 2) AS avg_yearly
-    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
-    WHERE l.l_quantity < 0.2 * pa.avg_qty
+                FROM lineitem GROUP BY l_partkey),
+    q17 AS (SELECT count(*) AS n_lines,
+                   round(sum(l.l_extendedprice)::DOUBLE / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+            WHERE l.l_quantity < 0.2 * pa.avg_qty),
+    q18 AS (SELECT l_orderkey, round(sum(l_quantity)::DOUBLE, 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT 'q17' AS src, 'n_lines' AS k, n_lines::DOUBLE AS v FROM q17
+    UNION ALL
+    SELECT 'q17' AS src, 'avg_yearly' AS k, avg_yearly AS v FROM q17
+    UNION ALL
+    SELECT 'q18' AS src, l_orderkey::VARCHAR AS k, total_qty AS v FROM q18
     """,
 )
-def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+def correlated_agg_battery(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
     pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
-    return (
+    q17 = (
         li.join(pa, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.count("*").alias("n_lines"),
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_lines").alias("k"),
+                        F.col("n_lines").cast("double").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("avg_yearly").alias("k"), F.col("avg_yearly").alias("v")
+                    ),
+                )
+            ).alias("kv")
+        )
+        .select(F.lit("q17").alias("src"), F.col("kv.k").alias("k"), F.col("kv.v").alias("v"))
     )
-
-
-# grouped HAVING (TPC-H Q18 shape): orders whose total quantity exceeds 250
-@q(
-    "q18_large_orders",
-    """
-    SELECT l_orderkey, round(sum(l_quantity)::DOUBLE, 2) AS total_qty
-    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
-    """,
-)
-def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    return (
+    q18 = (
         li.groupBy("l_orderkey")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
             F.sum("l_quantity").alias("__raw"),
         )
         .filter(F.col("__raw") > 250)
-        .drop("__raw")
+        .select(
+            F.lit("q18").alias("src"),
+            F.col("l_orderkey").cast("string").alias("k"),
+            F.col("total_qty").alias("v"),
+        )
     )
+    return q17.unionAll(q18)
 
 
 # pivot + unpivot round-trip (engine surface): lineitem metrics are melted

@@ -60,39 +60,32 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# per-document profile battery: language-ID + quality score + vocabulary
+# fingerprint + winnowing fingerprint, all keyed by doc_id in one driver
+# row (round-2's text_lang_id / text_quality_score / text_winnow_fingerprint
+# merged so the freed window slots carry the round-2 operators). The
+# row-local columns ride a single scan; the winnow aggregate joins back on
+# the per-doc key — at scale both sides are doc_id-partitioned.
 @q(
-    "text_lang_id",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    s AS (SELECT doc_id,
-            len(list_filter(w, x -> x IN ('the','a','is','and'))) AS n_en,
-            len(list_filter(w, x -> x IN ('der','die','das','und'))) AS n_de,
-            len(list_filter(w, x -> x IN ('le','la','les','et'))) AS n_fr,
-            len(list_filter(w, x -> x IN ('el','los','las','y'))) AS n_es
-          FROM t)
-    SELECT doc_id,
-      CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'unknown'
-           WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
-           WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
-           WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
-           ELSE 'es' END AS lang_pred
-    FROM s
-    """,
-)
-def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    return d.select("doc_id", TXT.lang_predict(F.col("text")).alias("lang_pred"))
-
-
-# quality score + sorted-vocabulary fingerprint battery (round-1
-# text_fingerprint merged in to fit the driver's 50-query correctness window)
-@q(
-    "text_quality_score",
+    "text_doc_profile",
     """
     WITH t AS (
-      SELECT doc_id, text, string_split(text, ' ') AS w,
+      SELECT doc_id, text, lower(text) AS lt, string_split(text, ' ') AS w,
              replace(text, ' ', '') AS no_space
       FROM documents),
+    lang AS (
+      SELECT doc_id,
+        CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'unknown'
+             WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+             WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+             WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM (SELECT doc_id,
+              len(list_filter(w, x -> x IN ('the','a','is','and'))) AS n_en,
+              len(list_filter(w, x -> x IN ('der','die','das','und'))) AS n_de,
+              len(list_filter(w, x -> x IN ('le','la','les','et'))) AS n_fr,
+              len(list_filter(w, x -> x IN ('el','los','las','y'))) AS n_es
+            FROM t)),
     m AS (
       SELECT doc_id, len(w)::DOUBLE AS n_tok,
              round((length(no_space) - length(regexp_replace(no_space, '[^A-Za-z0-9]', '', 'g')))::DOUBLE
@@ -100,55 +93,56 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
              round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
                    / len(w), 4) AS sr,
              round(len(list_distinct(w))::DOUBLE / len(w), 4) AS dr
-      FROM t)
-    SELECT m.doc_id,
-           floor((0.25 * least(n_tok / 20.0, 1.0)
-                 + 0.25 * (1.0 - least(pr * 5.0, 1.0))
-                 + 0.25 * least(sr * 4.0, 1.0)
-                 + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality,
-           md5(array_to_string(list_sort(list_distinct(string_split(lower(t.text), ' '))), ' '))
-             AS fingerprint
-    FROM m JOIN t ON t.doc_id = m.doc_id
-    """,
-)
-def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        TXT.quality_score(F.col("text")).alias("quality"),
-        TXT.fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
-@q(
-    "text_winnow_fingerprint",
-    """
-    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+      FROM t),
+    qual AS (
+      SELECT m.doc_id,
+             floor((0.25 * least(n_tok / 20.0, 1.0)
+                   + 0.25 * (1.0 - least(pr * 5.0, 1.0))
+                   + 0.25 * least(sr * 4.0, 1.0)
+                   + 0.25 * dr) * 10000 + 0.5) / 10000 AS quality,
+             md5(array_to_string(list_sort(list_distinct(string_split(lt, ' '))), ' '))
+               AS fingerprint
+      FROM m JOIN t ON t.doc_id = m.doc_id),
     g AS MATERIALIZED (SELECT doc_id,
-            list_transform(range(1, greatest(length(t) - 4, 1) + 1),
-                           i -> md5(substring(t, i, 5))) AS hashes
+            list_transform(range(1, greatest(length(lt) - 4, 1) + 1),
+                           i -> md5(substring(lt, i, 5))) AS hashes
           FROM t),
-    w AS (SELECT doc_id,
-            list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
-                           j -> list_min(hashes[j:j+7])) AS wins
-          FROM g)
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(wins)), '')) AS winnow_fp
-    FROM w
+    winnow AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(wins)), '')) AS winnow_fp
+      FROM (SELECT doc_id,
+              list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
+                             j -> list_min(hashes[j:j+7])) AS wins
+            FROM g))
+    SELECT q.doc_id, l.lang_pred, q.quality, q.fingerprint, wn.winnow_fp
+    FROM qual q
+    JOIN lang l ON l.doc_id = q.doc_id
+    JOIN winnow wn ON wn.doc_id = q.doc_id
     """,
 )
-def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    # winnowing (Schleimer et al. SIGMOD'03): min gram-hash per sliding
-    # window, digest of the sorted distinct selections. Explode + leading
-    # window-min + re-aggregate: each gram md5 is computed ONCE — a nested
-    # array-transform formulation re-evaluates the whole hash array per
-    # window position (O(n^2) md5s; measured 150s at sf0.001)
-    window = 8
+def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select("doc_id", "text")
     # repartition BEFORE the gram hashing so the CPU-heavy transform runs
     # across all cores, not on the single input-file partition
     if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         d = d.repartition(spark.sparkContext.defaultParallelism)
+    profile = d.select(
+        "doc_id",
+        TXT.lang_predict(F.col("text")).alias("lang_pred"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+        TXT.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    return profile.join(_winnow_fp(spark, d), "doc_id")
+
+
+def _winnow_fp(spark: SparkSession, d: DataFrame, window: int = 8) -> DataFrame:
+    """(doc_id, winnow_fp) — winnowing (Schleimer et al. SIGMOD'03): min
+    gram-hash per sliding window, digest of the sorted distinct selections.
+
+    Explode + leading window-min + re-aggregate: each gram md5 is computed
+    ONCE — a nested array-transform formulation re-evaluates the whole hash
+    array per window position (O(n^2) md5s; measured 150s at sf0.001).
+    """
     src = d.select("doc_id", TXT.gram_hashes(F.col("text"), k=5).alias("h"))
     exploded = src.select("doc_id", F.size("h").alias("n_h"), F.posexplode("h"))
     w = (
@@ -468,30 +462,138 @@ def embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END AS scale
           FROM m)
     SELECT vec_id, round(scale, 6) AS scale,
-           list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS q
+           array_to_string(
+             list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::INT),
+             ',') AS q
     FROM s
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
-    return SIM.quantize_int8(table(spark, sf, "embeddings"))
+    # The operator's array<int> is the real storage shape; serialize it to a
+    # CSV string at the query boundary so the harness' order-insensitive hash
+    # (pandas sort over all columns) can canonicalize the frame.
+    out = SIM.quantize_int8(table(spark, sf, "embeddings"))
+    return out.withColumn("q", F.array_join(F.col("q").cast("array<string>"), ","))
+
+
+# hyperplane-LSH near-dup: the plane matrix is derived driver-side from the
+# seed (operators/similarity.py make_planes) and embedded as literals in
+# BOTH plans, so candidate generation is cross-engine identical; verify is
+# the exact cosine on candidates only — never all-pairs
+_LSH_PLANE_VALUES = ",\n           ".join(
+    "({}, [{}])".format(j, ", ".join(repr(p) for p in row))
+    for j, row in enumerate(SIM.make_planes(n_planes=16, dim=64, seed=7))
+)
+
+@q(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH planes AS (SELECT * FROM (VALUES
+           {_LSH_PLANE_VALUES}) p(j, pv)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings),
+    dots AS (SELECT v.vec_id, p.j, sum(v.e[i] * p.pv[i]) AS s
+             FROM v CROSS JOIN planes p, generate_series(1, 64) t(i)
+             GROUP BY 1, 2),
+    bk AS (SELECT vec_id, (j // 8)::BIGINT AS band_idx,
+                  sum(CASE WHEN s >= 0 THEN 1::BIGINT << (j % 8) ELSE 0 END)::BIGINT AS bucket
+           FROM dots GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b
+               ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    pairs AS (SELECT c.id_a, c.id_b, va.e AS av, vb.e AS bv
+              FROM cand c
+              JOIN v va ON va.vec_id = c.id_a
+              JOIN v vb ON vb.vec_id = c.id_b),
+    d2 AS (SELECT id_a, id_b,
+             sum(av[i] * bv[i]) AS dot,
+             sum(av[i] * av[i]) AS na,
+             sum(bv[i] * bv[i]) AS nb
+           FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2)
+    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM d2 WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return SIM.near_dup_pairs_lsh(e, threshold=0.3, dim=64)
+
+
+# distributed Lloyd's k-means, fixed 2 iterations / k=4 so the whole run is
+# SQL-expressible: per-iteration centroid rounding (half-up floor trick on
+# both engines) pins the iteration state bit-identical, making the final
+# centroids a hard cross-engine row. Output unnested to (cent_id, i, m) —
+# no array columns reach the driver's canonicalizer.
+_KMEANS_ITER_SQL = """
+    s_{out} AS (SELECT n.vec_id, c.cent_id,
+                  floor(sum(n.e[i] * c.cvec[i])
+                        / (n.nrm * sqrt(sum(c.cvec[i] * c.cvec[i]))) * 1e6 + 0.5) / 1e6 AS cos
+                FROM n CROSS JOIN {prev} c, generate_series(1, 64) t(i)
+                GROUP BY n.vec_id, c.cent_id, n.nrm),
+    a_{out} AS (SELECT vec_id, cent_id FROM
+                  (SELECT vec_id, cent_id,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos DESC, cent_id) AS rn
+                   FROM s_{out}) WHERE rn = 1),
+    m_{out} AS (SELECT a.cent_id, t.i, floor(avg(n.e[t.i]) * 1e6 + 0.5) / 1e6 AS m
+                FROM a_{out} a JOIN n USING (vec_id), generate_series(1, 64) t(i)
+                GROUP BY 1, 2),
+    {out} AS (SELECT p.cent_id, coalesce(l.cv, p.cvec) AS cvec
+              FROM {prev} p LEFT JOIN
+                   (SELECT cent_id, list(m ORDER BY i) AS cv
+                    FROM m_{out} GROUP BY cent_id) l USING (cent_id))"""
+
+@q(
+    "embedding_kmeans_centroids",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, e AS cvec
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+    {_KMEANS_ITER_SQL.format(prev="c0", out="c1")},
+    {_KMEANS_ITER_SQL.format(prev="c1", out="c2")}
+    SELECT cent_id, (t.i - 1)::INT AS i, c2.cvec[t.i] AS m
+    FROM c2, generate_series(1, 64) t(i)
+    """,
+)
+def embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    cents = SIM.train_centroids(
+        e, n_centroids=4, n_iter=2, round_digits=6, centroid_round_digits=6
+    )
+    return cents.select("cent_id", F.posexplode("cvec").alias("i", "m"))
 
 
 # --------------------------------------------------------------- multimodal
+# image-decode + audio-probe battery (round-2's multimodal_decode_stub /
+# multimodal_audio_probe merged into one per-doc driver row to free a
+# window slot): both mapInPandas probes run over the same binary payload
+# and join on the doc key
 @q(
-    "multimodal_decode_stub",
+    "multimodal_probe_battery",
     """
     SELECT doc_id,
            octet_length(text::BLOB)::BIGINT AS byte_len,
            md5(text) AS content_md5,
            (octet_length(text::BLOB) % 640)::INT AS width,
            ((octet_length(text::BLOB) * 7) % 480)::INT AS height,
-           3 AS channels
+           3 AS channels,
+           (8000 + (octet_length(text::BLOB) % 5) * 8000)::INT AS sample_rate,
+           (octet_length(text::BLOB) * 64)::BIGINT AS n_samples,
+           (octet_length(text::BLOB) * 64 * 1000)
+             // (8000 + (octet_length(text::BLOB) % 5) * 8000) AS duration_ms
     FROM documents
     """,
 )
-def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
-    return MM.decode_image_features(MM.with_binary_payload(d, "doc_id", "text"))
+    payload = MM.with_binary_payload(d, "doc_id", "text")
+    img = MM.decode_image_features(payload)
+    aud = MM.decode_audio_features(payload).drop("byte_len")
+    return img.join(aud, "doc_id")
 
 
 @q(
@@ -510,23 +612,6 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return MM.frame_sample_indices(with_frames, "n_frames", every=5).select(
         "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
     )
-
-
-@q(
-    "multimodal_audio_probe",
-    """
-    SELECT doc_id,
-           octet_length(text::BLOB)::BIGINT AS byte_len,
-           (8000 + (octet_length(text::BLOB) % 5) * 8000)::INT AS sample_rate,
-           (octet_length(text::BLOB) * 64)::BIGINT AS n_samples,
-           (octet_length(text::BLOB) * 64 * 1000)
-             // (8000 + (octet_length(text::BLOB) % 5) * 8000) AS duration_ms
-    FROM documents
-    """,
-)
-def multimodal_audio_probe(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    return MM.decode_audio_features(MM.with_binary_payload(d, "doc_id", "text"))
 
 
 # skew-salted join (engine surface beside AQE skew handling): lineitem ⋈
@@ -607,6 +692,56 @@ def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# bucketed-store round-trip: write the dim through the bucketed catalog
+# sink, read it back with the bucket spec intact, and join-aggregate
+# against a probe — the oracle computes the same join directly, so a green
+# row proves the write→read round-trip is lossless AND the store-side
+# exchange elimination (pinned by tests/test_bucketed_store.py) returns
+# correct results
+@q(
+    "bucketed_store_join",
+    """
+    SELECT p.p_brand,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l.l_quantity)::DOUBLE, 2) AS total_qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def bucketed_store_join(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    # drop a previous run's table AND its location: overwrite only replaces
+    # tables the CURRENT catalog knows about — an orphaned warehouse dir
+    # from an earlier session fails the write with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS store_bucketed_part")
+    loc = spark.conf.get("spark.sql.warehouse.dir") + "/store_bucketed_part"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+
+    part = table(spark, sf, "part").select("p_partkey", "p_brand")
+    write_bucketed_store(
+        part,
+        "store_bucketed_part",
+        bucket_cols=("p_partkey",),
+        num_buckets=8,
+        sort_cols=("p_partkey",),
+    )
+    store = read_bucketed_store(spark, "store_bucketed_part")
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    return (
+        store.join(li, store["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- streaming
 # Structured Streaming variant of events_tumbling_counts; no SQL oracle
 # (driver records the weaker rows-only check). Uses the file stream source
@@ -674,6 +809,46 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
     query = (
         out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+# streaming exact-dedup (streaming/stateful.py dedup_stream,
+# dropDuplicatesWithinWatermark); rows-only check — the emitted row per key
+# is first-arrival-wins, so only the KEY columns are projected (the winning
+# row's other fields depend on partition order). Row count is deterministic:
+# one row per distinct (user_id, event_type).
+@q("streaming_dedup_events", None)
+def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import dedup_stream
+
+    path = os.path.join(sf, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_stream(
+        stream.select("user_id", "event_type", "ts"),
+        keys=("user_id", "event_type"),
+        event_time_col="ts",
+    )
+    out = deduped.select("user_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
     )
     try:
         query.processAllAvailable()
