@@ -22,7 +22,6 @@ is any Parquet with the GENE schema (or loaded via JDBC upstream).
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,13 +61,15 @@ def _vcf_input(spark: SparkSession, cfg: dict) -> DataFrame:
     dest = cfg.get("restage_dir")
     if not dest:
         return read_vcf(spark, cfg["input_dir"])
-    if "://" in dest:  # remote store: probe by reading, restage on miss
-        try:
-            return read_restaged(spark, dest)
-        except Exception:
-            restage_to_parquet(read_vcf(spark, cfg["input_dir"]), dest)
-            return read_restaged(spark, dest)
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+    # ONE probe for local and remote stores: the _SUCCESS marker through the
+    # Hadoop FS API. Probing by "does a read succeed" accepted a partially
+    # written restage from a crashed prior run as the full input (silently
+    # dropping variants), and its bare except turned transient I/O errors
+    # into a restage-overwrite; the marker is only committed on job success,
+    # and real I/O errors now propagate.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(dest.rstrip("/") + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         restage_to_parquet(read_vcf(spark, cfg["input_dir"]), dest)
     return read_restaged(spark, dest)
 

@@ -18,7 +18,19 @@ Everything is built from built-in expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: serializes every registry-diff window in this module: the diff
+#: attributes "RDDs that appeared since the snapshot" to the current call,
+#: so two concurrent diffing calls (or one racing a persist from another
+#: thread, e.g. the streaming loader's per-batch caches) could claim — and
+#: later release — each other's RDDs. For a victim localCheckpoint the data
+#: is unrecoverable. The lock closes the intra-module race; persists from
+#: OTHER code during the (tight, checkpoint-to-snapshot) window remain the
+#: caller's responsibility and are documented on each function.
+_REGISTRY_LOCK = threading.Lock()
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -26,6 +38,37 @@ def _persistent_rdd_ids(sc) -> set[int]:
     which Dataset.unpersist() can NOT release — it only touches the SQL
     cache manager)."""
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+class CheckpointHandle:
+    """Caller-side release handle for checkpoint-backed frames.
+
+    ``Dataset.unpersist`` cannot free checkpoint RDDs, so the handle
+    releases them by id through the JVM persistent-RDD registry. Exposes
+    ``unpersist()`` to match the ``LoadResult.cached`` protocol — append
+    it to any cache_registry and release with the rest.
+    """
+
+    def __init__(self, sc, ids: set[int]):
+        self._sc = sc
+        self._ids = ids
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _unpersist_rdd_ids(self._sc, self._ids)
+
+
+def _truncate_lineage(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
+    """Checkpoint ``df`` to cut plan lineage.
+
+    ``reliable=False`` → ``localCheckpoint``: executor-local blocks, fast,
+    but NOT fault-tolerant — after lineage truncation a lost executor kills
+    the job instead of recomputing. Fine on local[n]; on a real cluster
+    pass ``reliable=True`` (requires ``sc.setCheckpointDir``) so round
+    state lives in the checkpoint directory and survives executor loss.
+    Reliable checkpoint files accumulate until job end unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
+    """
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
 
 
 def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
@@ -143,6 +186,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 6,
     band_rows: int = 2,
     verify_threshold: float = 0.5,
+    cache_registry: list | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -156,6 +201,15 @@ def minhash_lsh_pairs(
     are the band-bucket self-join and the two verify joins, and
     verification intersects shingle arrays row-locally
     (``array_intersect``), costing |cands| not all-pairs.
+
+    The returned frame is EAGER (checkpointed at call time) so the large
+    persisted doc/shingle frame can be dropped before returning — the
+    trade for composing into lazy plans is a pinned (small) pair set.
+    Pass ``cache_registry`` to receive a ``CheckpointHandle`` that releases
+    that pair set once consumed (``spark.catalog.clearCache()`` cannot free
+    checkpoint RDDs); without it the pair set lives until session end.
+    ``reliable=True`` checkpoints to the cluster checkpoint dir instead of
+    executor-local blocks (see ``_truncate_lineage``).
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
@@ -224,8 +278,16 @@ def minhash_lsh_pairs(
     # frame can be released NOW instead of leaking for the session lifetime
     # — in a long-lived session each minhash call would otherwise pin a
     # full copy of the corpus shingles in the cache
+    sc = spark.sparkContext
     try:
-        return result.localCheckpoint()
+        with _REGISTRY_LOCK:
+            before = _persistent_rdd_ids(sc)
+            out = _truncate_lineage(result, reliable)
+            if cache_registry is not None:
+                cache_registry.append(
+                    CheckpointHandle(sc, _persistent_rdd_ids(sc) - before)
+                )
+        return out
     finally:
         docs.unpersist()
 
@@ -235,79 +297,94 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc, cluster) where
     cluster = min doc id reachable — the step that turns pairwise dedup
     output into canonical-document groups (keep min, drop the rest).
 
     Iterative min-label propagation; each round is one join + one
-    aggregate, with ``localCheckpoint`` truncating lineage so plans don't
+    aggregate, with a checkpoint truncating lineage so plans don't
     grow with iterations. Converges in O(diameter) rounds — near-dup
     clusters are shallow (stars/chains), so the loop is short. The
     driver-side loop carries only a converged/not flag, never data.
+    ``reliable=True`` checkpoints rounds to the cluster checkpoint dir
+    (``sc.setCheckpointDir``) so a lost executor recomputes instead of
+    killing the job — use it on real clusters; executor-local blocks are
+    the fast default for local[n] (see ``_truncate_lineage``).
 
     Storage hygiene: each round's checkpoint supersedes the previous one,
     and ``Dataset.unpersist`` cannot release checkpoint RDDs — so superseded
-    rounds are released by id through the JVM persistent-RDD registry
-    (diffed against a pre-call snapshot: only RDDs THIS call created are
-    touched). Only the final round's checkpoint — the returned frame's
-    backing data — stays, owned by the caller. ``edges`` is unpersisted on
-    exit.
+    rounds are released by id through the JVM persistent-RDD registry,
+    diffed against a pre-round snapshot. The module-wide ``_REGISTRY_LOCK``
+    serializes these diff windows, so concurrent calls into this module
+    cannot claim each other's RDDs; a persist issued by OTHER code during
+    a round's (checkpoint → snapshot) window could still be mis-attributed
+    and released — callers running foreign persists concurrently with this
+    loop on the same SparkContext should serialize externally. Only the
+    final round's checkpoint — the returned frame's backing data — stays,
+    owned by the caller. ``edges`` is unpersisted on exit.
     """
     sc = pairs.sparkSession.sparkContext
-    seen = _persistent_rdd_ids(sc)
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .persist()
-    )
-    try:
-        # materialize edges BEFORE the first checkpoint so its cached RDD id
-        # lands in the snapshot, not in the first round's diff (it must not
-        # be released until the loop ends)
-        edges.count()
-        seen |= _persistent_rdd_ids(sc)
-        labels = (
-            edges.select(F.col("src").alias("node"))
+    with _REGISTRY_LOCK:
+        seen = _persistent_rdd_ids(sc)
+        edges = (
+            pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .unionByName(
+                pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+            )
             .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
+            .persist()
         )
-        prev_round = _persistent_rdd_ids(sc) - seen
-        seen |= prev_round
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nmin"))
+        try:
+            # materialize edges BEFORE the first checkpoint so its cached RDD
+            # id lands in the snapshot, not in the first round's diff (it must
+            # not be released until the loop ends)
+            edges.count()
+            seen |= _persistent_rdd_ids(sc)
+            labels = _truncate_lineage(
+                edges.select(F.col("src").alias("node"))
+                .distinct()
+                .withColumn("label", F.col("node")),
+                reliable,
             )
-            # carry the previous label through the checkpoint: convergence
-            # is a cheap filter on the materialized frame, no extra join
-            # per round
-            stepped = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    F.col("label").alias("__old"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
+            prev_round = _persistent_rdd_ids(sc) - seen
+            seen |= prev_round
+            for _ in range(max_iter):
+                neighbor_min = (
+                    edges.join(labels, edges.dst == labels.node)
+                    .groupBy("src")
+                    .agg(F.min("label").alias("nmin"))
                 )
-                # lazy checkpoint: the convergence count below materializes
-                # it — ONE job per round, not checkpoint-job + count-job
-                .localCheckpoint(eager=False)
-            )
-            changed = stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
-            this_round = _persistent_rdd_ids(sc) - seen
-            seen |= this_round
-            labels = stepped.drop("__old")
-            _unpersist_rdd_ids(sc, prev_round)  # superseded round, safe to drop
-            prev_round = this_round
-            if changed == 0:
-                break
-    finally:
-        edges.unpersist()
+                # carry the previous label through the checkpoint: convergence
+                # is a cheap filter on the materialized frame, no extra join
+                # per round
+                stepped = _truncate_lineage(
+                    labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                    .select(
+                        "node",
+                        F.col("label").alias("__old"),
+                        F.least(
+                            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                        ).alias("label"),
+                    ),
+                    reliable,
+                    # lazy checkpoint: the convergence count below materializes
+                    # it — ONE job per round, not checkpoint-job + count-job
+                    eager=False,
+                )
+                changed = (
+                    stepped.filter(F.col("__old") != F.col("label")).limit(1).count()
+                )
+                this_round = _persistent_rdd_ids(sc) - seen
+                seen |= this_round
+                labels = stepped.drop("__old")
+                _unpersist_rdd_ids(sc, prev_round)  # superseded round
+                prev_round = this_round
+                if changed == 0:
+                    break
+        finally:
+            edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
 
 

@@ -88,6 +88,7 @@ def train_centroids(
     n_iter: int = 5,
     round_digits: int = 6,
     centroid_round_digits: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for IVF training: cosine assignment,
     element-wise mean update.
@@ -171,15 +172,13 @@ def train_centroids(
                 F.transform("im", lambda s: s["m"]).alias("new_cvec"),
             )
         )
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select(
-                "cent_id", F.coalesce("new_cvec", "cvec").alias("cvec")
-            )
-            # k rows; truncate the per-iteration lineage so n_iter rounds
-            # don't stack n_iter full assignment plans
-            .localCheckpoint()
+        stepped = cents.join(means, "cent_id", "left").select(
+            "cent_id", F.coalesce("new_cvec", "cvec").alias("cvec")
         )
+        # k rows; truncate the per-iteration lineage so n_iter rounds don't
+        # stack n_iter full assignment plans. reliable=True survives
+        # executor loss on a real cluster (needs sc.setCheckpointDir)
+        cents = stepped.checkpoint() if reliable else stepped.localCheckpoint()
     return cents
 
 

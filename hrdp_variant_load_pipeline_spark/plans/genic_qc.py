@@ -16,10 +16,44 @@ reference's visit set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hrdp_variant_load_pipeline_spark.operators.interval_join import with_exists_flag
+from hrdp_variant_load_pipeline_spark.operators.interval_join import (
+    interval_join_binned,
+    with_exists_flag,
+)
+
+#: above this many (merged) scope ranges the semi-join switches from
+#: broadcast to the binned equi-join — a forced broadcast of a
+#: million-line batch scope is a driver OOM at 146-strain scale
+BROADCAST_SCOPE_MAX_RANGES = 50_000
+
+
+def merge_scope_ranges(scope: DataFrame) -> DataFrame:
+    """Coalesce (chromosome, lo, hi) ranges into disjoint per-chromosome
+    intervals (classic sweep: sort by lo, extend while the next range
+    starts at or before the running max hi + 1 — positions are integral,
+    so touching ranges merge too).
+
+    ``scope_from_vcf`` emits one range per VCF line; a 146-strain batch is
+    millions of mostly-overlapping point ranges. Merging bounds the range
+    set by the batch's distinct loci footprint instead of its line count —
+    the difference between a broadcastable scope and a driver OOM. The
+    per-chromosome window sort is one shuffle of (chromosome, lo, hi)
+    triples, nothing wider.
+    """
+    w = Window.partitionBy("chromosome").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = scope.select("chromosome", "lo", "hi").withColumn(
+        "__grp",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("lo") > prev_max + 1), 1).otherwise(0)
+        ).over(w),
+    )
+    return grouped.groupBy("chromosome", "__grp").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    ).drop("__grp")
 
 
 def scope_from_vcf(vcf: DataFrame) -> DataFrame:
@@ -70,6 +104,7 @@ def genic_qc(
     genes: DataFrame,
     map_key: int,
     scope: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Return (rgd_id, genic_status) rows that need updating (M4).
 
@@ -78,23 +113,53 @@ def genic_qc(
     are re-checked (GenicQc.java:197 semantics). Apply the result with
     ``operators.upsert.merge_update(store, updates, "rgd_id",
     ["genic_status"])``.
+
+    ``cache_registry``: when given, the persisted merged-scope frame is
+    appended for the caller to release AFTER materializing the result
+    (``run_load``'s protocol); otherwise it is released immediately and
+    the merge recomputes once in the final job.
     """
     variants = variant_store.filter(F.col("map_key") == map_key)
     if scope is not None:
-        sc = scope.select(
-            F.col("chromosome").alias("__schrom"),
-            F.col("lo").alias("__slo"),
-            F.col("hi").alias("__shi"),
-        )
-        variants = (
-            variants.join(
+        # merge the per-line ranges first (disjoint, bounded by the batch's
+        # loci footprint), then pick the join strategy by ACTUAL size: small
+        # scopes broadcast, big ones go through the binned equi-join — never
+        # a forced broadcast of an unbounded side
+        merged = merge_scope_ranges(scope).persist()
+        n_ranges = merged.count()
+        if n_ranges <= BROADCAST_SCOPE_MAX_RANGES:
+            sc = merged.select(
+                F.col("chromosome").alias("__schrom"),
+                F.col("lo").alias("__slo"),
+                F.col("hi").alias("__shi"),
+            )
+            variants = variants.join(
                 F.broadcast(sc),
                 (F.col("chromosome") == F.col("__schrom"))
                 & (F.col("start_pos") >= F.col("__slo"))
                 & (F.col("start_pos") <= F.col("__shi")),
                 "left_semi",
             )
-        )
+        else:
+            # point probes against DISJOINT ranges hit at most one range —
+            # the inner equi-join on (chromosome, bin) is exactly a semi
+            variants = (
+                interval_join_binned(
+                    variants.withColumn("__qp", F.col("start_pos")),
+                    merged,
+                    probe_keys=("chromosome", "start_pos", "__qp"),
+                    interval_keys=("chromosome", "lo", "hi"),
+                    distinct_pairs=False,
+                )
+                .select("pr.*")
+                .drop("__qp")
+            )
+        if cache_registry is not None:
+            cache_registry.append(merged)
+        else:
+            # releasing now means the merge recomputes once when the caller
+            # materializes — the persist served the strategy-picking count
+            merged.unpersist()
 
     active_genes = genes.filter(F.col("object_status") == "ACTIVE")
     if "map_key" in genes.columns:
