@@ -12,8 +12,14 @@ Config (JSON; see sources/config.py):
       "samples": {"SAMPLE_NAME": 101, "...": 102},
       "genes_path": "/stores/genes",
       "variant_store": "/stores/variants",
-      "detail_store": "/stores/details"
+      "detail_store": "/stores/details",
+      "catalogs": {"rgd": {"genes": "/stores/genes"},
+                   "carpenovo": {"variant": "/stores/variants"}}
     }
+
+``catalogs`` (optional) registers stores as external tables under named
+catalog databases — the reference's dual RGD / "CarpeNovo" datasources
+(``DAO.java:34-36``) as Spark namespaces.
 
 Stores are partitioned Parquet directories (created on first load); genes
 is any Parquet with the GENE schema (or loaded via JDBC upstream).
@@ -33,6 +39,7 @@ from hrdp_variant_load_pipeline_spark.plans.load import load_metrics, run_load
 from hrdp_variant_load_pipeline_spark.session import get_spark
 from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples_dimension
 from hrdp_variant_load_pipeline_spark.sources.sinks import write_parquet_store
+from hrdp_variant_load_pipeline_spark.sources.tables import register_catalog_namespaces
 from hrdp_variant_load_pipeline_spark.sources.vcf import (
     read_restaged,
     read_vcf,
@@ -72,6 +79,17 @@ def _vcf_input(spark: SparkSession, cfg: dict) -> DataFrame:
     if not fs.exists(jpath):
         restage_to_parquet(read_vcf(spark, cfg["input_dir"]), dest)
     return read_restaged(spark, dest)
+
+
+def _register_catalogs(spark: SparkSession, cfg: dict) -> None:
+    """Optional ``"catalogs"`` config key: ``{db: {table: parquet_path}}``.
+
+    Mirrors the reference's dual datasources (default RGD + "CarpeNovo"
+    variant DB, ``DAO.java:34-36``) as catalog databases of external
+    tables, so deployment queries keep their qualified names
+    (``carpenovo.variant``, ``rgd.genes``)."""
+    if cfg.get("catalogs"):
+        register_catalog_namespaces(spark, cfg["catalogs"])
 
 
 def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
@@ -116,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(args.config)
     spark = get_spark("hrdp-variants-cli")
     try:
+        _register_catalogs(spark, cfg)
         if args.runLoad:
             out = cmd_run_load(spark, cfg)
         elif args.genicQc:

@@ -342,10 +342,15 @@ def connected_components(
             # not be released until the loop ends)
             edges.count()
             seen |= _persistent_rdd_ids(sc)
+            # seed with the FIRST propagation round directly: with identity
+            # labels, round 1's neighbor-min is just min(dst) per src, so
+            # label₀ = least(node, min neighbor) is one aggregate — no join,
+            # and one fewer loop round for every input (edges are
+            # symmetrized, so every node appears as src)
             labels = _truncate_lineage(
-                edges.select(F.col("src").alias("node"))
-                .distinct()
-                .withColumn("label", F.col("node")),
+                edges.groupBy("src").agg(
+                    F.least(F.col("src"), F.min("dst")).alias("label")
+                ).select(F.col("src").alias("node"), "label"),
                 reliable,
             )
             prev_round = _persistent_rdd_ids(sc) - seen

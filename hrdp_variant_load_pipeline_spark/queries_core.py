@@ -242,13 +242,21 @@ def join_range_acctbal(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def insert_if_absent(spark: SparkSession, sf: str) -> DataFrame:
+    # both sides derive from ONE table, so the two distincts + anti-join
+    # collapse to a single hash-aggregate: a pair is "incoming and not in
+    # store" iff its earliest shipment is on/after the cutoff. One scan,
+    # one shuffle (with map-side combine), no join — at 100 TB that's one
+    # pass over lineitem instead of two scans plus a pair-key join. (The
+    # true two-table anti-join shape — M1 against a separate store — is
+    # plans/load.py and the join_semi_anti_tagged entry.)
     li = table(spark, sf, "lineitem")
     cut = F.lit("1995-01-01").cast("timestamp")
-    store = li.filter(F.col("l_shipdate") < cut).select("l_partkey", "l_suppkey").distinct()
-    incoming = (
-        li.filter(F.col("l_shipdate") >= cut).select("l_partkey", "l_suppkey").distinct()
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_shipdate").alias("__first_ship"))
+        .filter(F.col("__first_ship") >= cut)
+        .select("l_partkey", "l_suppkey")
     )
-    return incoming.join(store, ["l_partkey", "l_suppkey"], "left_anti")
 
 
 # MERGE WHEN MATCHED UPDATE emulation (M2/M4): urgent orders get status 'U'

@@ -63,9 +63,12 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 # per-document profile battery: language-ID + quality score + vocabulary
 # fingerprint + winnowing fingerprint, all keyed by doc_id in one driver
 # row (round-2's text_lang_id / text_quality_score / text_winnow_fingerprint
-# merged so the freed window slots carry the round-2 operators). The
-# row-local columns ride a single scan; the winnow aggregate joins back on
-# the per-doc key — at scale both sides are doc_id-partitioned.
+# merged so the freed window slots carry the round-2 operators). EVERY
+# column is row-local and rides a single scan — winnowing included: grams
+# hash with a base-31 polynomial over the char-code array (bit-identical
+# cross-engine, no per-gram md5 — md5-per-gram was ~50M digests at sf1,
+# 41 s Spark / DuckDB DNF) and window minima are O(window) slices of the
+# bound hash array, so there is no explode, no window shuffle, no join.
 @q(
     "text_doc_profile",
     """
@@ -103,17 +106,22 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
              md5(array_to_string(list_sort(list_distinct(string_split(lt, ' '))), ' '))
                AS fingerprint
       FROM m JOIN t ON t.doc_id = m.doc_id),
-    g AS MATERIALIZED (SELECT doc_id,
-            list_transform(range(1, greatest(length(lt) - 4, 1) + 1),
-                           i -> md5(substring(lt, i, 5))) AS hashes
+    g AS (SELECT doc_id,
+            list_transform(string_split(lt, ''), ch -> ascii(ch)) AS c
           FROM t),
+    gh AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(c) - 4, 1) + 1),
+               i -> ((((coalesce(c[i], 0)::BIGINT * 31 + coalesce(c[i+1], 0)) * 31
+                      + coalesce(c[i+2], 0)) * 31 + coalesce(c[i+3], 0)) * 31
+                      + coalesce(c[i+4], 0))) AS h
+           FROM g),
     winnow AS (
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(wins)), '')) AS winnow_fp
       FROM (SELECT doc_id,
-              list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
-                             j -> list_min(hashes[j:j+7])) AS wins
-            FROM g))
+              list_transform(range(1, greatest(len(h) - 7, 1) + 1),
+                             j -> list_min(h[j:j+7])) AS wins
+            FROM gh))
     SELECT q.doc_id, l.lang_pred, q.quality, q.fingerprint, wn.winnow_fp
     FROM qual q
     JOIN lang l ON l.doc_id = q.doc_id
@@ -122,41 +130,25 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select("doc_id", "text")
-    # repartition BEFORE the gram hashing so the CPU-heavy transform runs
-    # across all cores, not on the single input-file partition
+    # repartition BEFORE the gram hashing so the per-row CPU runs across
+    # all cores, not on the single input-file partition
     if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         d = d.repartition(spark.sparkContext.defaultParallelism)
-    profile = d.select(
+    # two staging selects so the code/hash arrays bind as columns: each is
+    # referenced more than once downstream, which stops CollapseProject
+    # from inlining the producing expression into every lambda element
+    # (inlined, the gram hash would recompute the whole char array per
+    # element — the O(n²) trap the round-2 explode form existed to avoid)
+    staged = d.select("doc_id", "text", TXT.char_codes(F.lower(F.col("text"))).alias("__c"))
+    staged = staged.select(
+        "doc_id", "text", TXT.gram_code_hashes(F.col("__c"), k=5).alias("__h")
+    )
+    return staged.select(
         "doc_id",
         TXT.lang_predict(F.col("text")).alias("lang_pred"),
         TXT.quality_score(F.col("text")).alias("quality"),
         TXT.fingerprint(F.col("text")).alias("fingerprint"),
-    )
-    return profile.join(_winnow_fp(spark, d), "doc_id")
-
-
-def _winnow_fp(spark: SparkSession, d: DataFrame, window: int = 8) -> DataFrame:
-    """(doc_id, winnow_fp) — winnowing (Schleimer et al. SIGMOD'03): min
-    gram-hash per sliding window, digest of the sorted distinct selections.
-
-    Explode + leading window-min + re-aggregate: each gram md5 is computed
-    ONCE — a nested array-transform formulation re-evaluates the whole hash
-    array per window position (O(n^2) md5s; measured 150s at sf0.001).
-    """
-    src = d.select("doc_id", TXT.gram_hashes(F.col("text"), k=5).alias("h"))
-    exploded = src.select("doc_id", F.size("h").alias("n_h"), F.posexplode("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    wins = exploded.withColumn("win_min", F.min("col").over(w)).filter(
-        (F.col("pos") <= F.col("n_h") - window) | (F.col("pos") == 0)
-    )
-    return wins.groupBy("doc_id").agg(
-        F.md5(
-            F.array_join(F.array_sort(F.collect_set("win_min")), "")
-        ).alias("winnow_fp")
+        TXT.winnow_fp(F.col("__h"), window=8).alias("winnow_fp"),
     )
 
 

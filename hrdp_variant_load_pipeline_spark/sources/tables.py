@@ -52,3 +52,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_catalog_namespaces(
+    spark: SparkSession, namespaces: dict[str, dict[str, str]]
+) -> None:
+    """Register parquet stores as external tables under named catalog
+    databases: ``{"rgd": {"genes": path}, "carpenovo": {"variant": path}}``.
+
+    The reference talks to TWO Oracle datasources — the default RGD schema
+    for dims and the "CarpeNovo" schema for the variant store
+    (``DAO.java:34-36``). In Spark both become catalog databases over the
+    same engine, so a deployment keeps its qualified names:
+    ``spark.table("carpenovo.variant")`` /
+    ``SELECT ... FROM rgd.genes JOIN carpenovo.variant ...``.
+
+    Tables are EXTERNAL (``USING parquet LOCATION``): registration is
+    metadata-only, no data copy, and stores written by the load keep
+    working through their paths. Safe to call repeatedly (IF NOT EXISTS);
+    re-register after replacing a store path.
+    """
+    for db, tbls in namespaces.items():
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        for name, path in tbls.items():
+            escaped = path.replace("'", "''")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{db}`.`{name}` "
+                f"USING parquet LOCATION '{escaped}'"
+            )

@@ -101,3 +101,55 @@ def test_cli_restage_first_load(spark, tmp_path):
     # genic QC scoping also reads the restage, not input_dir
     q = cmd_genic_qc(spark, cfg)
     assert q["genic_status_updated"] == 0
+
+
+def test_cli_dual_catalog_namespaces(spark, tmp_path):
+    """The reference talks to two Oracle datasources (default RGD +
+    "CarpeNovo" variants, DAO.java:34-36); the engine maps both into the
+    session catalog as databases of external tables, so a migrated
+    deployment keeps its qualified names end-to-end."""
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE).write.parquet(
+        genes_path
+    )
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+        "catalogs": {
+            "rgd_t": {"genes": genes_path},
+            "carpenovo_t": {
+                "variant": str(tmp_path / "variants"),
+                "variant_sample_detail": str(tmp_path / "details"),
+            },
+        },
+    }
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2
+
+    from hrdp_variant_load_pipeline_spark.cli import _register_catalogs
+
+    _register_catalogs(spark, cfg)
+    try:
+        # dims and the variant store answer through their own namespaces
+        assert spark.table("rgd_t.genes").count() == 1
+        assert spark.table("carpenovo_t.variant").count() == 2
+        joined = spark.sql(
+            """SELECT count(*) AS n
+               FROM carpenovo_t.variant v JOIN rgd_t.genes g
+                 ON v.chromosome = g.chromosome
+                AND v.start_pos BETWEEN g.start_pos AND g.stop_pos"""
+        ).collect()[0]["n"]
+        assert joined == 1  # pos 100 falls in [50, 150]; pos 400 does not
+        # re-registration is a no-op, not an error
+        _register_catalogs(spark, cfg)
+    finally:
+        for db in ("rgd_t", "carpenovo_t"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

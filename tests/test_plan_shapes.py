@@ -36,9 +36,15 @@ def test_star_joins_broadcast(spark, name):
     assert "CartesianProduct" not in plan
 
 
-def test_anti_join_no_cartesian(spark):
+def test_insert_if_absent_single_shuffle_no_join(spark):
+    """Both sides derive from one table, so the plan must be a single
+    hash-aggregate over one scan: exactly one exchange (the pair-key
+    shuffle, with map-side partial agg), no join operator at all — the
+    round-2 form paid two distinct shuffles plus an anti-join."""
     plan = _plan(spark, "insert_if_absent")
-    assert "LeftAnti" in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # map-side combine before the shuffle
 
 
 def test_exists_flag_single_probe_scan_no_probe_shuffle(spark):

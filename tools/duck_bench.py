@@ -48,18 +48,20 @@ print(json.dumps(round(best, 3)))
 """
 
 
-def main() -> None:
-    import bench
-    import __spark_entry__ as entrymod
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
-    oracles = entrymod.oracle_sql()
+def run(
+    sf_dir: str,
+    names: list[str],
+    oracles: dict[str, str],
+    timeout: float = 120.0,
+) -> dict[str, float | str]:
+    """Time each named oracle against ``sf_dir``, one subprocess per query
+    with a hard timeout. Importable so bench.py can emit the DuckDB
+    side-by-side in its own JSON artifact."""
     worker_src = WORKER % {"tables": TABLES}
     payload = json.dumps({k: v for k, v in oracles.items()})
 
     times: dict[str, float | str] = {}
-    for name in bench.HEADLINE:
+    for name in names:
         sql = oracles.get(name)
         if sql is None:
             continue
@@ -78,7 +80,16 @@ def main() -> None:
             times[name] = "DNF"
             print(f"# {name}: DNF (> {timeout}s)", file=sys.stderr)
         subprocess.run(["rm", "-rf", "/tmp/duck_spill"], check=False)
-    print(json.dumps(times))
+    return times
+
+
+def main() -> None:
+    import bench
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    print(json.dumps(run(sf_dir, bench.HEADLINE, entrymod.oracle_sql(), timeout)))
 
 
 if __name__ == "__main__":

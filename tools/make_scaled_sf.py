@@ -37,11 +37,9 @@ KEYED = {
 COPY = ["region", "nation"]
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hrdp_scaled_sf1"
-    spark = get_spark("make-scaled-sf")
-
+def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
+    """Write the K-replica scaled copy of sf0.1 under ``out`` using an
+    existing session (bench.py stages its sf1 leg through this)."""
     # one offset base per key FAMILY, shared across tables so foreign keys
     # stay aligned (orders.o_custkey shifts exactly like customer.c_custkey)
     base: dict[str, int] = {}
@@ -83,12 +81,19 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(f"{out}/{tname}.parquet")
         )
-        print(f"wrote {tname} x{k}")
+        print(f"wrote {tname} x{k}", file=sys.stderr)
     for tname in COPY:
         table(spark, SRC, tname).write.mode("overwrite").parquet(
             f"{out}/{tname}.parquet"
         )
-        print(f"wrote {tname} (unscaled dim)")
+        print(f"wrote {tname} (unscaled dim)", file=sys.stderr)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hrdp_scaled_sf1"
+    spark = get_spark("make-scaled-sf")
+    generate(spark, k, out)
     spark.stop()
 
 
