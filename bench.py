@@ -130,33 +130,46 @@ def main() -> None:
         else SF_DIR.rstrip("/").endswith("sf0.1")
     )
     if run_scaled:
-        if not _scaled_ready(SCALED_DIR):
-            print(f"# staging {SCALED_K}x data at {SCALED_DIR}", file=sys.stderr)
-            import make_scaled_sf
-
-            make_scaled_sf.generate(spark, SCALED_K, SCALED_DIR)
-        scaled = _bench_spark(spark, queries, SCALED_DIR, "sf1")
-        import duck_bench
-
-        duck = duck_bench.run(
-            SCALED_DIR, HEADLINE, entrymod.oracle_sql(), timeout=DUCK_TIMEOUT
-        )
-        finished = [v for v in duck.values() if isinstance(v, (int, float))]
-        out["scaled"] = {
+        # the scaled + DuckDB side-by-side is additive signal: NO failure in
+        # it may erase the sf0.1 Spark timings above (round 3 lost the whole
+        # artifact to one unguarded parse of DuckDB's stdout progress bar).
+        # Each sub-stage is guarded; whatever completed lands in the JSON.
+        scaled_out: dict = {
             "sf": round(_sf_of(SF_DIR) * SCALED_K, 3),
             "dir": SCALED_DIR,
-            "value": round(sum(scaled.values()), 3),
-            "queries": scaled,
-            "duckdb": duck,
-            "duckdb_finished_total": round(sum(finished), 3),
             "duckdb_timeout_s": DUCK_TIMEOUT,
             "note": (
                 "reproduce: python tools/duck_bench.py <dir>; staged via "
                 f"tools/make_scaled_sf.py {SCALED_K} <dir>"
             ),
         }
+        try:
+            if not _scaled_ready(SCALED_DIR):
+                print(f"# staging {SCALED_K}x data at {SCALED_DIR}", file=sys.stderr)
+                import make_scaled_sf
 
-    print(json.dumps(out))
+                make_scaled_sf.generate(spark, SCALED_K, SCALED_DIR)
+            scaled = _bench_spark(spark, queries, SCALED_DIR, "sf1")
+            scaled_out["value"] = round(sum(scaled.values()), 3)
+            scaled_out["queries"] = scaled
+        except Exception as exc:  # noqa: BLE001 — record, don't die
+            scaled_out["error"] = f"spark-scaled: {exc!r}"[:500]
+            print(f"# scaled spark section failed: {exc!r}", file=sys.stderr)
+        try:
+            import duck_bench
+
+            duck = duck_bench.run(
+                SCALED_DIR, HEADLINE, entrymod.oracle_sql(), timeout=DUCK_TIMEOUT
+            )
+            finished = [v for v in duck.values() if isinstance(v, (int, float))]
+            scaled_out["duckdb"] = duck
+            scaled_out["duckdb_finished_total"] = round(sum(finished), 3)
+        except Exception as exc:  # noqa: BLE001
+            scaled_out["duckdb_error"] = repr(exc)[:500]
+            print(f"# duckdb section failed: {exc!r}", file=sys.stderr)
+        out["scaled"] = scaled_out
+
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

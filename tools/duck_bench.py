@@ -11,6 +11,7 @@ Prints one JSON line {query: seconds | "DNF"}.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -29,6 +30,14 @@ import duckdb
 sf_dir, name = sys.argv[1], sys.argv[2]
 sql = json.load(sys.stdin)[name]
 con = duckdb.connect()
+# slow queries flip DuckDB's progress bar on, and it prints to STDOUT —
+# which corrupted the one-line JSON protocol (round-3 bench artifact died
+# parsing "100%% ..."); kill it, and pin threads/memory so the timing
+# envelope is not hostage to ambient load (the dedup_clusters recursive
+# CTE swung 4.2->11.5s across sessions unpinned)
+con.execute("SET enable_progress_bar=false")
+con.execute("SET progress_bar_time=999999999")
+con.execute("SET threads=%(threads)d")
 con.execute("SET temp_directory='/tmp/duck_spill'")
 con.execute("SET memory_limit='48GB'")
 for t in %(tables)r:
@@ -57,7 +66,8 @@ def run(
     """Time each named oracle against ``sf_dir``, one subprocess per query
     with a hard timeout. Importable so bench.py can emit the DuckDB
     side-by-side in its own JSON artifact."""
-    worker_src = WORKER % {"tables": TABLES}
+    threads = int(os.environ.get("SPARK_GRAFT_DUCK_THREADS", "32"))
+    worker_src = WORKER % {"tables": TABLES, "threads": threads}
     payload = json.dumps({k: v for k, v in oracles.items()})
 
     times: dict[str, float | str] = {}
@@ -74,8 +84,19 @@ def run(
                 times[name] = "ERR"
                 print(f"# {name}: ERR {out.stderr.strip()[:200]}", file=sys.stderr)
             else:
-                times[name] = json.loads(out.stdout.strip().splitlines()[-1])
-                print(f"# {name}: {times[name]}s", file=sys.stderr)
+                # the worker's LAST stdout line is the timing; anything else
+                # on stdout (a stray progress bar, a library banner) must
+                # degrade THIS row to ERR, never kill the whole artifact
+                try:
+                    times[name] = json.loads(out.stdout.strip().splitlines()[-1])
+                    print(f"# {name}: {times[name]}s", file=sys.stderr)
+                except (ValueError, IndexError) as exc:
+                    times[name] = "ERR"
+                    print(
+                        f"# {name}: ERR unparseable worker stdout "
+                        f"({exc}): {out.stdout.strip()[-120:]!r}",
+                        file=sys.stderr,
+                    )
         except subprocess.TimeoutExpired:
             times[name] = "DNF"
             print(f"# {name}: DNF (> {timeout}s)", file=sys.stderr)
