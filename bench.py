@@ -96,6 +96,46 @@ def _scaled_ready(out_dir: str) -> bool:
     )
 
 
+DETAIL_FILE = "BENCH_DETAIL.json"
+FINAL_LINE_BUDGET = 1500  # driver tail-captures ~2000 chars; stay well under
+
+
+def final_line(out: dict) -> str:
+    """Compact final stdout line for the driver: sf-dir per-query timings +
+    totals-only summaries of the scaled/DuckDB sections (full detail lives
+    in BENCH_DETAIL.json). Guaranteed < FINAL_LINE_BUDGET chars — if the
+    per-query dict ever pushes past it, queries are dropped (detail file
+    still has them) rather than risk the driver's tail truncating the line.
+    """
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out.get("queries", {}),
+        "sf": out["sf"],
+        "detail": DETAIL_FILE,
+    }
+    scaled = out.get("scaled")
+    if scaled:
+        s: dict = {"sf": scaled.get("sf")}
+        for key in ("value", "error", "duckdb_finished_total", "duckdb_error"):
+            if key in scaled:
+                s[key] = scaled[key]
+        duck = scaled.get("duckdb")
+        if isinstance(duck, dict):
+            unfinished = sorted(
+                k for k, v in duck.items() if not isinstance(v, (int, float))
+            )
+            if unfinished:
+                s["duckdb_unfinished"] = unfinished
+        compact["scaled"] = s
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > FINAL_LINE_BUDGET:
+        compact["queries"] = "see detail file"
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def _sf_of(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -155,21 +195,34 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, don't die
             scaled_out["error"] = f"spark-scaled: {exc!r}"[:500]
             print(f"# scaled spark section failed: {exc!r}", file=sys.stderr)
-        try:
-            import duck_bench
+        if not _scaled_ready(SCALED_DIR):
+            # never time a partially-staged dir: the worker creates views
+            # only for files that exist, so timings would look plausible
+            # while reading a fraction of the data
+            scaled_out["duckdb_error"] = "scaled dir not fully staged"
+        else:
+            try:
+                import duck_bench
 
-            duck = duck_bench.run(
-                SCALED_DIR, HEADLINE, entrymod.oracle_sql(), timeout=DUCK_TIMEOUT
-            )
-            finished = [v for v in duck.values() if isinstance(v, (int, float))]
-            scaled_out["duckdb"] = duck
-            scaled_out["duckdb_finished_total"] = round(sum(finished), 3)
-        except Exception as exc:  # noqa: BLE001
-            scaled_out["duckdb_error"] = repr(exc)[:500]
-            print(f"# duckdb section failed: {exc!r}", file=sys.stderr)
+                duck = duck_bench.run(
+                    SCALED_DIR, HEADLINE, entrymod.oracle_sql(), timeout=DUCK_TIMEOUT
+                )
+                finished = [v for v in duck.values() if isinstance(v, (int, float))]
+                scaled_out["duckdb"] = duck
+                scaled_out["duckdb_threads"] = duck_bench.effective_threads()
+                scaled_out["duckdb_finished_total"] = round(sum(finished), 3)
+            except Exception as exc:  # noqa: BLE001
+                scaled_out["duckdb_error"] = repr(exc)[:500]
+                print(f"# duckdb section failed: {exc!r}", file=sys.stderr)
         out["scaled"] = scaled_out
 
-    print(json.dumps(out), flush=True)
+    # full detail goes to a file (and stderr); the LAST stdout line must
+    # stay compact — the driver captures only a ~2000-char tail, and three
+    # rounds of perf data were lost to one fat JSON line overflowing it.
+    detail_path = _HERE / DETAIL_FILE
+    detail_path.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"# full detail: {json.dumps(out)}", file=sys.stderr)
+    print(final_line(out), flush=True)
     spark.stop()
 
 

@@ -105,6 +105,41 @@ def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
     return load_metrics(res)
 
 
+def _atomic_replace_store(df: DataFrame, store_path: str) -> None:
+    """Replace a parquet store with ``df`` without an unreadable window.
+
+    The previous overwrite-in-place (``localCheckpoint().write.mode(
+    "overwrite")``) destroyed the store before the new files were durable:
+    an executor/driver loss mid-write left NO readable store. Instead the
+    new store is fully written to a sibling temp dir (reads still see the
+    untouched original — no checkpoint needed), then swapped in with two
+    metadata-only Hadoop FS renames. A crash before the first rename
+    leaves the original untouched; between the renames the prior version
+    survives at ``<store>.__old__`` for manual recovery. A real MERGE sink
+    (Delta/Iceberg) would make the swap a single atomic commit.
+    """
+    spark = df.sparkSession
+    base = store_path.rstrip("/")
+    tmp, old = base + ".__new__", base + ".__old__"
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    path = lambda p: jvm.org.apache.hadoop.fs.Path(p)  # noqa: E731
+    for stale in (tmp, old):  # leftovers from a previous crashed swap
+        fs.delete(path(stale), True)
+    df.write.mode("overwrite").parquet(tmp)
+    if not fs.exists(path(tmp + "/_SUCCESS")):
+        raise RuntimeError(f"store replacement aborted: no _SUCCESS in {tmp}")
+    if fs.exists(path(base)) and not fs.rename(path(base), path(old)):
+        raise RuntimeError(f"could not move {base} aside to {old}")
+    if not fs.rename(path(tmp), path(base)):
+        # put the original back so the store stays readable
+        fs.rename(path(old), path(base))
+        raise RuntimeError(f"could not promote {tmp} to {base}")
+    fs.delete(path(old), True)
+
+
 def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     genes = spark.read.parquet(cfg["genes_path"])
     store = spark.read.parquet(cfg["variant_store"])
@@ -115,12 +150,7 @@ def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     n = updates.count()
     if n:
         repaired = merge_update(store, updates, "rgd_id", ["genic_status"])
-        # localCheckpoint materializes executor-side and cuts lineage to the
-        # input files, making overwrite-in-place safe without a driver
-        # collect (a Delta/Iceberg sink would be a real MERGE instead)
-        repaired.localCheckpoint().write.mode("overwrite").parquet(
-            cfg["variant_store"]
-        )
+        _atomic_replace_store(repaired, cfg["variant_store"])
     return {"genic_status_updated": n}
 
 

@@ -57,6 +57,18 @@ class CheckpointHandle:
         _unpersist_rdd_ids(self._sc, self._ids)
 
 
+def resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
+    """Resolve an operator's ``reliable`` argument: ``None`` (the default)
+    means "reliable iff the session has a checkpoint dir configured"
+    (``sc.setCheckpointDir``). A deployment that provisioned durable
+    checkpoint storage gets fault-tolerant reliable checkpoints without
+    touching every call site; a bare local session keeps the fast
+    executor-local blocks. An explicit True/False always wins."""
+    if reliable is not None:
+        return bool(reliable)
+    return df.sparkSession.sparkContext.getCheckpointDir() is not None
+
+
 def _truncate_lineage(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
     """Checkpoint ``df`` to cut plan lineage.
 
@@ -187,7 +199,7 @@ def minhash_lsh_pairs(
     band_rows: int = 2,
     verify_threshold: float = 0.5,
     cache_registry: list | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -212,6 +224,7 @@ def minhash_lsh_pairs(
     executor-local blocks (see ``_truncate_lineage``).
     """
     spark = df.sparkSession
+    reliable = resolve_reliable(df, reliable)
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     # single-file/tiny inputs arrive as 1 partition; the shingle+md5 work is
     # CPU-bound, so spread it (no-op at real scale where inputs are split)
@@ -297,7 +310,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc, cluster) where
     cluster = min doc id reachable — the step that turns pairwise dedup
@@ -326,6 +339,7 @@ def connected_components(
     owned by the caller. ``edges`` is unpersisted on exit.
     """
     sc = pairs.sparkSession.sparkContext
+    reliable = resolve_reliable(pairs, reliable)
     with _REGISTRY_LOCK:
         seen = _persistent_rdd_ids(sc)
         edges = (

@@ -88,7 +88,7 @@ def train_centroids(
     n_iter: int = 5,
     round_digits: int = 6,
     centroid_round_digits: int | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for IVF training: cosine assignment,
     element-wise mean update.
@@ -113,6 +113,9 @@ def train_centroids(
 
     Returns (cent_id, cvec) — pass as ``ivf_topk(..., centroids=...)``.
     """
+    from hrdp_variant_load_pipeline_spark.operators.dedup import resolve_reliable
+
+    reliable = resolve_reliable(corpus, reliable)
     c = corpus.select(F.col(vec_col).alias("c_vec"), norm(F.col(vec_col)).alias("c_norm"))
     w = Window.orderBy(id_col)
     cents = (

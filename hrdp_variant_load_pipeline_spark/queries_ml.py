@@ -16,7 +16,7 @@ from hrdp_variant_load_pipeline_spark.functions import text as TXT
 from hrdp_variant_load_pipeline_spark.operators import dedup as DD
 from hrdp_variant_load_pipeline_spark.operators import multimodal as MM
 from hrdp_variant_load_pipeline_spark.operators import similarity as SIM
-from hrdp_variant_load_pipeline_spark.sources.tables import table
+from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts, table
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -754,8 +754,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -830,8 +829,7 @@ def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts(stream)
     deduped = dedup_stream(
         stream.select("user_id", "event_type", "ts"),
         keys=("user_id", "event_type"),

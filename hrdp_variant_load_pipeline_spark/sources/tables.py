@@ -24,6 +24,32 @@ TABLE_NAMES = (
 )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned ``timestamp``.
+
+    The driver regenerates testdata between rounds and the parquet physical
+    type of ``events.ts`` has varied: TIMESTAMP(NANOS) (readable only as
+    ``bigint`` under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    ``timestamp[us]`` (read as ``timestamp_ntz``). Both are UTC-naive wall
+    times, and the session time zone is pinned UTC, so both normalizations
+    are value-preserving vs the UTC-naive DuckDB oracle. Works on batch and
+    streaming DataFrames alike.
+    """
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        if field.name != col:
+            continue
+        t = field.dataType.simpleString()
+        if t == "bigint":
+            # integer div: double division would lose precision on ns values
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif t == "timestamp_ntz":
+            # session TZ pinned UTC → cast relabels the same wall-clock value
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set defensively for sessions not built by get_spark (driver-owned):
     # timestamps must render UTC to match the UTC-naive DuckDB oracle
@@ -31,15 +57,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as long
-    # (spark.sql.legacy.parquet.nanosAsLong, set in get_spark and defensively
-    # here for driver-owned sessions); normalize back to a timestamp column.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
-
-            # integer div: double division would lose precision on ns values
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

@@ -10,12 +10,16 @@ same way.
 
 from __future__ import annotations
 
+import json
 import subprocess
 import sys
 from pathlib import Path
 from types import SimpleNamespace
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duck_bench  # noqa: E402
 
@@ -75,8 +79,13 @@ def test_timeout_degrades_to_dnf(monkeypatch):
     assert times == {"q": "DNF"}
 
 
+@pytest.mark.skipif(
+    not Path("/root/testdata/sf0.001").exists(),
+    reason="driver testdata fixture not present",
+)
 def test_real_worker_round_trip():
     """End-to-end: the patched worker times a trivial oracle at sf0.001."""
+    pytest.importorskip("duckdb")
     times = duck_bench.run(
         "/root/testdata/sf0.001",
         ["probe"],
@@ -84,3 +93,67 @@ def test_real_worker_round_trip():
         timeout=30,
     )
     assert isinstance(times["probe"], float)
+
+
+def _fat_bench_out() -> dict:
+    """Representative worst-case bench dict: full headline set at sf0.1 plus
+    a scaled section with per-query Spark AND DuckDB timings (the shape
+    that overflowed the driver's 2000-char tail in rounds 2-4)."""
+    import bench
+
+    queries = {name: round(0.1 + i * 0.137, 3) for i, name in enumerate(bench.HEADLINE)}
+    duck = {name: round(0.05 + i * 0.211, 3) for i, name in enumerate(bench.HEADLINE)}
+    duck["dedup_clusters"] = "DNF"
+    return {
+        "metric": "headline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "scaled": {
+            "sf": 1.0,
+            "dir": "/root/repo/benchdata/sf1",
+            "duckdb_timeout_s": 60.0,
+            "note": "reproduce: python tools/duck_bench.py <dir>; staged via "
+            "tools/make_scaled_sf.py 10 <dir>",
+            "value": 26.712,
+            "queries": queries,
+            "duckdb": duck,
+            "duckdb_finished_total": 35.131,
+        },
+    }
+
+
+def test_final_line_fits_driver_tail_window():
+    """The driver captures only a ~2000-char stdout tail; the final line
+    must always fit with margin, even with every optional section present."""
+    import bench
+
+    line = bench.final_line(_fat_bench_out())
+    assert len(line) < 1500, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["value"] > 0
+    assert parsed["sf"] == 0.1
+    assert isinstance(parsed["queries"], dict) and len(parsed["queries"]) == len(
+        bench.HEADLINE
+    )
+    assert parsed["scaled"]["value"] == 26.712
+    assert parsed["scaled"]["duckdb_finished_total"] == 35.131
+    assert parsed["scaled"]["duckdb_unfinished"] == ["dedup_clusters"]
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_final_line_survives_error_sections():
+    out = _fat_bench_out()
+    out["scaled"] = {
+        "sf": 1.0,
+        "error": "spark-scaled: RuntimeError('x' * 400)",
+        "duckdb_error": "scaled dir not fully staged",
+    }
+    import bench
+
+    line = bench.final_line(out)
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["scaled"]["duckdb_error"] == "scaled dir not fully staged"

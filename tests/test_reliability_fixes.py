@@ -32,8 +32,52 @@ PAIRS = [
 
 @pytest.fixture()
 def ckpt_dir(spark, tmp_path):
+    # restore the unset state afterward: with a dir configured, the
+    # iterative operators' reliable=None default flips to reliable
+    # checkpointing (resolve_reliable), which must not leak into other
+    # tests on the session-scoped SparkContext
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    return str(tmp_path / "ckpt")
+    yield str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(None)
+
+
+def test_reliable_default_follows_checkpoint_dir(spark, tmp_path):
+    """reliable=None (the default) selects reliable checkpointing exactly
+    when the session has a checkpoint dir configured; explicit wins."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import resolve_reliable
+
+    df = spark.range(1)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    assert resolve_reliable(df, None) is False
+    assert resolve_reliable(df, True) is True
+    sc.setCheckpointDir(str(tmp_path / "ckpt_default"))
+    try:
+        assert resolve_reliable(df, None) is True
+        assert resolve_reliable(df, False) is False
+    finally:
+        sc.setCheckpointDir(None)
+
+
+def test_connected_components_default_uses_configured_ckpt_dir(spark, ckpt_dir):
+    """With a checkpoint dir configured and reliable unspecified, round
+    state must land in the reliable checkpoint dir (survives executor
+    loss), not in executor-local blocks."""
+    import os
+
+    pairs = spark.createDataFrame(PAIRS, "doc_a long, doc_b long")
+    out = {
+        (r["doc"], r["cluster"]) for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt_dir) for f in fs
+    ]
+    assert ckpt_files, "no files written to the configured checkpoint dir"
 
 
 def test_connected_components_reliable_matches_local(spark, ckpt_dir):

@@ -57,6 +57,14 @@ print(json.dumps(round(best, 3)))
 """
 
 
+def effective_threads() -> int:
+    """Worker thread pin: capped at host cores — a fixed 32 oversubscribes
+    smaller hosts and reintroduces the load variance the pin exists to
+    remove. Overridable via SPARK_GRAFT_DUCK_THREADS."""
+    default = min(32, os.cpu_count() or 32)
+    return int(os.environ.get("SPARK_GRAFT_DUCK_THREADS", str(default)))
+
+
 def run(
     sf_dir: str,
     names: list[str],
@@ -66,9 +74,10 @@ def run(
     """Time each named oracle against ``sf_dir``, one subprocess per query
     with a hard timeout. Importable so bench.py can emit the DuckDB
     side-by-side in its own JSON artifact."""
-    threads = int(os.environ.get("SPARK_GRAFT_DUCK_THREADS", "32"))
+    threads = effective_threads()
     worker_src = WORKER % {"tables": TABLES, "threads": threads}
     payload = json.dumps({k: v for k, v in oracles.items()})
+    print(f"# duck_bench: threads={threads}", file=sys.stderr)
 
     times: dict[str, float | str] = {}
     for name in names:
@@ -110,7 +119,8 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
-    print(json.dumps(run(sf_dir, bench.HEADLINE, entrymod.oracle_sql(), timeout)))
+    times = run(sf_dir, bench.HEADLINE, entrymod.oracle_sql(), timeout)
+    print(json.dumps({"threads": effective_threads(), "times": times}))
 
 
 if __name__ == "__main__":
