@@ -505,14 +505,18 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
     return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
 
 
-# scalar function surface (§2.8), string + math in one battery over part:
+# scalar function surface (§2.8), string + math + datetime in one battery:
 # split/substr/replace/length/contains/startswith/null-safe equality/int
-# parse plus abs/ceil/floor/mod/power/sqrt/ln/sign/greatest/least. Merged
-# from round-1 scalar_string_funcs / scalar_math_funcs to fit the driver's
-# 50-query correctness window.
+# parse plus abs/ceil/floor/mod/power/sqrt/ln/sign/greatest/least over
+# part, equi-joined (p_partkey = l_orderkey) with extract/trunc/diff/add
+# over lineitem dates. Merged from round-1 scalar_string_funcs /
+# scalar_math_funcs and round-2 scalar_datetime_funcs to fit the driver's
+# 50-query correctness window (types stay native — a union-tagged long
+# format would force cross-engine float-to-string casts).
 @q(
     "scalar_funcs_battery",
     """
+    WITH s AS (
     SELECT p_partkey,
            string_split(p_type, ' ')[1] AS type_head,
            substring(p_name, 1, 5) AS name5,
@@ -533,13 +537,27 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
            greatest(p_partkey % 5, p_partkey % 3) AS gmax,
            least(p_partkey % 5, p_partkey % 3) AS lmin
     FROM part
+    ),
+    d AS (
+    SELECT l_orderkey, l_linenumber,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           dayofweek(l_shipdate) AS ship_dow,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate) AS days_since_95,
+           strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM lineitem WHERE l_orderkey <= 100
+    )
+    SELECT s.*, d.l_orderkey, d.l_linenumber, d.ship_year, d.ship_month,
+           d.ship_dow, d.ship_month_start, d.days_since_95, d.due_date
+    FROM s JOIN d ON s.p_partkey = d.l_orderkey
     """,
 )
 def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
     p = table(spark, sf, "part")
     k = F.col("p_partkey")
     price = F.col("p_retailprice")
-    return p.select(
+    s = p.select(
         "p_partkey",
         F.split("p_type", " ").getItem(0).alias("type_head"),
         F.substring("p_name", 1, 5).alias("name5"),
@@ -560,25 +578,8 @@ def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.greatest(k % 5, k % 3).alias("gmax"),
         F.least(k % 5, k % 3).alias("lmin"),
     )
-
-
-# date/time scalar surface (§2.8): extract, trunc, diff, add
-@q(
-    "scalar_datetime_funcs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           year(l_shipdate) AS ship_year,
-           month(l_shipdate) AS ship_month,
-           dayofweek(l_shipdate) AS ship_dow,
-           strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month_start,
-           datediff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate) AS days_since_95,
-           strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
-    FROM lineitem WHERE l_orderkey <= 100
-    """,
-)
-def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
-    return li.select(
+    d = li.select(
         "l_orderkey",
         "l_linenumber",
         F.year("l_shipdate").alias("ship_year"),
@@ -595,6 +596,9 @@ def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
             "due_date"
         ),
     )
+    # the part battery is tiny (one row per part) — broadcast it so the
+    # merged battery adds no shuffle over the pre-merge pair of scans
+    return d.join(F.broadcast(s), s["p_partkey"] == d["l_orderkey"])
 
 
 # correlated-aggregate join battery (TPC-H Q17 + Q18 shapes, merged to fit

@@ -559,6 +559,63 @@ def embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return cents.select("cent_id", F.posexplode("cvec").alias("i", "m"))
 
 
+# trained-centroids ANN composition: the production path train_centroids →
+# ivf_topk(centroids=...) as ONE cross-engine row. The k-means row above
+# proves the trainer's centroid VALUES are engine-stable (fixed 2
+# iterations, per-iteration rounding); this row proves the composed search
+# — bucket assignment, probe selection, and top-k over the TRAINED
+# inverted file — returns identical neighbors on both engines.
+@q(
+    "embedding_ann_trained",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, e AS cvec
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+    {_KMEANS_ITER_SQL.format(prev="c0", out="c1")},
+    {_KMEANS_ITER_SQL.format(prev="c1", out="c2")},
+    adots AS (SELECT e.vec_id AS neighbor_id, c.cent_id,
+                {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cent_cos
+              FROM embeddings e, c2 c, generate_series(1, 64) t(i)
+              GROUP BY 1, 2),
+    assign AS (SELECT neighbor_id, cent_id AS bucket FROM
+                 (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                            ORDER BY cent_cos DESC, cent_id) AS rn FROM adots) x
+               WHERE rn = 1),
+    qdots AS (SELECT e.vec_id AS query_id, c.cent_id,
+                {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cent_cos
+              FROM embeddings e, c2 c, generate_series(1, 64) t(i)
+              WHERE e.vec_id < 10 GROUP BY 1, 2),
+    probes AS (SELECT query_id, cent_id AS bucket FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cent_cos DESC, cent_id) AS rn FROM qdots) x
+               WHERE rn <= 2),
+    cand AS (SELECT p.query_id, a.neighbor_id FROM probes p
+             JOIN assign a USING (bucket) WHERE a.neighbor_id <> p.query_id),
+    scored AS (SELECT cd.query_id, cd.neighbor_id,
+                 {_IVF_COS.format(a="qe.embedding", b="ce.embedding")} AS cosine
+               FROM cand cd
+               JOIN embeddings qe ON qe.vec_id = cd.query_id
+               JOIN embeddings ce ON ce.vec_id = cd.neighbor_id,
+                    generate_series(1, 64) t(i)
+               GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    cents = SIM.train_centroids(
+        e, n_centroids=4, n_iter=2, round_digits=6, centroid_round_digits=6
+    )
+    return SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), centroids=cents, nprobe=2, k=5
+    )
+
+
 # --------------------------------------------------------------- multimodal
 # image-decode + audio-probe battery (round-2's multimodal_decode_stub /
 # multimodal_audio_probe merged into one per-doc driver row to free a
