@@ -71,6 +71,11 @@ HEADLINE = [
 
 
 def _bench_spark(spark, queries, sf_dir: str, tag: str) -> dict[str, float]:
+    from hrdp_variant_load_pipeline_spark.session import tune_for_input
+
+    # input-size-aware profile (AQE / shuffle partitions) per benched dir
+    applied = tune_for_input(spark, sf_dir)
+    print(f"# {tag} profile: {applied}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

@@ -47,3 +47,70 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: inputs below this are "small": the whole dataset fits a handful of
+#: shuffle partitions and AQE's stage-by-stage re-planning costs more
+#: latency than it saves
+SMALL_INPUT_BYTES = 2 * 1024**3
+#: sized so shuffle-expanding operators (shingling, explodes) keep full
+#: core parallelism well before the input reaches SMALL_INPUT_BYTES,
+#: while a tens-of-MB input gets a handful of tasks instead of cores²
+_TARGET_SHUFFLE_PARTITION_BYTES = 4 * 1024**2
+
+
+def _dir_bytes(path: str, cap: int) -> int:
+    """Total file bytes under ``path``, short-circuiting once ``cap`` is
+    reached (the profile only needs to know WHICH side of the threshold
+    the input is on, not the exact size of a 100 TB tree)."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                continue
+            if total >= cap:
+                return total
+    return total
+
+
+def tune_for_input(spark: SparkSession, input_dir: str) -> dict[str, str]:
+    """Pick the session's runtime profile from the input size.
+
+    Query latency on small inputs is dominated by fixed per-job cost, and
+    two defaults tuned for the 100 TB case are the biggest contributors:
+    AQE materializes every shuffle stage-by-stage to re-plan (extra
+    scheduler round-trips that cannot pay off when the whole input is a
+    few hundred MB), and cores-sized shuffle partitioning schedules far
+    more tasks than there are bytes. A cost-based engine picks these per
+    plan; this is the same decision made once per input dataset:
+
+    * small input (< ``SMALL_INPUT_BYTES``): AQE off, shuffle partitions
+      sized at ~32 MB each (floored at 4 for parallelism);
+    * large input: the cluster profile — AQE on (runtime coalescing, skew
+      splitting) and cores-sized shuffle partitions — i.e. exactly the
+      ``get_spark`` defaults, restored in case a small profile was set
+      earlier on the session.
+
+    Both knobs are runtime-settable so the switch is safe mid-session.
+    Returns the settings applied (for logging/tests).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    default_sp = int(cpus) if cpus.isdigit() else 32
+    size = _dir_bytes(input_dir, cap=SMALL_INPUT_BYTES)
+    if size < SMALL_INPUT_BYTES:
+        conf = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(
+                max(4, min(default_sp, size // _TARGET_SHUFFLE_PARTITION_BYTES))
+            ),
+        }
+    else:
+        conf = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": str(default_sp),
+        }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf

@@ -50,15 +50,30 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# (appId, sf_dir, name) -> DataFrame. A DataFrame is an immutable lazy
+# plan, so handing the same one to every caller is safe — and skips the
+# file listing + parquet footer read that spark.read.parquet pays on every
+# call (~0.1 s per query on sub-second analytics jobs; at cluster scale the
+# same reuse keeps the driver from re-listing object-store prefixes per
+# query). Keyed by applicationId so a stopped/recreated session never
+# serves plans bound to a dead SparkContext.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set defensively for sessions not built by get_spark (driver-owned):
     # timestamps must render UTC to match the UTC-naive DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_ts(df)
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,60 @@
+"""Input-size-aware session profile + table DataFrame reuse.
+
+Sub-second queries on small inputs are dominated by fixed per-job cost;
+two of the cluster-profile defaults (AQE's stage-by-stage re-planning and
+cores-sized shuffle partitioning) are the avoidable part. ``tune_for_input``
+switches them per input dataset, and ``sources.tables.table`` hands every
+caller the same immutable DataFrame so the file listing + parquet footer
+read is paid once per (session, dir, table), not per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hrdp_variant_load_pipeline_spark import session as sess
+from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_small_input_profile(spark, tmp_path):
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    applied = sess.tune_for_input(spark, str(small))
+    assert applied["spark.sql.adaptive.enabled"] == "false"
+    sp = int(applied["spark.sql.shuffle.partitions"])
+    assert 4 <= sp <= 32
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+
+def test_large_input_restores_cluster_profile(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sess, "_dir_bytes", lambda p, cap: cap)
+    applied = sess.tune_for_input(spark, str(tmp_path))
+    assert applied["spark.sql.adaptive.enabled"] == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # restore default for other tests (session-scoped spark)
+    assert int(applied["spark.sql.shuffle.partitions"]) >= 4
+
+
+def test_dir_bytes_short_circuits_at_cap(tmp_path):
+    for i in range(10):
+        (tmp_path / f"f{i}").write_bytes(b"x" * 100)
+    assert sess._dir_bytes(str(tmp_path), cap=250) >= 250
+    assert sess._dir_bytes(str(tmp_path), cap=10**9) == 1000
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata fixture not present"
+)
+def test_table_cache_reuses_dataframe(spark):
+    a = table(spark, SF_DIR, "region")
+    b = table(spark, SF_DIR, "region")
+    assert a is b, "second call must reuse the cached plan (no re-listing)"
+    c = table(spark, SF_DIR + "/", "region")
+    assert c is a, "trailing slash must not split the cache key"
+    d = table(spark, SF_DIR, "nation")
+    assert d is not a
