@@ -51,8 +51,11 @@ def get_spark(
 
 #: inputs below this are "small": the whole dataset fits a handful of
 #: shuffle partitions and AQE's stage-by-stage re-planning costs more
-#: latency than it saves
-SMALL_INPUT_BYTES = 2 * 1024**3
+#: latency than it saves. Measured crossover on the headline set: at
+#: ~17 MB (sf0.1) AQE-off wins every sub-second row; at ~190 MB (sf1)
+#: AQE-on is already equal-or-better (q3 1.35 vs 1.73 s, doc_profile
+#: 3.6 vs 4.2 s) — so the threshold sits between, not at GB scale.
+SMALL_INPUT_BYTES = 64 * 1024**2
 #: sized so shuffle-expanding operators (shingling, explodes) keep full
 #: core parallelism well before the input reaches SMALL_INPUT_BYTES,
 #: while a tens-of-MB input gets a handful of tasks instead of cores²
