@@ -28,6 +28,7 @@ is any Parquet with the GENE schema (or loaded via JDBC upstream).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +37,7 @@ from hrdp_variant_load_pipeline_spark import schemas
 from hrdp_variant_load_pipeline_spark.operators.upsert import merge_update
 from hrdp_variant_load_pipeline_spark.plans.genic_qc import genic_qc, scope_from_vcf
 from hrdp_variant_load_pipeline_spark.plans.load import load_metrics, run_load
-from hrdp_variant_load_pipeline_spark.session import get_spark
+from hrdp_variant_load_pipeline_spark.session import get_spark, tune_for_input
 from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples_dimension
 from hrdp_variant_load_pipeline_spark.sources.sinks import write_parquet_store
 from hrdp_variant_load_pipeline_spark.sources.tables import register_catalog_namespaces
@@ -164,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(args.config)
     spark = get_spark("hrdp-variants-cli")
     try:
+        # pick the runtime profile (AQE / shuffle sizing) from the input
+        # corpus size, same decision the bench harness makes per dataset
+        profile_dir = cfg.get("restage_dir") or cfg.get("input_dir")
+        if profile_dir and os.path.isdir(profile_dir):
+            tune_for_input(spark, profile_dir)
         _register_catalogs(spark, cfg)
         if args.runLoad:
             out = cmd_run_load(spark, cfg)

@@ -44,6 +44,7 @@ def stream_vcf_loader(
     map_key: int,
     checkpoint_dir: str,
     on_batch: Callable[[int, LoadResult], None] | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming loader; returns the StreamingQuery.
 
@@ -51,13 +52,21 @@ def stream_vcf_loader(
     those files with the batch VCF source, run the full load plan against
     the current stores, append the new rows. Call
     ``query.processAllAvailable()`` to drain synchronously in tests.
+
+    ``max_files_per_trigger`` bounds a micro-batch to that many newly-seen
+    files: a bulk landing (weeks of backlog, a re-drop of the whole corpus)
+    is then worked off as several bounded batches instead of one giant one
+    — each batch's dedup join and store append stays memory-sized, and a
+    failure loses at most one bounded batch of progress. Unset, Spark's
+    default takes every available file per trigger.
     """
-    stream = (
+    reader = (
         spark.readStream.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.vcf*")
-        .text(input_dir)
-        .select(F.input_file_name().alias("path"))
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.text(input_dir).select(F.input_file_name().alias("path"))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         paths = [r["path"] for r in batch_df.select("path").distinct().collect()]

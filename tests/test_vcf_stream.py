@@ -84,3 +84,40 @@ def test_streaming_releases_caches_per_batch(spark, tmp_path):
         query.stop()
     leaked = cached_rdd_ids() - before
     assert not leaked, f"micro-batches leaked persisted RDDs: {leaked}"
+
+
+def test_streaming_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """With maxFilesPerTrigger=1, a bulk drop of N files is worked off as N
+    bounded micro-batches (each re-entering the batch load plan), and the
+    final store state equals the all-at-once result."""
+    vdir = str(tmp_path / "landing")
+    os.makedirs(vdir)
+    vstore = str(tmp_path / "variants")
+    dstore = str(tmp_path / "details")
+    ckpt = str(tmp_path / "ckpt")
+
+    genes = spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE)
+    samples = spark.createDataFrame(
+        [(1, "S1", "U", 380, 372, None, None, None)], schemas.SAMPLE
+    )
+
+    # three files land BEFORE the stream starts — a backlog drop
+    _write(vdir, "A_X_2020_v1_PASS.vcf.gz", LINE_A)
+    _write(vdir, "B_Y_2020_v1_PASS.vcf.gz", LINE_B)
+    _write(vdir, "C_Z_2020_v1_PASS.vcf.gz", LINE_C)
+
+    batches = []
+    query = stream_vcf_loader(
+        spark, vdir, genes, samples, vstore, dstore, map_key=372,
+        checkpoint_dir=ckpt,
+        on_batch=lambda bid, res: batches.append(bid),
+        max_files_per_trigger=1,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert len(batches) == 3, f"expected 3 bounded batches, got {batches}"
+    stored = spark.read.parquet(vstore)
+    assert stored.count() == 3
+    assert stored.select("rgd_id").distinct().count() == 3
