@@ -1,0 +1,135 @@
+"""Corpus-preparation operators for training-data pipelines: document
+chunking, sequence packing, and deterministic stratified sampling.
+
+These sit downstream of dedup/quality filtering (``operators.dedup``,
+``functions.text``) and upstream of tokenizer/training jobs. Design notes
+for 100 TB:
+
+* chunking is row-local (split → slice windows → posexplode) — the only
+  data growth is the overlap factor, and no shuffle is introduced;
+* packing uses contiguous cumulative-sum binning per partition key — the
+  scalable stand-in for first-fit-decreasing (which is inherently
+  sequential); the shuffle carries (key, token_count) pairs only;
+* sampling is hash-thresholded per stratum — deterministic across runs,
+  engines, and partitionings (no RNG state), so samples are reproducible
+  and joinable against the source.
+
+Everything is built-in column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping whitespace-token windows.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens) — one row per chunk,
+    chunks of ``chunk_tokens`` tokens starting every
+    ``chunk_tokens - overlap_tokens`` tokens, so consecutive chunks share
+    ``overlap_tokens`` tokens (the standard training-data windowing that
+    keeps context across chunk boundaries). The last window may be short;
+    empty documents yield one empty chunk so no document silently vanishes.
+
+    Row-local: tokens stay an array column, windows are ``slice`` calls
+    over a ``sequence`` of start offsets, and only the final ``posexplode``
+    grows the data (by roughly ``chunk/(chunk-overlap)``x).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # start offsets 1, 1+stride, ... — always at least one window
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    max_tokens: int = 2048,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to training-batch bins of ~``max_tokens`` tokens.
+
+    Contiguous cumulative-sum binning: documents are ordered (by
+    ``order_col``, default the id — deterministic), token counts are
+    cumulatively summed, and ``bin_id = ceil(cumsum / max_tokens) - 1``.
+    Documents longer than ``max_tokens`` get their own bin (flagged
+    ``oversize``) — chunk them first (``chunk_documents``) if that is not
+    acceptable. A bin may overflow ``max_tokens`` by at most one document's
+    remainder, the usual trade for a single-pass scalable packer; exact
+    first-fit-decreasing is inherently sequential and does not distribute.
+
+    Output: input columns + (bin_id, oversize). One window over one global
+    ordering — at corpus scale, partition the call per shard/source key and
+    pack within shards (bins do not need to be globally dense).
+    """
+    order = F.col(order_col if order_col is not None else id_col)
+    w = Window.orderBy(order)
+    cum = F.sum(
+        F.least(F.col(token_count_col), F.lit(max_tokens)).cast("long")
+    ).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn(
+            "bin_id",
+            F.ceil(F.col("__cum") / F.lit(float(max_tokens))).cast("long") - 1,
+        )
+        .withColumn("oversize", F.col(token_count_col) > F.lit(max_tokens))
+        .drop("__cum")
+    )
+
+
+def _stratum_hash_unit(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) from an id: first 8 md5 hex chars."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash(salt, id) < fraction[stratum]``.
+
+    Unlike ``DataFrame.sampleBy`` (RNG per partition — resampling changes
+    with partitioning and run), the hash threshold is a pure function of
+    (salt, id): reruns, engines, and re-partitionings all keep the SAME
+    rows, so downstream joins against the sample are stable and the sample
+    composition is auditable. Strata missing from ``fractions`` fall back
+    to ``default_fraction``. Changing ``salt`` draws an independent sample.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    frac = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(float(default_fraction))
+    )
+    return df.filter(_stratum_hash_unit(F.col(id_col), salt) < frac)

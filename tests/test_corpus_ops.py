@@ -1,0 +1,111 @@
+"""Corpus-preparation operators: chunking, packing, stratified sampling."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=2).collect()
+    # stride 2 over 10 tokens -> starts 1,3,5,7,9
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert out[-1]["chunk_text"] == "w8 w9"  # short tail kept
+    # every token appears in some chunk
+    covered = {t for r in out for t in r["chunk_text"].split()}
+    assert covered == {f"w{i}" for i in range(10)}
+    assert all(r["n_tokens"] <= 4 for r in out)
+
+
+def test_chunk_documents_short_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap_tokens=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["chunk_text"] == "only three tokens" and rows[1]["chunk_idx"] == 0
+    assert rows[2]["n_tokens"] == 1  # split("") -> [""] — doc kept, not dropped
+    assert out.count() == 2
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_pack_sequences_bins_respect_capacity(spark):
+    rows = [(i, 300) for i in range(10)]  # 10 docs x 300 tokens, cap 1000
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens=1000).collect()
+    bins: dict[int, int] = {}
+    for r in out:
+        bins[r["bin_id"]] = bins.get(r["bin_id"], 0) + r["n_tokens"]
+        assert not r["oversize"]
+    # cumsum binning: ceil-based bins hold 900/1200-style splits; every bin
+    # except possibly the last stays within cap + one document
+    assert set(bins) == {0, 1, 2}
+    assert sum(bins.values()) == 3000
+    assert all(total <= 1000 + 300 for total in bins.values())
+
+
+def test_pack_sequences_oversize_flagged_own_weight(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 100)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tokens", 1000).collect()}
+    assert out[2]["oversize"] and not out[1]["oversize"] and not out[3]["oversize"]
+    # the oversize doc contributes only max_tokens to the cumsum, so it
+    # cannot push every later document into far-away bins
+    assert out[3]["bin_id"] - out[1]["bin_id"] <= 2
+
+
+def test_pack_sequences_deterministic_ordering(spark):
+    rows = [(i, (i * 37) % 400 + 50) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = {(r["doc_id"], r["bin_id"]) for r in pack_sequences(df, "doc_id", "n_tokens", 800).collect()}
+    b = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(df.repartition(7), "doc_id", "n_tokens", 800).collect()
+    }
+    assert a == b, "bin assignment must not depend on partitioning"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata fixture not present"
+)
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    fr = {"en": 0.5, "de": 0.1}
+    s1 = stratified_sample(docs, "lang", fr, id_col="doc_id")
+    s2 = stratified_sample(docs.repartition(13), "lang", fr, id_col="doc_id")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2, "sample must be independent of partitioning"
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fr.items():
+        if totals.get(lang, 0) >= 50:
+            assert abs(got.get(lang, 0) / totals[lang] - frac) < 0.15
+    # strata not in the map default to dropped
+    assert set(got) <= set(fr)
+
+    # a different salt draws a different (but still deterministic) sample
+    s3 = stratified_sample(docs, "lang", fr, id_col="doc_id", salt="other")
+    ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
+    assert ids3 != ids1
