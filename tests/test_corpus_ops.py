@@ -109,3 +109,65 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     s3 = stratified_sample(docs, "lang", fr, id_col="doc_id", salt="other")
     ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
     assert ids3 != ids1
+
+
+# --- property-based invariants (SURVEY.md §5.4 style: hypothesis generates
+# the corpus, invariants checked in bulk through the actual expressions) ---
+
+def _random_docs(n=150):
+    from hypothesis import given, settings, strategies as st
+
+    docs = []
+    WORD = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+
+    @settings(max_examples=n, derandomize=True, deadline=None)
+    @given(words=st.lists(WORD, min_size=0, max_size=40))
+    def gen(words):
+        docs.append(" ".join(words))
+
+    gen()
+    return [(i, t) for i, t in enumerate(docs)]
+
+
+def test_chunk_reconstruction_property(spark):
+    """For any document: stride-spaced chunks cover every token in order —
+    dropping each chunk's leading overlap and concatenating reconstructs
+    the original token sequence exactly."""
+    chunk, overlap = 7, 3
+    stride = chunk - overlap
+    rows = _random_docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        parts = []
+        for idx, ctext in sorted(got[doc_id]):
+            ctoks = ctext.split(" ")
+            parts.extend(ctoks if idx == 0 else ctoks[overlap:])
+        assert parts == toks, f"doc {doc_id}: {parts} != {toks}"
+
+
+def test_pack_bins_contiguous_and_conserving_property(spark):
+    """Packing never loses or duplicates documents, bins are contiguous in
+    the packing order, and no non-oversize bin exceeds cap + one doc."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 900)) for i in range(300)]
+    cap = 2000
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", cap).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in out] == [i for i, _ in rows]
+    last_bin = -1
+    totals: dict[int, int] = {}
+    for r in out:
+        assert r["bin_id"] >= last_bin, "bins must be monotone in packing order"
+        last_bin = r["bin_id"]
+        totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(t <= cap + 900 for t in totals.values())
