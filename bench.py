@@ -70,18 +70,39 @@ HEADLINE = [
 ]
 
 
-def _bench_spark(spark, queries, sf_dir: str, tag: str) -> dict[str, float]:
+def _jvm_stats(spark) -> tuple[float, float]:
+    """(cumulative GC seconds, heap used MiB) of the local JVM — the
+    evidence that separates a real plan regression from host noise or
+    memory pressure when a per-query timing moves between rounds."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        gc_ms = sum(
+            b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans()
+        )
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+        return gc_ms / 1000.0, heap / 1024.0 / 1024.0
+    except Exception:  # noqa: BLE001 — provenance is additive, never fatal
+        return 0.0, 0.0
+
+
+def _bench_spark(
+    spark, queries, sf_dir: str, tag: str, provenance: dict | None = None
+) -> dict[str, float]:
     from hrdp_variant_load_pipeline_spark.session import tune_for_input
 
     # input-size-aware profile (AQE / shuffle partitions) per benched dir
     applied = tune_for_input(spark, sf_dir)
     print(f"# {tag} profile: {applied}", file=sys.stderr)
+    if provenance is not None:
+        provenance["profile"] = applied
+        provenance["queries"] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         best = None
+        gc0, _ = _jvm_stats(spark)
         for _ in range(2):  # best-of-2: report steady state, not JIT noise
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -91,6 +112,17 @@ def _bench_spark(spark, queries, sf_dir: str, tag: str) -> dict[str, float]:
             # drop operator-internal persists so runs stay independent
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        if provenance is not None:
+            gc1, heap = _jvm_stats(spark)
+            provenance["queries"][name] = {
+                "gc_s": round(gc1 - gc0, 3),  # GC across both timed runs
+                "heap_mb": round(heap, 1),
+                # 1-min host load BEFORE this query finished: >> cpus
+                # means the timing was taken on a contended host (the r5
+                # driver sf1 anomaly: shuffle-heavy rows 4-7x on a host
+                # whose DuckDB side also slowed 21%)
+                "load1": round(os.getloadavg()[0], 2),
+            }
         print(f"# {tag} {name}: {timings[name]:.3f}s", file=sys.stderr)
     return timings
 
@@ -159,13 +191,17 @@ def main() -> None:
     for wname in ("q1_pricing_summary", "q3_shipping_priority"):
         queries[wname](spark, warm_sf).count()
 
-    timings = _bench_spark(spark, queries, SF_DIR, f"sf{_sf_of(SF_DIR)}")
+    prov: dict = {"cpus": os.cpu_count()}
+    timings = _bench_spark(spark, queries, SF_DIR, f"sf{_sf_of(SF_DIR)}", prov)
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
+        # per-query GC/heap/host-load evidence (detail file only — the
+        # compact final line never carries it)
+        "provenance": prov,
     }
 
     scaled_env = os.environ.get("SPARK_GRAFT_BENCH_SCALED")
@@ -194,9 +230,11 @@ def main() -> None:
                 import make_scaled_sf
 
                 make_scaled_sf.generate(spark, SCALED_K, SCALED_DIR)
-            scaled = _bench_spark(spark, queries, SCALED_DIR, "sf1")
+            sprov: dict = {}
+            scaled = _bench_spark(spark, queries, SCALED_DIR, "sf1", sprov)
             scaled_out["value"] = round(sum(scaled.values()), 3)
             scaled_out["queries"] = scaled
+            scaled_out["provenance"] = sprov
         except Exception as exc:  # noqa: BLE001 — record, don't die
             scaled_out["error"] = f"spark-scaled: {exc!r}"[:500]
             print(f"# scaled spark section failed: {exc!r}", file=sys.stderr)

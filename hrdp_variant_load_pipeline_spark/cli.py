@@ -39,7 +39,11 @@ from hrdp_variant_load_pipeline_spark.plans.genic_qc import genic_qc, scope_from
 from hrdp_variant_load_pipeline_spark.plans.load import load_metrics, run_load
 from hrdp_variant_load_pipeline_spark.session import get_spark, tune_for_input
 from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples_dimension
-from hrdp_variant_load_pipeline_spark.sources.sinks import write_parquet_store
+from hrdp_variant_load_pipeline_spark.sources.store import (
+    append_to_store,
+    commit_store_version,
+    read_store,
+)
 from hrdp_variant_load_pipeline_spark.sources.tables import register_catalog_namespaces
 from hrdp_variant_load_pipeline_spark.sources.vcf import (
     read_restaged,
@@ -49,10 +53,7 @@ from hrdp_variant_load_pipeline_spark.sources.vcf import (
 
 
 def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    return read_store(spark, path, schema)
 
 
 def _vcf_input(spark: SparkSession, cfg: dict) -> DataFrame:
@@ -101,49 +102,26 @@ def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
     dstore = _read_store(spark, cfg["detail_store"], schemas.VARIANT_SAMPLE_DETAIL)
 
     res = run_load(vcf, genes, samples, vstore, dstore, map_key=cfg["map_key"])
-    write_parquet_store(res.new_variants, cfg["variant_store"])
-    write_parquet_store(res.new_sample_details, cfg["detail_store"])
+    append_to_store(res.new_variants, cfg["variant_store"])
+    append_to_store(res.new_sample_details, cfg["detail_store"])
     return load_metrics(res)
 
 
 def _atomic_replace_store(df: DataFrame, store_path: str) -> None:
-    """Replace a parquet store with ``df`` without an unreadable window.
-
-    The previous overwrite-in-place (``localCheckpoint().write.mode(
-    "overwrite")``) destroyed the store before the new files were durable:
-    an executor/driver loss mid-write left NO readable store. Instead the
-    new store is fully written to a sibling temp dir (reads still see the
-    untouched original — no checkpoint needed), then swapped in with two
-    metadata-only Hadoop FS renames. A crash before the first rename
-    leaves the original untouched; between the renames the prior version
-    survives at ``<store>.__old__`` for manual recovery. A real MERGE sink
-    (Delta/Iceberg) would make the swap a single atomic commit.
+    """Replace a store with ``df`` under the reference's Oracle-transaction
+    visibility guarantee (one batch = one commit, ``DAO.java:142-163``):
+    a reader sees the previous version until the instant the new one is
+    committed — never a partial store, never an empty path. Implemented as
+    a versioned-directory commit whose only visibility step is a single
+    atomic marker-file create (``sources/store.py``); the round-5
+    double-rename swap still had a no-store window between its renames.
     """
-    spark = df.sparkSession
-    base = store_path.rstrip("/")
-    tmp, old = base + ".__new__", base + ".__old__"
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    path = lambda p: jvm.org.apache.hadoop.fs.Path(p)  # noqa: E731
-    for stale in (tmp, old):  # leftovers from a previous crashed swap
-        fs.delete(path(stale), True)
-    df.write.mode("overwrite").parquet(tmp)
-    if not fs.exists(path(tmp + "/_SUCCESS")):
-        raise RuntimeError(f"store replacement aborted: no _SUCCESS in {tmp}")
-    if fs.exists(path(base)) and not fs.rename(path(base), path(old)):
-        raise RuntimeError(f"could not move {base} aside to {old}")
-    if not fs.rename(path(tmp), path(base)):
-        # put the original back so the store stays readable
-        fs.rename(path(old), path(base))
-        raise RuntimeError(f"could not promote {tmp} to {base}")
-    fs.delete(path(old), True)
+    commit_store_version(df, store_path)
 
 
 def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     genes = spark.read.parquet(cfg["genes_path"])
-    store = spark.read.parquet(cfg["variant_store"])
+    store = read_store(spark, cfg["variant_store"], schemas.VARIANT)
     scope = None
     if cfg.get("input_dir"):
         scope = scope_from_vcf(_vcf_input(spark, cfg))

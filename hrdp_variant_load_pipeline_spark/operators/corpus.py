@@ -45,7 +45,12 @@ def chunk_documents(
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(F.col(text_col), " ")
+    # whitespace-run tokenization: split("a  b", " ") would yield an empty
+    # token per extra space (inflating n_tokens and shifting windows), and
+    # split("", ...) yields [""] (a phantom token). Split on \s+ and drop
+    # empties so n_tokens counts real tokens — empty docs report n_tokens=0
+    # but still yield their one (empty) chunk below.
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     # start offsets 1, 1+stride, ... — always at least one window
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(stride))
@@ -67,35 +72,68 @@ def pack_sequences(
     token_count_col: str,
     max_tokens: int = 2048,
     order_col: str | None = None,
+    partition_col: str | None = None,
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """Assign documents to training-batch bins of ~``max_tokens`` tokens.
 
     Contiguous cumulative-sum binning: documents are ordered (by
     ``order_col``, default the id — deterministic), token counts are
     cumulatively summed, and ``bin_id = ceil(cumsum / max_tokens) - 1``.
-    Documents longer than ``max_tokens`` get their own bin (flagged
-    ``oversize``) — chunk them first (``chunk_documents``) if that is not
-    acceptable. A bin may overflow ``max_tokens`` by at most one document's
-    remainder, the usual trade for a single-pass scalable packer; exact
+    A bin may overflow ``max_tokens`` by at most one document's remainder,
+    the usual trade for a single-pass scalable packer; exact
     first-fit-decreasing is inherently sequential and does not distribute.
 
-    Output: input columns + (bin_id, oversize). One window over one global
-    ordering — at corpus scale, partition the call per shard/source key and
-    pack within shards (bins do not need to be globally dense).
+    Documents longer than ``max_tokens`` are flagged ``oversize`` and each
+    gets a bin of its own (``bin_id`` −1, −2, … in packing order — disjoint
+    from the packed ids, never shared with any other document); chunk them
+    first (``chunk_documents``) if that is not acceptable. They are
+    excluded from the cumulative sum, so an oversize run never skews the
+    surrounding bins' loads.
+
+    Scale contract: pass ``partition_col`` (a shard/source/language key) so
+    every window runs per-partition — bins are then dense only within a
+    partition, which training-data sharding does not need globally. The
+    unpartitioned call serializes the whole corpus through ONE task (a
+    single-partition sort at 100 TB) and therefore requires the explicit
+    ``allow_global_order=True`` opt-in; it exists for small, driver-sized
+    inputs only.
+
+    Output: input columns + (bin_id, oversize).
     """
+    if partition_col is None and not allow_global_order:
+        raise ValueError(
+            "pack_sequences without partition_col sorts the whole corpus in "
+            "one task; pass partition_col=<shard key> (scale path) or "
+            "allow_global_order=True (small inputs only)"
+        )
     order = F.col(order_col if order_col is not None else id_col)
-    w = Window.orderBy(order)
-    cum = F.sum(
-        F.least(F.col(token_count_col), F.lit(max_tokens)).cast("long")
-    ).over(w)
+    w = Window.partitionBy(partition_col).orderBy(order) if partition_col \
+        else Window.orderBy(order)
+    tc = F.col(token_count_col).cast("long")
+    oversize = tc > F.lit(max_tokens)
+    # cumsum over the packable docs only; oversize docs contribute 0 and
+    # take negative ids from their own running count — true isolation, not
+    # the clamp-to-max approximation (which let the NEXT doc share the bin)
+    cum = F.sum(F.when(oversize, F.lit(0)).otherwise(tc)).over(w)
+    n_oversize = F.sum(oversize.cast("long")).over(w)
     return (
         df.withColumn("__cum", cum)
+        .withColumn("__nov", n_oversize)
+        .withColumn("oversize", oversize)
         .withColumn(
             "bin_id",
-            F.ceil(F.col("__cum") / F.lit(float(max_tokens))).cast("long") - 1,
+            F.when(F.col("oversize"), -F.col("__nov")).otherwise(
+                # greatest(cum, 1): zero-token docs ahead of any tokens
+                # would hit cum=0 -> bin -1, colliding with oversize ids
+                F.ceil(
+                    F.greatest(F.col("__cum"), F.lit(1))
+                    / F.lit(float(max_tokens))
+                ).cast("long")
+                - 1
+            ),
         )
-        .withColumn("oversize", F.col(token_count_col) > F.lit(max_tokens))
-        .drop("__cum")
+        .drop("__cum", "__nov")
     )
 
 

@@ -348,6 +348,78 @@ def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# corpus-prep battery: the three operators/corpus.py stages composed the
+# way a pretraining-data job runs them — deterministic stratified sample →
+# overlapping chunking → per-language sequence packing — reduced to
+# per-(lang, bin) loads so the row stays small and hash-stable. The pack
+# runs the PARTITIONED path (partition_col="lang"), i.e. the 100 TB shape,
+# not the allow_global_order escape hatch.
+_PREP_FRACTIONS = {"en": 0.6, "de": 0.4, "es": 0.4, "fr": 0.4, "zh": 0.4}
+_PREP_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _PREP_FRACTIONS.items()
+)
+
+@q(
+    "corpus_prep_battery",
+    f"""
+    WITH sampled AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE ('0x' || substr(md5('prep' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+            / 4294967296.0
+            < CASE lang {_PREP_CASE} ELSE 0.0 END),
+    toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM sampled),
+    starts AS (
+      SELECT doc_id, lang, len(w) AS n,
+             unnest(range(1, greatest(len(w) - 1, 1) + 1, 48)) AS s
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+             least(64, greatest(n - s + 1, 0))::BIGINT AS n_tokens
+      FROM starts),
+    packed AS (
+      SELECT lang, n_tokens,
+             ceil(greatest(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING), 1)
+                  / 256.0)::BIGINT - 1 AS bin_id
+      FROM chunks)
+    SELECT lang, bin_id, count(*)::BIGINT AS n_chunks,
+           sum(n_tokens)::BIGINT AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    d = table(spark, sf, "documents")
+    sampled = stratified_sample(d, "lang", _PREP_FRACTIONS, id_col="doc_id", salt="prep")
+    chunks = chunk_documents(sampled, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
+    # chunking keeps only the id — rejoin the stratum key (broadcast: the
+    # projected (doc_id, lang) side is tiny relative to chunk_text)
+    with_lang = chunks.join(F.broadcast(sampled.select("doc_id", "lang")), "doc_id")
+    packed = pack_sequences(
+        with_lang.withColumn(
+            "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")
+        ),
+        id_col="doc_id",
+        token_count_col="n_tokens",
+        max_tokens=256,
+        order_col="chunk_uid",
+        partition_col="lang",
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 # --------------------------------------------------------------- similarity
 _COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
 
@@ -617,24 +689,34 @@ def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- multimodal
-# image-decode + audio-probe battery (round-2's multimodal_decode_stub /
-# multimodal_audio_probe merged into one per-doc driver row to free a
-# window slot): both mapInPandas probes run over the same binary payload
-# and join on the doc key
+# multimodal battery (round-2's decode_stub/audio_probe merged round 2;
+# round-6 folds frame_sample in too, freeing a window slot for
+# corpus_prep_battery): image + audio mapInPandas probes over the same
+# binary payload, plus the video frame sampler aggregated per doc (count +
+# index sum keep the row per-doc and hash-stable while still running the
+# explode-and-select path end to end)
 @q(
     "multimodal_probe_battery",
     """
-    SELECT doc_id,
-           octet_length(text::BLOB)::BIGINT AS byte_len,
-           md5(text) AS content_md5,
-           (octet_length(text::BLOB) % 640)::INT AS width,
-           ((octet_length(text::BLOB) * 7) % 480)::INT AS height,
-           3 AS channels,
-           (8000 + (octet_length(text::BLOB) % 5) * 8000)::INT AS sample_rate,
-           (octet_length(text::BLOB) * 64)::BIGINT AS n_samples,
-           (octet_length(text::BLOB) * 64 * 1000)
-             // (8000 + (octet_length(text::BLOB) % 5) * 8000) AS duration_ms
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             octet_length(text::BLOB)::BIGINT AS byte_len,
+             md5(text) AS content_md5,
+             (octet_length(text::BLOB) % 640)::INT AS width,
+             ((octet_length(text::BLOB) * 7) % 480)::INT AS height,
+             3 AS channels,
+             (8000 + (octet_length(text::BLOB) % 5) * 8000)::INT AS sample_rate,
+             (octet_length(text::BLOB) * 64)::BIGINT AS n_samples,
+             (octet_length(text::BLOB) * 64 * 1000)
+               // (8000 + (octet_length(text::BLOB) % 5) * 8000) AS duration_ms,
+             (octet_length(text::BLOB) % 60 + 1)::INT AS n_frames
+      FROM documents),
+    frames AS (
+      SELECT doc_id, count(*)::BIGINT AS n_sampled_frames,
+             sum(f.i)::BIGINT AS frame_idx_sum
+      FROM base, unnest(range(0, n_frames, 5)) f(i) GROUP BY doc_id)
+    SELECT base.*, frames.n_sampled_frames, frames.frame_idx_sum
+    FROM base JOIN frames USING (doc_id)
     """,
 )
 def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
@@ -642,25 +724,18 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
     payload = MM.with_binary_payload(d, "doc_id", "text")
     img = MM.decode_image_features(payload)
     aud = MM.decode_audio_features(payload).drop("byte_len")
-    return img.join(aud, "doc_id")
-
-
-@q(
-    "multimodal_frame_sample",
-    """
-    SELECT doc_id, n_frames, unnest(range(0, n_frames, 5))::INT AS frame_idx
-    FROM (SELECT doc_id, (octet_length(text::BLOB) % 60 + 1)::INT AS n_frames
-          FROM documents) t
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
-    with_frames = MM.with_binary_payload(d, "doc_id", "text").select(
+    with_frames = payload.select(
         "doc_id", (F.octet_length("payload") % 60 + 1).cast("int").alias("n_frames")
     )
-    return MM.frame_sample_indices(with_frames, "n_frames", every=5).select(
-        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
+    frames = (
+        MM.frame_sample_indices(with_frames, "n_frames", every=5)
+        .groupBy("doc_id", "n_frames")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.sum("frame_idx").cast("long").alias("frame_idx_sum"),
+        )
     )
+    return img.join(aud, "doc_id").join(frames, "doc_id")
 
 
 # skew-salted join (engine surface beside AQE skew handling): lineitem ⋈

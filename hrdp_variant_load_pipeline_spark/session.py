@@ -90,7 +90,9 @@ def tune_for_input(spark: SparkSession, input_dir: str) -> dict[str, str]:
     plan; this is the same decision made once per input dataset:
 
     * small input (< ``SMALL_INPUT_BYTES``): AQE off, shuffle partitions
-      sized at ~32 MB each (floored at 4 for parallelism);
+      sized at ``_TARGET_SHUFFLE_PARTITION_BYTES`` (4 MiB) each — small so
+      shuffle-expanding operators keep parallelism — floored at 4, capped
+      at the core count;
     * large input: the cluster profile — AQE on (runtime coalescing, skew
       splitting) and cores-sized shuffle partitions — i.e. exactly the
       ``get_spark`` defaults, restored in case a small profile was set

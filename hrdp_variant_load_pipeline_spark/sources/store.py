@@ -1,0 +1,178 @@
+"""Versioned parquet stores with a single-operation atomic commit.
+
+The reference commits each batch as ONE Oracle transaction
+(``DAO.java:142-163``): a reader sees the store before the batch or after
+it, never in between and never absent. Plain ``overwrite`` parquet cannot
+give that (the old files die before the new ones are durable), and the
+round-5 write-then-double-rename still had a window between the two
+renames where NO store existed at the path.
+
+This module gives the Oracle-transaction visibility guarantee on any
+Hadoop filesystem with three primitives that are each atomic on their own
+(file create, dir rename) and ZERO multi-step visibility dependencies:
+
+* a store root holds immutable version directories ``v_00000001``,
+  ``v_00000002``, … — each fully written before it becomes eligible;
+* a version is *committed* by creating one empty ``_COMMITTED`` marker
+  file inside it — a single atomic create, the whole commit;
+* readers resolve the highest committed version. Writers stage under a
+  dot-prefixed temp name (hidden from Spark/Hadoop listings), rename into
+  place, then commit. A crash at ANY point leaves either no new marker
+  (readers keep the previous version — old data) or a complete committed
+  version (new data). There is no instant where a reader sees nothing or
+  a partial store.
+
+Legacy flat stores (parquet files directly under the root) are read as
+version 0; the first versioned commit migrates them — the flat files are
+deleted only after the new version's marker exists.
+
+A real table format (Delta/Iceberg) implements the same
+newest-committed-snapshot protocol with richer metadata; this is the
+dependency-free core of it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v_(\d{8})$")
+COMMIT_MARKER = "_COMMITTED"
+#: committed versions kept besides the current one (in-flight readers of
+#: the previous version must not have their files deleted mid-scan)
+KEEP_PREVIOUS = 1
+
+
+def _fs(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jpath(jvm, p: str):
+    return jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _list_names(fs, jvm, root: str) -> list[tuple[str, bool]]:
+    """(name, is_dir) for the direct children of ``root`` ([] if absent)."""
+    rpath = _jpath(jvm, root)
+    if not fs.exists(rpath):
+        return []
+    return [
+        (st.getPath().getName(), st.isDirectory())
+        for st in fs.listStatus(rpath)
+    ]
+
+
+def committed_versions(spark: SparkSession, root: str) -> list[int]:
+    """Ascending committed version numbers under ``root``."""
+    fs, jvm = _fs(spark, root)
+    out = []
+    for name, is_dir in _list_names(fs, jvm, root.rstrip("/")):
+        m = _VERSION_RE.match(name)
+        if is_dir and m and fs.exists(
+            _jpath(jvm, f"{root.rstrip('/')}/{name}/{COMMIT_MARKER}")
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def resolve_store(spark: SparkSession, root: str) -> str | None:
+    """Path a reader should scan: the highest committed version dir, else
+    the root itself when it holds a legacy flat store, else None."""
+    base = root.rstrip("/")
+    versions = committed_versions(spark, base)
+    if versions:
+        return f"{base}/v_{versions[-1]:08d}"
+    fs, jvm = _fs(spark, base)
+    for name, is_dir in _list_names(fs, jvm, base):
+        if not is_dir and not name.startswith((".", "_")):
+            return base  # legacy flat layout
+    return None
+
+
+def read_store(spark: SparkSession, root: str, schema=None) -> DataFrame:
+    """Read the current committed store; empty DataFrame (with ``schema``)
+    when the store does not exist yet."""
+    target = resolve_store(spark, root)
+    if target is None:
+        if schema is None:
+            raise FileNotFoundError(f"no committed store under {root}")
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(target)
+
+
+def _verify_write(fs, jvm, tmp: str, spark: SparkSession) -> None:
+    """A written version must hold data files; the _SUCCESS marker is
+    checked only when the job committer is configured to write one (a
+    deployment may disable markers — ADVICE r5)."""
+    names = [n for n, d in _list_names(fs, jvm, tmp) if not d]
+    if not any(not n.startswith((".", "_")) for n in names):
+        raise RuntimeError(f"store commit aborted: no data files in {tmp}")
+    marks = spark._jsc.hadoopConfiguration().get(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+    )
+    if marks.lower() == "true" and "_SUCCESS" not in names:
+        raise RuntimeError(f"store commit aborted: no _SUCCESS in {tmp}")
+
+
+def commit_store_version(df: DataFrame, root: str) -> str:
+    """Write ``df`` as the next version of the store at ``root`` and make
+    it visible with one atomic marker create. Returns the version path.
+
+    Sequence (readers resolve the PREVIOUS committed version through all
+    of it): stage to ``.v_N.writing`` (dot prefix: invisible to Hadoop
+    globs and Spark listings) → verify data files → rename to ``v_N``
+    (uncommitted: still invisible to readers, which require the marker) →
+    create ``_COMMITTED`` → prune stale temps, superseded versions beyond
+    ``KEEP_PREVIOUS``, and any legacy flat files.
+    """
+    spark = df.sparkSession
+    base = root.rstrip("/")
+    fs, jvm = _fs(spark, base)
+
+    versions = committed_versions(spark, base)
+    legacy_files = [
+        name
+        for name, is_dir in _list_names(fs, jvm, base)
+        if not is_dir and not name.startswith((".", "_"))
+    ]
+    # next number must also clear any UNcommitted v_ dirs from crashed runs
+    taken = [
+        int(m.group(1))
+        for name, is_dir in _list_names(fs, jvm, base)
+        if is_dir and (m := _VERSION_RE.match(name))
+    ]
+    n = max(taken, default=0) + 1
+    final = f"{base}/v_{n:08d}"
+    tmp = f"{base}/.v_{n:08d}.writing"
+
+    fs.delete(_jpath(jvm, tmp), True)  # stale temp from a crashed writer
+    df.write.mode("overwrite").parquet(tmp)
+    _verify_write(fs, jvm, tmp, spark)
+    if not fs.rename(_jpath(jvm, tmp), _jpath(jvm, final)):
+        raise RuntimeError(f"could not move staged store {tmp} to {final}")
+    # THE commit: one atomic create. Crash before this line -> readers
+    # keep the previous version; after it -> they see the new one.
+    fs.create(_jpath(jvm, f"{final}/{COMMIT_MARKER}"), False).close()
+
+    # post-commit housekeeping (failures here never affect visibility)
+    for name, is_dir in _list_names(fs, jvm, base):
+        if is_dir and name.startswith(".v_") and name.endswith(".writing"):
+            fs.delete(_jpath(jvm, f"{base}/{name}"), True)
+    for v in versions[: max(0, len(versions) - KEEP_PREVIOUS)]:
+        fs.delete(_jpath(jvm, f"{base}/v_{v:08d}"), True)
+    for name in legacy_files:  # flat store superseded by this version
+        fs.delete(_jpath(jvm, f"{base}/{name}"), False)
+    return final
+
+
+def append_to_store(df: DataFrame, root: str) -> str:
+    """Append rows to the CURRENT store location (version dir when the
+    store is versioned, the root for legacy/new flat stores). Appends are
+    file-granular like the reference's batched inserts; use
+    ``commit_store_version`` when replace-visibility is required."""
+    target = resolve_store(df.sparkSession, root) or root.rstrip("/")
+    df.write.mode("append").parquet(target)
+    return target

@@ -60,6 +60,20 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def invalidate_tables(sf_dir: str | None = None) -> None:
+    """Drop cached table plans (for ``sf_dir``, or all). A cached DataFrame
+    pins its file listing at creation — REQUIRED after rewriting parquet
+    under a cached dir within the same application (e.g. re-staging bench
+    data), or later reads serve the stale listing (FileNotFoundException,
+    or silently reading the old files)."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    key_dir = sf_dir.rstrip("/")
+    for k in [k for k in _TABLE_CACHE if k[1] == key_dir]:
+        del _TABLE_CACHE[k]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set defensively for sessions not built by get_spark (driver-owned):
     # timestamps must render UTC to match the UTC-naive DuckDB oracle

@@ -24,14 +24,11 @@ from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark import schemas
 from hrdp_variant_load_pipeline_spark.plans.load import LoadResult, run_load
+from hrdp_variant_load_pipeline_spark.sources.store import (
+    append_to_store,
+    read_store as _read_store,
+)
 from hrdp_variant_load_pipeline_spark.sources.vcf import read_vcf
-
-
-def _read_store(spark: SparkSession, path: str, schema) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
 
 
 def stream_vcf_loader(
@@ -82,8 +79,8 @@ def stream_vcf_loader(
         dstore = _read_store(spark, detail_store_dir, schemas.VARIANT_SAMPLE_DETAIL)
         res = run_load(vcf, genes, samples, vstore, dstore, map_key)
         try:
-            res.new_variants.write.mode("append").parquet(variant_store_dir)
-            res.new_sample_details.write.mode("append").parquet(detail_store_dir)
+            append_to_store(res.new_variants, variant_store_dir)
+            append_to_store(res.new_sample_details, detail_store_dir)
             if on_batch is not None:
                 on_batch(batch_id, res)
         finally:

@@ -1,12 +1,12 @@
 """Atomic store replacement for the genic-QC repair path.
 
 The reference's QC repair is a transactional batch UPDATE (DAO.java
-updateGenicStatus); the previous Spark emulation overwrote the store
-parquet in place, so a failure mid-write (executor loss, disk full,
-bad expression) destroyed the only copy. ``_atomic_replace_store``
-writes the new version to a sibling temp dir first — these tests pin
-that a failed write leaves the original store fully readable and that a
-successful swap leaves no temp/backup litter behind.
+updateGenicStatus / one Oracle transaction per batch, DAO.java:142-163):
+a reader sees the store before the batch or after it — never partial,
+never absent. These drills pin that guarantee for the versioned-commit
+store (sources/store.py): a crash at EVERY point of the commit sequence
+leaves the previous version fully readable, and the commit itself is one
+atomic marker create.
 """
 
 from __future__ import annotations
@@ -17,15 +17,23 @@ import pytest
 from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.cli import _atomic_replace_store
+from hrdp_variant_load_pipeline_spark.sources.store import (
+    COMMIT_MARKER,
+    append_to_store,
+    commit_store_version,
+    committed_versions,
+    read_store,
+    resolve_store,
+)
 
 
-def _siblings(tmp_path) -> set[str]:
-    return set(os.listdir(tmp_path))
+def _mk_flat(spark, path, tag="orig", n=10):
+    spark.range(n).withColumn("tag", F.lit(tag)).write.parquet(path)
 
 
 def test_failed_write_leaves_original_store_readable(spark, tmp_path):
     store = str(tmp_path / "store")
-    spark.range(10).withColumn("tag", F.lit("orig")).write.parquet(store)
+    _mk_flat(spark, store)
 
     # a frame that fails at EXECUTION time, after the write job starts —
     # the shape of a mid-write executor failure
@@ -35,38 +43,99 @@ def test_failed_write_leaves_original_store_readable(spark, tmp_path):
     with pytest.raises(Exception):
         _atomic_replace_store(poison, store)
 
-    out = spark.read.parquet(store)
+    out = read_store(spark, store)
     assert out.count() == 10
     assert out.filter(F.col("tag") == "orig").count() == 10
-    assert "store" in _siblings(tmp_path)
 
 
-def test_successful_swap_replaces_content_and_cleans_up(spark, tmp_path):
+def test_successful_swap_replaces_content(spark, tmp_path):
     store = str(tmp_path / "store")
-    spark.range(10).withColumn("tag", F.lit("orig")).write.parquet(store)
+    _mk_flat(spark, store)
 
     new = spark.range(3).withColumn("tag", F.lit("repaired"))
     _atomic_replace_store(new, store)
 
-    out = spark.read.parquet(store)
+    out = read_store(spark, store)
     assert out.count() == 3
     assert out.filter(F.col("tag") == "repaired").count() == 3
-    # no temp / backup leftovers
-    assert _siblings(tmp_path) == {"store"}
+    # migration removed the superseded flat files; no stray temp dirs
+    kids = set(os.listdir(store))
+    assert not any(k.endswith(".writing") for k in kids)
+    assert all(k.startswith(("v_", "_", ".")) for k in kids)
 
 
 def test_first_write_with_no_existing_store(spark, tmp_path):
     store = str(tmp_path / "store")
     _atomic_replace_store(spark.range(4), store)
-    assert spark.read.parquet(store).count() == 4
-    assert _siblings(tmp_path) == {"store"}
+    assert read_store(spark, store).count() == 4
+
+
+def test_repeated_commits_prune_old_versions(spark, tmp_path):
+    store = str(tmp_path / "store")
+    for i in range(4):
+        commit_store_version(spark.range(i + 1), store)
+    assert read_store(spark, store).count() == 4
+    # current + KEEP_PREVIOUS retained, older pruned
+    assert committed_versions(spark, store) == [3, 4]
+
+
+def test_crash_between_stage_and_commit_keeps_old_version_visible(spark, tmp_path):
+    """The round-5 double-rename had a window where NO store existed.
+    Here the equivalent point — version dir renamed into place, marker
+    not yet created — must still resolve to the previous version."""
+    store = str(tmp_path / "store")
+    commit_store_version(
+        spark.range(10).withColumn("tag", F.lit("v1")), store
+    )
+    # simulate the crash: a fully-written but uncommitted next version
+    spark.range(99).withColumn("tag", F.lit("v2")).write.parquet(
+        store + "/v_00000002"
+    )
+    assert not os.path.exists(store + f"/v_00000002/{COMMIT_MARKER}")
+    out = read_store(spark, store)
+    assert out.count() == 10 and out.filter(F.col("tag") == "v1").count() == 10
+
+    # the next commit must skip past the dead dir, not collide with it
+    commit_store_version(spark.range(3).withColumn("tag", F.lit("v3")), store)
+    out = read_store(spark, store)
+    assert out.count() == 3 and out.filter(F.col("tag") == "v3").count() == 3
+
+
+def test_crash_mid_migration_keeps_legacy_flat_visible(spark, tmp_path):
+    """Migrating a flat store: until the new version's marker exists the
+    resolver must keep serving the flat files."""
+    store = str(tmp_path / "store")
+    _mk_flat(spark, store, tag="legacy")
+    # staged-but-uncommitted version (dot temp AND renamed-no-marker forms)
+    spark.range(5).write.parquet(store + "/.v_00000001.writing")
+    assert resolve_store(spark, store) == store
+    spark.range(5).write.parquet(store + "/v_00000001")
+    assert resolve_store(spark, store) == store
+    assert read_store(spark, store).filter(F.col("tag") == "legacy").count() == 10
 
 
 def test_stale_temp_dirs_from_prior_crash_are_cleared(spark, tmp_path):
     store = str(tmp_path / "store")
-    spark.range(10).write.parquet(store)
-    os.makedirs(store + ".__new__")
-    os.makedirs(store + ".__old__")
+    _mk_flat(spark, store)
+    os.makedirs(store + "/.v_00000001.writing")
     _atomic_replace_store(spark.range(2), store)
-    assert spark.read.parquet(store).count() == 2
-    assert _siblings(tmp_path) == {"store"}
+    assert read_store(spark, store).count() == 2
+    assert not any(k.endswith(".writing") for k in os.listdir(store))
+
+
+def test_append_targets_current_version(spark, tmp_path):
+    store = str(tmp_path / "store")
+    commit_store_version(spark.range(5), store)
+    append_to_store(spark.range(100, 103), store)
+    assert read_store(spark, store).count() == 8
+    # a later replace supersedes appended rows too
+    commit_store_version(spark.range(2), store)
+    assert read_store(spark, store).count() == 2
+
+
+def test_read_store_missing_returns_empty_with_schema(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark import schemas
+
+    out = read_store(spark, str(tmp_path / "absent"), schemas.VARIANT)
+    assert out.count() == 0
+    assert out.schema == schemas.VARIANT

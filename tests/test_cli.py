@@ -56,7 +56,11 @@ def test_cli_load_then_qc(spark, tmp_path):
     )
     q = cmd_genic_qc(spark, cfg)
     assert q["genic_status_updated"] == 1
-    fixed = spark.read.parquet(cfg["variant_store"])
+    # the repair commits a new store VERSION (sources/store.py): read
+    # through the resolver, as every engine component does
+    from hrdp_variant_load_pipeline_spark.sources.store import read_store
+
+    fixed = read_store(spark, cfg["variant_store"])
     status = {r["start_pos"]: r["genic_status"] for r in fixed.collect()}
     assert status[100] == "GENIC" and status[400] == "INTERGENIC"
 

@@ -38,8 +38,21 @@ def test_chunk_documents_short_and_empty(spark):
     out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap_tokens=2)
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["chunk_text"] == "only three tokens" and rows[1]["chunk_idx"] == 0
-    assert rows[2]["n_tokens"] == 1  # split("") -> [""] — doc kept, not dropped
+    assert rows[2]["n_tokens"] == 0  # empty doc kept (one empty chunk), not dropped
+    assert rows[2]["chunk_text"] == ""
     assert out.count() == 2
+
+
+def test_chunk_documents_whitespace_runs_not_counted(spark):
+    # repeated/leading/trailing whitespace must not mint phantom tokens:
+    # token counts feed pack_sequences budgets
+    df = spark.createDataFrame(
+        [(1, "  a   b \t c  ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap_tokens=2).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "a b c"
+    assert out[0]["n_tokens"] == 3
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):
@@ -51,7 +64,9 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 def test_pack_sequences_bins_respect_capacity(spark):
     rows = [(i, 300) for i in range(10)]  # 10 docs x 300 tokens, cap 1000
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
-    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens=1000).collect()
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", max_tokens=1000, allow_global_order=True
+    ).collect()
     bins: dict[int, int] = {}
     for r in out:
         bins[r["bin_id"]] = bins.get(r["bin_id"], 0) + r["n_tokens"]
@@ -63,24 +78,99 @@ def test_pack_sequences_bins_respect_capacity(spark):
     assert all(total <= 1000 + 300 for total in bins.values())
 
 
-def test_pack_sequences_oversize_flagged_own_weight(spark):
+def test_pack_sequences_oversize_isolated_in_own_bin(spark):
+    # ADVICE r5: [100, 5000, 100] @ cap 1000 used to put doc 3 in the
+    # oversize doc's bin (real load 5100). Oversize docs now take negative
+    # bin ids of their own; the packable docs pack as if they were absent.
     df = spark.createDataFrame(
-        [(1, 100), (2, 5000), (3, 100)], "doc_id long, n_tokens long"
+        [(1, 100), (2, 5000), (3, 100), (4, 7000)], "doc_id long, n_tokens long"
     )
-    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tokens", 1000).collect()}
-    assert out[2]["oversize"] and not out[1]["oversize"] and not out[3]["oversize"]
-    # the oversize doc contributes only max_tokens to the cumsum, so it
-    # cannot push every later document into far-away bins
-    assert out[3]["bin_id"] - out[1]["bin_id"] <= 2
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", 1000, allow_global_order=True
+        ).collect()
+    }
+    assert out[2]["oversize"] and out[4]["oversize"]
+    assert not out[1]["oversize"] and not out[3]["oversize"]
+    assert out[2]["bin_id"] == -1 and out[4]["bin_id"] == -2
+    # packable docs share bin 0 (200 tokens) — the oversize run is invisible
+    assert out[1]["bin_id"] == 0 and out[3]["bin_id"] == 0
+    # no bin mixes an oversize doc with anything else
+    bins: dict[int, list[int]] = {}
+    for r in out.values():
+        bins.setdefault(r["bin_id"], []).append(r["doc_id"])
+    for bid, members in bins.items():
+        if bid < 0:
+            assert len(members) == 1
+
+
+def test_pack_sequences_zero_token_doc_never_collides_with_oversize(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5000), (3, 10)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", 1000, allow_global_order=True
+        ).collect()
+    }
+    assert out[1]["bin_id"] == 0  # not -1
+    assert out[2]["bin_id"] == -1 and out[2]["oversize"]
+    assert out[3]["bin_id"] == 0
+
+
+def test_pack_sequences_requires_partition_or_optin(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="partition_col"):
+        pack_sequences(df, "doc_id", "n_tokens", 1000)
+
+
+def test_pack_sequences_partitioned_packs_within_shards(spark):
+    rows = [(i, f"shard{i % 3}", 300) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", 1000, partition_col="shard"
+    ).collect()
+    # per shard: 10 docs x 300 -> bins 0,1,2 with loads 900/900/1200-style
+    per_shard: dict[str, dict[int, int]] = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], {}).setdefault(r["bin_id"], 0)
+        per_shard[r["shard"]][r["bin_id"]] += r["n_tokens"]
+    assert set(per_shard) == {"shard0", "shard1", "shard2"}
+    for bins in per_shard.values():
+        assert set(bins) == {0, 1, 2}
+        assert sum(bins.values()) == 3000
+        assert all(t <= 1000 + 300 for t in bins.values())
+
+
+def test_pack_sequences_partitioned_plan_has_no_single_partition_exchange(spark):
+    # scale guard: the partitioned path must hash-partition by the shard
+    # key, never funnel the corpus through Exchange SinglePartition
+    df = spark.range(1000).selectExpr(
+        "id as doc_id", "concat('s', id % 8) as shard", "id % 700 + 1 as n_tokens"
+    )
+    plan = pack_sequences(
+        df, "doc_id", "n_tokens", 1000, partition_col="shard"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
 
 
 def test_pack_sequences_deterministic_ordering(spark):
     rows = [(i, (i * 37) % 400 + 50) for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
-    a = {(r["doc_id"], r["bin_id"]) for r in pack_sequences(df, "doc_id", "n_tokens", 800).collect()}
+    a = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", 800, allow_global_order=True
+        ).collect()
+    }
     b = {
         (r["doc_id"], r["bin_id"])
-        for r in pack_sequences(df.repartition(7), "doc_id", "n_tokens", 800).collect()
+        for r in pack_sequences(
+            df.repartition(7), "doc_id", "n_tokens", 800, allow_global_order=True
+        ).collect()
     }
     assert a == b, "bin assignment must not depend on partitioning"
 
@@ -160,7 +250,9 @@ def test_pack_bins_contiguous_and_conserving_property(spark):
     cap = 2000
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     out = sorted(
-        pack_sequences(df, "doc_id", "n_tokens", cap).collect(),
+        pack_sequences(
+            df, "doc_id", "n_tokens", cap, allow_global_order=True
+        ).collect(),
         key=lambda r: r["doc_id"],
     )
     assert [r["doc_id"] for r in out] == [i for i, _ in rows]

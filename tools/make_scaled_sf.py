@@ -19,7 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hrdp_variant_load_pipeline_spark.session import get_spark  # noqa: E402
-from hrdp_variant_load_pipeline_spark.sources.tables import table  # noqa: E402
+from hrdp_variant_load_pipeline_spark.sources.tables import (  # noqa: E402
+    invalidate_tables,
+    table,
+)
 
 SRC = "/root/testdata/sf0.1"
 
@@ -87,6 +90,9 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
             f"{out}/{tname}.parquet"
         )
         print(f"wrote {tname} (unscaled dim)", file=sys.stderr)
+    # any table plans cached against OUT before/while restaging now pin a
+    # stale file listing — drop them so same-app readers re-list
+    invalidate_tables(out)
 
 
 def main() -> None:
