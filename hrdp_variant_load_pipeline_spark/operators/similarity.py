@@ -31,6 +31,23 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text form of ``dot`` — semantically identical, but ONE py4j
+    call to parse instead of the dozens a lambda-built Column tree costs.
+    Plan-construction latency is real per-query engine overhead on
+    sub-second analytics (measured ~0.5 s per similarity query built
+    through the Column API); the parsed tree, codegen, and runtime are
+    the same either way."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * "
+        f"cast(y AS double)), 0.0d, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -50,33 +67,34 @@ def brute_force_topk(
     deterministic and engine-portable.
     """
     # norms are per-row, so compute them BEFORE the pair join: O(n+q)
-    # instead of O(n*q) sqrt-of-self-dot evaluations
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+    # instead of O(n*q) sqrt-of-self-dot evaluations. Whole stages are
+    # built as selectExpr strings (see _dot_sql) — identical plan, a
+    # fraction of the construction latency.
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
-                round_digits,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        c.crossJoin(F.broadcast(q))
+        .where("neighbor_id != query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), "
+            f"{round_digits}) AS cosine",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .where(f"rank <= {k}")
     )
 
 
@@ -215,19 +233,17 @@ def ivf_topk(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     if centroids is not None:  # e.g. train_centroids output
-        cent_src = centroids.select(
-            F.col("cent_id"),
-            F.col("cvec"),
-            norm(F.col("cvec")).alias("cvec_norm"),
+        cent_src = centroids.selectExpr(
+            "cent_id", "cvec", f"{_norm_sql('cvec')} AS cvec_norm"
         )
     else:
         cent_src = (
             corpus.orderBy(F.col(id_col))
             .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("cent_id"),
-                F.col(vec_col).alias("cvec"),
-                norm(F.col(vec_col)).alias("cvec_norm"),
+            .selectExpr(
+                f"`{id_col}` AS cent_id",
+                f"`{vec_col}` AS cvec",
+                f"{_norm_sql(f'`{vec_col}`')} AS cvec_norm",
             )
         )
     # single array row (bounded: n_centroids structs), broadcast below
@@ -236,27 +252,22 @@ def ivf_topk(
             F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
         ).alias("__cents")
     )
-    # per-row norms precomputed before any pair join (O(n), not O(n*pairs))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    # per-row norms precomputed before any pair join (O(n), not O(n*pairs));
+    # stages built as SQL text (see _dot_sql) — same plan, cheap to build
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
     )
 
-    def _cent_scored(vec: Column, vnorm: Column) -> Column:
+    def _cent_scored_sql(vec: str, vnorm: str) -> str:
         """Array of (neg_cos, cent_id) structs, one per centroid; natural
         struct ordering = (cos desc, cent_id asc)."""
-        return F.transform(
-            F.col("__cents"),
-            lambda x: F.struct(
-                (
-                    -F.round(
-                        dot(vec, x["cvec"]) / (vnorm * x["cvec_norm"]),
-                        round_digits,
-                    )
-                ).alias("neg_cos"),
-                x["cent_id"].alias("cent_id"),
-            ),
+        return (
+            f"transform(__cents, x -> named_struct("
+            f"'neg_cos', -round({_dot_sql(vec, 'x.cvec')} / "
+            f"({vnorm} * x.cvec_norm), {round_digits}), "
+            f"'cent_id', x.cent_id))"
         )
 
     # inverted file: nearest centroid per corpus vector, row-local argmax.
@@ -264,55 +275,47 @@ def ivf_topk(
     # equi-join does NOT infer an IsNotNull(bucket) predicate — which
     # Catalyst would push into this cross join's condition and evaluate the
     # whole 8-dot-product argmax a second time per corpus row
-    assigned = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "bucket",
-            F.coalesce(
-                F.array_min(_cent_scored(F.col("c_vec"), F.col("c_norm")))["cent_id"],
-                F.lit(-1),
-            ),
-        )
-        .select("neighbor_id", "c_vec", "c_norm", "bucket")
+    assigned = c.crossJoin(F.broadcast(cent_arr)).selectExpr(
+        "neighbor_id",
+        "c_vec",
+        "c_norm",
+        f"coalesce(array_min({_cent_scored_sql('c_vec', 'c_norm')}).cent_id, -1L)"
+        " AS bucket",
     )
 
     # probe list: nprobe nearest centroids per query, row-local sort+slice
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
     )
     probes = (
         q.crossJoin(F.broadcast(cent_arr))
-        .select(
+        .selectExpr(
             "query_id",
             "q_vec",
             "q_norm",
-            F.explode(
-                F.slice(
-                    F.array_sort(_cent_scored(F.col("q_vec"), F.col("q_norm"))),
-                    1,
-                    nprobe,
-                )
-            ).alias("__p"),
+            f"explode(slice(array_sort({_cent_scored_sql('q_vec', 'q_norm')}),"
+            f" 1, {nprobe})) AS __p",
         )
-        .select("query_id", "q_vec", "q_norm", F.col("__p.cent_id").alias("bucket"))
+        .selectExpr("query_id", "q_vec", "q_norm", "__p.cent_id AS bucket")
     )
 
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         assigned.join(F.broadcast(probes), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
-                round_digits,
-            ),
+        .where("neighbor_id != query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), "
+            f"{round_digits}) AS cosine",
         )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .where(f"rank <= {k}")
     )
 
 

@@ -400,10 +400,19 @@ def agg_distinct_battery(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_supps"))
     )
-    pct = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    # percentiles via the same two-level trick: hash-aggregate (flag,
+    # quantity) VALUE COUNTS first (map-side combine; the shuffle carries
+    # distinct values per flag, ~50 rows/flag here and bounded by value
+    # cardinality at any scale), then one tiny frequency-weighted
+    # percentile per flag — instead of streaming every row into the
+    # ObjectHashAggregate percentile buffer through the shuffle
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("__freq")
+    )
+    pct = counts.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25, __freq)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50, __freq)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75, __freq)"), 4).alias("p75"),
     )
     return dist_parts.join(dist_supps, "l_returnflag").join(pct, "l_returnflag").select(
         "l_returnflag",
