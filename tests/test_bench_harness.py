@@ -104,12 +104,21 @@ def _fat_bench_out() -> dict:
     queries = {name: round(0.1 + i * 0.137, 3) for i, name in enumerate(bench.HEADLINE)}
     duck = {name: round(0.05 + i * 0.211, 3) for i, name in enumerate(bench.HEADLINE)}
     duck["dedup_clusters"] = "DNF"
+    prov = {
+        "cpus": 32,
+        "profile": {"spark.sql.adaptive.enabled": "false"},
+        "queries": {
+            name: {"gc_s": 0.123, "heap_mb": 1234.5, "load1": 1.23}
+            for name in queries
+        },
+    }
     return {
         "metric": "headline_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "sf": 0.1,
+        "provenance": prov,
         "scaled": {
             "sf": 1.0,
             "dir": "/root/repo/benchdata/sf1",
@@ -120,6 +129,7 @@ def _fat_bench_out() -> dict:
             "queries": queries,
             "duckdb": duck,
             "duckdb_finished_total": 35.131,
+            "provenance": prov,
         },
     }
 
@@ -142,6 +152,10 @@ def test_final_line_fits_driver_tail_window():
     assert parsed["scaled"]["duckdb_finished_total"] == 35.131
     assert parsed["scaled"]["duckdb_unfinished"] == ["dedup_clusters"]
     assert parsed["detail"] == "BENCH_DETAIL.json"
+    # per-query GC/heap/load provenance is detail-file-only: it would blow
+    # the tail budget and the driver never parses it
+    assert "provenance" not in parsed
+    assert "provenance" not in parsed["scaled"]
 
 
 def test_final_line_survives_error_sections():
