@@ -153,8 +153,16 @@ def commit_store_version(df: DataFrame, root: str) -> str:
     _verify_write(fs, jvm, tmp, spark)
     if not fs.rename(_jpath(jvm, tmp), _jpath(jvm, final)):
         raise RuntimeError(f"could not move staged store {tmp} to {final}")
-    # THE commit: one atomic create. Crash before this line -> readers
-    # keep the previous version; after it -> they see the new one.
+    # re-verify AT the final path before committing: if a concurrent
+    # writer raced to the same number, Hadoop rename moves the temp
+    # INSIDE the existing dir instead of failing — data files would then
+    # sit one level down and the marker would commit someone else's mix.
+    # The reference is single-writer per batch (one cron run); this turns
+    # an undetected race into a loud abort.
+    _verify_write(fs, jvm, final, spark)
+    # THE commit: one atomic create (fails if the marker already exists).
+    # Crash before this line -> readers keep the previous version; after
+    # it -> they see the new one.
     fs.create(_jpath(jvm, f"{final}/{COMMIT_MARKER}"), False).close()
 
     # post-commit housekeeping (failures here never affect visibility)
@@ -166,6 +174,35 @@ def commit_store_version(df: DataFrame, root: str) -> str:
     for name in legacy_files:  # flat store superseded by this version
         fs.delete(_jpath(jvm, f"{base}/{name}"), False)
     return final
+
+
+def compact_store(
+    spark: SparkSession, root: str, target_partitions: int | None = None
+) -> str | None:
+    """Rewrite the current store version into fewer, larger files.
+
+    ``append_to_store`` adds a file set per batch (the reference appends a
+    batch per cron run, ``DAO.java:68-119``); at ingest frequency that
+    accretes the classic small-files problem — scan tasks, open() calls,
+    and file-listing latency all scale with file COUNT, not bytes, and at
+    100 TB an uncompacted store can dwarf its own data cost. Compaction is
+    just a version commit whose content is the store itself, coalesced:
+    readers keep resolving the old version until the marker lands, so it
+    is safe to run concurrently with readers at any time.
+
+    ``target_partitions`` defaults to the session's shuffle parallelism,
+    floored at 1. Returns the new version path, or None when the store
+    does not exist.
+    """
+    target = resolve_store(spark, root)
+    if target is None:
+        return None
+    if target_partitions is None:
+        sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        target_partitions = max(1, int(sp) if sp.isdigit() else 32)
+    # coalesce, not repartition: file-count reduction needs no shuffle
+    df = spark.read.parquet(target).coalesce(target_partitions)
+    return commit_store_version(df, root)
 
 
 def append_to_store(df: DataFrame, root: str) -> str:

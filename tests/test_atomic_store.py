@@ -133,6 +133,34 @@ def test_append_targets_current_version(spark, tmp_path):
     assert read_store(spark, store).count() == 2
 
 
+def test_compact_store_reduces_files_and_preserves_rows(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    store = str(tmp_path / "store")
+    commit_store_version(spark.range(100).repartition(8), store)
+    for i in range(3):  # per-batch appends accrete small files
+        append_to_store(spark.range(1000 + i * 10, 1000 + i * 10 + 10).repartition(4), store)
+    cur = resolve_store(spark, store)
+    n_before = sum(1 for f in os.listdir(cur) if f.startswith("part-"))
+    assert n_before >= 20
+
+    new_path = compact_store(spark, store, target_partitions=2)
+    assert new_path == resolve_store(spark, store)
+    n_after = sum(1 for f in os.listdir(new_path) if f.startswith("part-"))
+    assert n_after <= 2
+    out = read_store(spark, store)
+    assert out.count() == 130
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(100)) + sum(
+        range(1000, 1030)
+    )
+
+
+def test_compact_store_missing_is_noop(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    assert compact_store(spark, str(tmp_path / "absent")) is None
+
+
 def test_read_store_missing_returns_empty_with_schema(spark, tmp_path):
     from hrdp_variant_load_pipeline_spark import schemas
 
