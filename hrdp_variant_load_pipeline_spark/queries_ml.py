@@ -9,7 +9,7 @@ families keep MinHash/SimHash reproducible across both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.functions import text as TXT
