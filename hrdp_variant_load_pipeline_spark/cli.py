@@ -42,6 +42,7 @@ from hrdp_variant_load_pipeline_spark.sources.config import load_config, samples
 from hrdp_variant_load_pipeline_spark.sources.store import (
     append_to_store,
     commit_store_version,
+    compact_store,
     read_store,
 )
 from hrdp_variant_load_pipeline_spark.sources.tables import register_catalog_namespaces
@@ -119,6 +120,23 @@ def _atomic_replace_store(df: DataFrame, store_path: str) -> None:
     commit_store_version(df, store_path)
 
 
+def cmd_compact(spark: SparkSession, cfg: dict) -> dict[str, int]:
+    """Fold per-batch append files in both stores into one coalesced
+    version each (``sources/store.py:compact_store``). The reference's
+    cron cadence appends one file set per run; at 146-strain frequency the
+    store's file count — not its bytes — starts to dominate scan startup.
+    Safe to run any time: readers flip to the compacted version atomically.
+    """
+    out: dict[str, int] = {}
+    for key in ("variant_store", "detail_store"):
+        path = cfg.get(key)
+        if not path:
+            continue
+        compacted = compact_store(spark, path)
+        out[f"{key}_compacted"] = int(compacted is not None)
+    return out
+
+
 def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     genes = spark.read.parquet(cfg["genes_path"])
     store = read_store(spark, cfg["variant_store"], schemas.VARIANT)
@@ -137,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="hrdp-variants-spark")
     parser.add_argument("--runLoad", action="store_true")
     parser.add_argument("--genicQc", action="store_true")
+    parser.add_argument("--compactStores", action="store_true")
     parser.add_argument("--config", required=True)
     args = parser.parse_args(argv)
 
@@ -153,8 +172,10 @@ def main(argv: list[str] | None = None) -> int:
             out = cmd_run_load(spark, cfg)
         elif args.genicQc:
             out = cmd_genic_qc(spark, cfg)
+        elif args.compactStores:
+            out = cmd_compact(spark, cfg)
         else:
-            parser.error("one of --runLoad / --genicQc is required")
+            parser.error("one of --runLoad / --genicQc / --compactStores is required")
         for k, v in out.items():
             print(f"{k}: {v}")
         return 0

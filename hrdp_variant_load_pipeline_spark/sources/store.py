@@ -78,11 +78,22 @@ def committed_versions(spark: SparkSession, root: str) -> list[int]:
     return sorted(out)
 
 
-def resolve_store(spark: SparkSession, root: str) -> str | None:
-    """Path a reader should scan: the highest committed version dir, else
-    the root itself when it holds a legacy flat store, else None."""
+def resolve_store(
+    spark: SparkSession, root: str, version: int | None = None
+) -> str | None:
+    """Path a reader should scan: the highest committed version dir (or
+    the specific committed ``version`` — time travel within the retention
+    window, ``KEEP_PREVIOUS`` back), else the root itself when it holds a
+    legacy flat store, else None."""
     base = root.rstrip("/")
     versions = committed_versions(spark, base)
+    if version is not None:
+        if version not in versions:
+            raise FileNotFoundError(
+                f"store version {version} not committed under {root} "
+                f"(retained: {versions})"
+            )
+        return f"{base}/v_{version:08d}"
     if versions:
         return f"{base}/v_{versions[-1]:08d}"
     fs, jvm = _fs(spark, base)
@@ -92,10 +103,15 @@ def resolve_store(spark: SparkSession, root: str) -> str | None:
     return None
 
 
-def read_store(spark: SparkSession, root: str, schema=None) -> DataFrame:
-    """Read the current committed store; empty DataFrame (with ``schema``)
-    when the store does not exist yet."""
-    target = resolve_store(spark, root)
+def read_store(
+    spark: SparkSession, root: str, schema=None, version: int | None = None
+) -> DataFrame:
+    """Read the current committed store — or a retained earlier one via
+    ``version`` (the commit protocol keeps ``KEEP_PREVIOUS`` superseded
+    versions, so the previous batch stays queryable: diff a repair against
+    what it replaced, audit a load, roll analysis back a step). Empty
+    DataFrame (with ``schema``) when the store does not exist yet."""
+    target = resolve_store(spark, root, version)
     if target is None:
         if schema is None:
             raise FileNotFoundError(f"no committed store under {root}")

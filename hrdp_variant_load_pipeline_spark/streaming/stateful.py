@@ -18,6 +18,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def session_window_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Per-key gap-based session windows via the built-in
+    ``session_window`` — the streaming-native counterpart of the batch
+    ``events_sessionize`` query (lag-over-window sessionization cannot run
+    on a stream; session windows merge in the state store as events
+    arrive and EMIT when the watermark passes a session's gap).
+
+    Works identically on batch and streaming inputs (the batch run is the
+    oracle for the streaming one — pinned in
+    ``tests/test_streaming_batch_equivalence.py``). State per open session
+    is bounded by the watermark horizon, so continuous ingest runs
+    forever; the shuffle is keyed on (key, session), the same partitioning
+    any aggregation would need.
+
+    Output: (key, session_start, session_end, n_events).
+    """
+    from pyspark.sql import functions as F
+
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = df.withWatermark(event_time_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Per-user running (n_events, total_value) maintained in group state.
 

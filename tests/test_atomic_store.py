@@ -155,6 +155,21 @@ def test_compact_store_reduces_files_and_preserves_rows(spark, tmp_path):
     )
 
 
+def test_time_travel_reads_retained_previous_version(spark, tmp_path):
+    store = str(tmp_path / "store")
+    commit_store_version(spark.range(10).withColumn("tag", F.lit("v1")), store)
+    commit_store_version(spark.range(3).withColumn("tag", F.lit("v2")), store)
+    assert read_store(spark, store).count() == 3
+    old = read_store(spark, store, version=1)
+    assert old.count() == 10 and old.filter(F.col("tag") == "v1").count() == 10
+    # beyond the retention window (pruned) or never-committed -> loud error
+    commit_store_version(spark.range(1), store)  # prunes v1
+    with pytest.raises(Exception, match="not committed"):
+        read_store(spark, store, version=1)
+    with pytest.raises(Exception, match="not committed"):
+        read_store(spark, store, version=99)
+
+
 def test_compact_store_missing_is_noop(spark, tmp_path):
     from hrdp_variant_load_pipeline_spark.sources.store import compact_store
 

@@ -157,3 +157,47 @@ def test_cli_dual_catalog_namespaces(spark, tmp_path):
     finally:
         for db in ("rgd_t", "carpenovo_t"):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cli_compact_stores_preserves_load_semantics(spark, tmp_path):
+    """--compactStores folds append-accreted files into one version; a
+    re-load after compaction still dedups against the store (0 new), and
+    genic QC still reads it."""
+    import gzip as _gzip
+
+    from hrdp_variant_load_pipeline_spark.cli import cmd_compact
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        read_store,
+        resolve_store,
+    )
+
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with _gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame([(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE).write.parquet(
+        genes_path
+    )
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+    }
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2
+
+    out = cmd_compact(spark, cfg)
+    assert out == {"variant_store_compacted": 1, "detail_store_compacted": 1}
+    cur = resolve_store(spark, cfg["variant_store"])
+    assert cur is not None and "/v_" in cur
+    assert read_store(spark, cfg["variant_store"]).count() == 2
+
+    # idempotent re-load against the compacted store
+    m2 = cmd_run_load(spark, cfg)
+    assert m2["variants_entered"] == 0 and m2["sample_details_entered"] == 0
+    # QC fixpoint on the compacted store
+    assert cmd_genic_qc(spark, cfg)["genic_status_updated"] == 0

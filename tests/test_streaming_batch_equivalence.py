@@ -66,6 +66,59 @@ def test_streaming_stateful_totals_equal_batch_totals(spark):
         assert abs(got[uid]["total_value"] - w["total"]) <= 0.011, uid
 
 
+def test_streaming_session_windows_equal_batch_sessions(spark):
+    """session_window merges per-key gap sessions in the state store; on a
+    finite input the emitted sessions must equal the batch computation of
+    the SAME expression (complete mode — append would hold back sessions
+    the final watermark never passes)."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import (
+        session_window_stats,
+    )
+
+    raw_schema = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+    )
+    streamed = session_window_stats(
+        normalize_ts(stream), gap="30 minutes", watermark=None
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        streamed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    batch = session_window_stats(
+        table(spark, SF_DIR, "events"), gap="30 minutes"
+    )
+    assert _rows(spark.table(name)) == _rows(batch)
+    # sanity against the sessionize oracle's per-user session counts:
+    # same gap, same data -> same number of sessions per user
+    from hrdp_variant_load_pipeline_spark.queries_core import REGISTRY as C
+
+    oracle_counts = {
+        r["user_id"]: r["n_sessions"]
+        for r in C["events_sessionize"][0](spark, SF_DIR).collect()
+    }
+    got_counts = {
+        r["user_id"]: r["count"]
+        for r in spark.table(name).groupBy("user_id").count().collect()
+    }
+    assert got_counts == oracle_counts
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     stream_fn, _ = ML["streaming_dedup_events"]
     streamed = stream_fn(spark, SF_DIR)
