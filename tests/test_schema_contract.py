@@ -86,3 +86,30 @@ def test_table_dtypes_match_contract(spark, name):
         "If the driver changed a physical type, extend sources.tables "
         "normalization so queries keep seeing the canonical dtype."
     )
+
+
+def test_embedding_dimension_contract(spark):
+    """The cosine/IVF oracles hardcode generate_series(1, 64): a driver
+    regeneration that changes the embedding dimension must fail here, not
+    as a silent value mismatch in the correctness gate."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, SF_DIR, "embeddings")
+    dims = e.select(F.size("embedding").alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).collect()[0]
+    assert (dims["lo"], dims["hi"]) == (64, 64), (
+        f"embedding dim drifted to [{dims['lo']}, {dims['hi']}]; update the "
+        "generate_series bounds in queries_ml oracle SQL"
+    )
+
+
+def test_documents_lang_value_set_contract(spark):
+    """corpus_prep_battery's sampling fractions and the lang-ID markers
+    assume this stratum set; new/renamed strata fall to the 0.0 default on
+    BOTH engines (still consistent) but should be a conscious decision."""
+    langs = {
+        r["lang"]
+        for r in table(spark, SF_DIR, "documents").select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "de", "es", "fr", "zh"}, f"new strata: {langs}"
