@@ -56,6 +56,15 @@ def stream_vcf_loader(
     — each batch's dedup join and store append stays memory-sized, and a
     failure loses at most one bounded batch of progress. Unset, Spark's
     default takes every available file per trigger.
+
+    Effectively-once on replay: ``foreachBatch`` is at-least-once (a crash
+    between the store append and the checkpoint commit replays the batch),
+    but the replayed load re-runs the insert-if-absent dedup against the
+    store that already holds the first attempt's rows, so the replay
+    appends only what is missing — the same idempotence the reference gets
+    from its per-line existence probes (``HrdpVariants.java:310-314``),
+    here from one anti-join. No dedup-at-read or transactional sink is
+    required for the variant/detail stores.
     """
     reader = (
         spark.readStream.option("recursiveFileLookup", "true")
