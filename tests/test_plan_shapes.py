@@ -137,3 +137,29 @@ def test_ivf_assignment_no_corpus_shuffle(spark):
     # WindowGroupLimit so only ~k rows per group reach the shuffle
     pre, _, _ = plan.partition("Exchange hashpartitioning")
     assert "WindowGroupLimit" in pre
+
+
+def test_agg_distinct_single_scan_expand_codegen(spark):
+    """The fused battery must read lineitem ONCE: a GROUPING SETS Expand
+    feeding a codegen HashAggregate (map-side partial), never the 3-pass
+    join-of-subaggregations form (3 scans) or a mixed agg that drops the
+    Expand into an interpreted ObjectHashAggregate at level 1."""
+    plan = _plan(spark, "agg_distinct_battery")
+    assert plan.count("FileScan parquet") == 1, "lineitem must be scanned once"
+    assert "Expand" in plan
+    assert "Join" not in plan
+    # level 1 (below the Expand) is a plain codegen HashAggregate on the
+    # grouping-set keys; the percentile/HLL ObjectHashAggregate runs at
+    # level 2 over the tiny combination table — after the only exchange
+    assert "HashAggregate(keys=[l_returnflag" in plan
+
+
+def test_brute_force_topk_single_corpus_pass_broadcast_queries(spark):
+    """SQL-text plan construction must not change the shape: corpus
+    scanned once, query side broadcast, no shuffle before the per-query
+    rank window."""
+    plan = _plan(spark, "embedding_cosine_topk")
+    assert "BroadcastHashJoin" not in plan  # cross join vs broadcast NESTED loop
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the rank window only
