@@ -82,9 +82,19 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf, "orders")
     li = table(spark, sf, "lineitem")
+    # join order matters at scale: reduce orders through the broadcast
+    # customer filter FIRST (~5x selectivity), so the fact-table join probes
+    # the shrunken side. The shuffle_hash hint keeps the fact join a
+    # partitioned hash join: without it the static planner broadcasts
+    # whichever side's size ESTIMATE dips under the threshold — at ~sf1
+    # that is lineitem's 3-column pruned scan, i.e. the fact side.
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy(li.l_orderkey.alias("orderkey"), "o_orderdate")
         .agg(
             F.round(

@@ -34,6 +34,20 @@ def test_star_joins_broadcast(spark, name):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the fact table must NEVER be the broadcast/build side: a size
+    # ESTIMATE dipping under the threshold (3-column pruned scan at ~sf1)
+    # must not let the planner ship lineitem to every executor
+    import re
+
+    assert not re.search(r"BroadcastExchange[\s\S]{0,1200}?lineitem", plan)
+
+
+def test_q3_fact_join_is_partitioned_hash(spark):
+    """q3 reduces orders through the broadcast customer filter FIRST, then
+    probes the fact join as a partitioned (shuffled) hash join — the shape
+    that survives 100 TB where a fact-side broadcast cannot."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "ShuffledHashJoin" in plan
 
 
 def test_insert_if_absent_single_shuffle_no_join(spark):
