@@ -12,7 +12,9 @@ for 100 TB:
   sequential); the shuffle carries (key, token_count) pairs only;
 * sampling is hash-thresholded per stratum — deterministic across runs,
   engines, and partitionings (no RNG state), so samples are reproducible
-  and joinable against the source.
+  and joinable against the source;
+* decontamination broadcasts the benchmark's shingle set — corpus
+  shingles are filtered map-side and never shuffled.
 
 Everything is built-in column expressions — no Python UDFs.
 """
@@ -135,6 +137,56 @@ def pack_sequences(
         )
         .drop("__cum", "__nov")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (or flag) training documents sharing any word ``n``-gram with
+    a benchmark/eval set — the standard pretraining decontamination step
+    (GPT-3 appendix C / PaLM style n-gram overlap, word-level).
+
+    ``mode="drop"`` returns the clean corpus; ``mode="flag"`` returns every
+    input row plus a boolean ``contaminated`` column. Documents shorter
+    than ``n`` words produce no shingles and are never contaminated.
+
+    Scale shape (100 TB corpus, MB-scale benchmark): the benchmark's
+    distinct shingle set is eval-sized, so it is BROADCAST and the corpus
+    side's exploded shingles are filtered map-side by a broadcast semi
+    join — corpus shingles are never shuffled. The only shuffles are the
+    distinct over the (small) contaminated-id set and the final id-keyed
+    join, whose build side AQE sizes at runtime.
+    """
+    from hrdp_variant_load_pipeline_spark.operators.dedup import shingle_array
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    bcol = bench_text_col if bench_text_col is not None else text_col
+    bench_shingles = (
+        benchmark.select(
+            F.explode(shingle_array(F.col(bcol), n)).alias("__shingle")
+        ).distinct()
+    )
+    contaminated = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col(text_col), n)).alias("__shingle"),
+        )
+        .join(F.broadcast(bench_shingles), "__shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return docs.join(contaminated, id_col, "left_anti")
+    return docs.join(
+        contaminated.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
 def _stratum_hash_unit(id_col: Column, salt: str) -> Column:

@@ -109,10 +109,15 @@ def shingle_array(text_col: Column, k: int = 3) -> Column:
     words = F.split(text_col, " ")
     n = F.size(words)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.array_join(F.slice(words, i, k), " "),
     )
-    return F.array_distinct(grams)
+    # guard BOTH branches: sequence(1, 0) infers step -1 and DESCENDS to
+    # [1, 0], whose slice(start=0) aborts the job under ANSI mode — docs
+    # shorter than k words simply have no k-grams
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_sets(

@@ -348,8 +348,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# corpus-prep battery: the three operators/corpus.py stages composed the
-# way a pretraining-data job runs them — deterministic stratified sample →
+# corpus-prep battery: the operators/corpus.py stages composed the way a
+# pretraining-data job runs them — deterministic stratified sample →
+# benchmark n-gram decontamination (docs 0 mod 10 play the eval set) →
 # overlapping chunking → per-language sequence packing — reduced to
 # per-(lang, bin) loads so the row stays small and hash-stable. The pack
 # runs the PARTITIONED path (partition_col="lang"), i.e. the 100 TB shape,
@@ -364,13 +365,26 @@ _PREP_CASE = " ".join(
     f"""
     WITH sampled AS (
       SELECT doc_id, text, lang FROM documents
-      WHERE ('0x' || substr(md5('prep' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+      WHERE doc_id % 10 <> 0
+        AND ('0x' || substr(md5('prep' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
             / 4294967296.0
             < CASE lang {_PREP_CASE} ELSE 0.0 END),
+    bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+    bench_g AS (
+      SELECT DISTINCT array_to_string(w[s:s+7], ' ') AS g
+      FROM bw, unnest(range(1, greatest(len(w) - 7, 0) + 1)) t(s)),
+    sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sampled),
+    sg AS (
+      SELECT doc_id, array_to_string(w[s:s+7], ' ') AS g
+      FROM sw, unnest(range(1, greatest(len(w) - 7, 0) + 1)) t(s)),
+    contaminated AS (SELECT DISTINCT doc_id FROM sg JOIN bench_g USING (g)),
+    clean AS (
+      SELECT * FROM sampled
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
     toks AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
-      FROM sampled),
+      FROM clean),
     starts AS (
       SELECT doc_id, lang, len(w) AS n,
              unnest(range(1, greatest(len(w) - 1, 1) + 1, 48)) AS s
@@ -394,16 +408,21 @@ _PREP_CASE = " ".join(
 def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     from hrdp_variant_load_pipeline_spark.operators.corpus import (
         chunk_documents,
+        decontaminate,
         pack_sequences,
         stratified_sample,
     )
 
     d = table(spark, sf, "documents")
-    sampled = stratified_sample(d, "lang", _PREP_FRACTIONS, id_col="doc_id", salt="prep")
-    chunks = chunk_documents(sampled, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    src = d.filter(F.col("doc_id") % 10 != 0)
+    sampled = stratified_sample(src, "lang", _PREP_FRACTIONS, id_col="doc_id", salt="prep")
+    # decontaminate AFTER sampling: only surviving docs pay the shingling
+    clean = decontaminate(sampled, bench, "doc_id", "text", n=8)
+    chunks = chunk_documents(clean, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
     # chunking keeps only the id — rejoin the stratum key (broadcast: the
     # projected (doc_id, lang) side is tiny relative to chunk_text)
-    with_lang = chunks.join(F.broadcast(sampled.select("doc_id", "lang")), "doc_id")
+    with_lang = chunks.join(F.broadcast(clean.select("doc_id", "lang")), "doc_id")
     packed = pack_sequences(
         with_lang.withColumn(
             "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.corpus import (
     chunk_documents,
+    decontaminate,
     pack_sequences,
     stratified_sample,
 )
@@ -263,3 +264,57 @@ def test_pack_bins_contiguous_and_conserving_property(spark):
         last_bin = r["bin_id"]
         totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["n_tokens"]
     assert all(t <= cap + 900 for t in totals.values())
+
+
+def _decon_fixture(spark):
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            # shares the benchmark's words 3..10 (an 8-gram) -> contaminated
+            (1, "x y " + " ".join(f"b{i}" for i in range(2, 10)) + " z"),
+            # shares only a 7-gram -> clean at n=8
+            (2, " ".join(f"b{i}" for i in range(3, 10)) + " q r s t u v w x"),
+            (3, "entirely unrelated text with plenty of distinct words here"),
+            (4, "short doc"),  # < n words: no shingles, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    return docs, bench
+
+
+def test_decontaminate_drop_and_flag(spark):
+    docs, bench = _decon_fixture(spark)
+    kept = decontaminate(docs, bench, "doc_id", "text", n=8)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+    flagged = decontaminate(docs, bench, "doc_id", "text", n=8, mode="flag")
+    got = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_decontaminate_empty_benchmark_keeps_all(spark):
+    docs, bench = _decon_fixture(spark)
+    kept = decontaminate(docs, bench.limit(0), "doc_id", "text", n=8)
+    assert kept.count() == docs.count()
+
+
+def test_decontaminate_rejects_bad_mode(spark):
+    docs, bench = _decon_fixture(spark)
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, "doc_id", "text", mode="purge")
+
+
+def test_decontaminate_corpus_shingles_never_shuffled(spark):
+    """Scale guard: the benchmark shingle set is broadcast, so the corpus's
+    exploded shingles are filtered map-side — no Exchange may sit between
+    the corpus Generate (explode) and the semi join consuming it."""
+    docs, bench = _decon_fixture(spark)
+    plan = (
+        decontaminate(docs, bench, "doc_id", "text", n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    semi = plan.index("BroadcastHashJoin")
+    gen = plan.index("Generate explode", semi)
+    assert "Exchange hashpartitioning" not in plan[semi:gen]

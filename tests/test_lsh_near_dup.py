@@ -63,3 +63,23 @@ def test_lsh_near_dup_matches_brute_force_on_separable_data(spark):
     # vectors makes recall 1.0 here (same-cluster sketches agree on
     # almost every plane, so they collide in every band)
     assert pairs == truth
+
+
+def test_shingle_array_short_doc_is_empty_not_error(spark):
+    """Regression: docs with fewer than k words made sequence(1, n-k+1)
+    DESCEND ([1, 0]) and slice(start=0) abort under ANSI — short docs must
+    yield an empty shingle set instead."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import shingle_array
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", shingle_array(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert "a b c" in out[3] and len(out[3]) == 3
