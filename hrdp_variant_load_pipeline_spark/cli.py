@@ -132,7 +132,11 @@ def cmd_compact(spark: SparkSession, cfg: dict) -> dict[str, int]:
         path = cfg.get(key)
         if not path:
             continue
-        compacted = compact_store(spark, path)
+        # optional clustering keys, e.g. {"compact_sort_by": {"variant_store":
+        # ["chromosome", "start_pos"]}} — files then cover disjoint key
+        # ranges and genic-QC's per-range probes skip via footer stats
+        sort_by = (cfg.get("compact_sort_by") or {}).get(key)
+        compacted = compact_store(spark, path, sort_by=sort_by)
         out[f"{key}_compacted"] = int(compacted is not None)
     return out
 

@@ -193,9 +193,13 @@ def commit_store_version(df: DataFrame, root: str) -> str:
 
 
 def compact_store(
-    spark: SparkSession, root: str, target_partitions: int | None = None
+    spark: SparkSession,
+    root: str,
+    target_partitions: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> str | None:
-    """Rewrite the current store version into fewer, larger files.
+    """Rewrite the current store version into fewer, larger files —
+    optionally clustered on ``sort_by`` for data-skipping scans.
 
     ``append_to_store`` adds a file set per batch (the reference appends a
     batch per cron run, ``DAO.java:68-119``); at ingest frequency that
@@ -205,6 +209,16 @@ def compact_store(
     just a version commit whose content is the store itself, coalesced:
     readers keep resolving the old version until the marker lands, so it
     is safe to run concurrently with readers at any time.
+
+    ``sort_by`` (e.g. ``["chromosome", "start_pos"]``) range-partitions
+    and sorts the rewrite on those keys, so every file — and every parquet
+    row group inside it — covers a narrow key range. Point and interval
+    probes (the genic-QC re-stage scope, ``VariantDAO``'s per-gene-range
+    reads) then skip whole files/row groups via parquet min/max footer
+    stats instead of scanning the store: at 100 TB that is the difference
+    between touching a few hundred MB and the full store. Costs one
+    shuffle of the store (range exchange), which is the point of a
+    clustering rewrite; plain coalesce stays the no-shuffle default.
 
     ``target_partitions`` defaults to the session's shuffle parallelism,
     floored at 1. Returns the new version path, or None when the store
@@ -216,8 +230,14 @@ def compact_store(
     if target_partitions is None:
         sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         target_partitions = max(1, int(sp) if sp.isdigit() else 32)
-    # coalesce, not repartition: file-count reduction needs no shuffle
-    df = spark.read.parquet(target).coalesce(target_partitions)
+    df = spark.read.parquet(target)
+    if sort_by:
+        df = df.repartitionByRange(target_partitions, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        # coalesce, not repartition: file-count reduction needs no shuffle
+        df = df.coalesce(target_partitions)
     return commit_store_version(df, root)
 
 

@@ -182,3 +182,43 @@ def test_read_store_missing_returns_empty_with_schema(spark, tmp_path):
     out = read_store(spark, str(tmp_path / "absent"), schemas.VARIANT)
     assert out.count() == 0
     assert out.schema == schemas.VARIANT
+
+
+def test_compact_store_sorted_clusters_files_for_data_skipping(spark, tmp_path):
+    """sort_by compaction must leave every data file covering a DISJOINT
+    key range (checked from the parquet footer min/max, exactly what scan
+    pruning consults) — the property that lets point/range probes skip
+    whole files at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    store = str(tmp_path / "store")
+    # appends arrive unclustered: every batch spans the whole key space
+    commit_store_version(
+        spark.range(4000).selectExpr("id % 97 AS pos", "id AS payload").repartition(8),
+        store,
+    )
+    for lo in (0, 1):
+        append_to_store(
+            spark.range(lo, 4000, 2).selectExpr("id % 97 AS pos", "id AS payload"),
+            store,
+        )
+    new_path = compact_store(spark, store, target_partitions=4, sort_by=["pos"])
+    files = [f for f in os.listdir(new_path) if f.startswith("part-")]
+    assert 1 < len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(new_path, f)).metadata
+        cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        stats = [
+            md.row_group(g).column(cols["pos"]).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"file key ranges overlap: {ranges}"
+    # rows and values preserved
+    out = read_store(spark, store)
+    assert out.count() == 8000
