@@ -92,3 +92,33 @@ def test_ivf_with_trained_centroids_matches_brute_force_top1(spark):
     # with per-cluster buckets and nprobe=1, the true nearest neighbor
     # lives in the probed bucket for every query
     assert a == e
+
+
+def test_ivf_recall_at_5_on_real_embeddings(spark):
+    """Quantified ANN quality gate on the driver embeddings fixture: IVF
+    recall@5 vs brute force. Every stage is deterministic (hash-seeded
+    init, no RNG), so the recall is a fixed number per (n_centroids,
+    nprobe) — the bounds pin the quality/probe trade-off and fail if a
+    change silently degrades bucketing."""
+    from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    recalls = {}
+    for nprobe in (2, 3):
+        tr = train_centroids(e, n_centroids=8, n_iter=4)
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                e, q, n_centroids=8, nprobe=nprobe, k=5, centroids=tr
+            ).collect()
+        }
+        recalls[nprobe] = len(approx & exact) / len(exact)
+    assert recalls[2] >= 0.65, recalls
+    assert recalls[3] >= 0.78, recalls
+    # probing more buckets can only widen the candidate set
+    assert recalls[3] >= recalls[2], recalls

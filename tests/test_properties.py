@@ -134,3 +134,62 @@ def test_load_idempotence_random_store(spark):
     matched = _dedup_against_store(cand, variants)
     unmatched = matched.filter(F.col("store_rgd_id").isNull()).count()
     assert unmatched == 0
+
+
+def _collect_decon_cases(n=25):
+    cases = []
+
+    @settings(max_examples=n, derandomize=True, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=10),
+            min_size=1,
+            max_size=8,
+        ),
+        bench=st.lists(
+            st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=10),
+            min_size=0,
+            max_size=3,
+        ),
+    )
+    def gen(corpus, bench):
+        cases.append((corpus, bench))
+
+    gen()
+    return cases
+
+
+def _ngrams(words, n):
+    return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def test_decontaminate_matches_bruteforce_bulk(spark):
+    """decontaminate == brute force: a doc is dropped iff it shares at
+    least one word n-gram with some benchmark doc. All hypothesis cases
+    ride ONE Spark job: tokens are namespaced per case (c<i>w<t>) so cases
+    cannot cross-contaminate inside the single corpus/benchmark pair."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import decontaminate
+
+    n = 3
+    doc_rows, bench_rows, expect_kept = [], [], set()
+    for ci, (corpus, bench) in enumerate(_collect_decon_cases()):
+        tok = lambda t: f"c{ci}w{t}"
+        bench_grams = set()
+        for ws in bench:
+            words = [tok(t) for t in ws]
+            bench_rows.append((" ".join(words),))
+            bench_grams |= _ngrams(words, n)
+        for di, ws in enumerate(corpus):
+            words = [tok(t) for t in ws]
+            doc_id = ci * 1000 + di
+            doc_rows.append((doc_id, " ".join(words)))
+            if not (_ngrams(words, n) & bench_grams):
+                expect_kept.add(doc_id)
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bdf = (
+        spark.createDataFrame(bench_rows, "text string")
+        if bench_rows
+        else spark.createDataFrame([], "text string")
+    )
+    kept = {r.doc_id for r in decontaminate(docs, bdf, "doc_id", "text", n=n).collect()}
+    assert kept == expect_kept
