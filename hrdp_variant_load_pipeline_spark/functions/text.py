@@ -269,3 +269,49 @@ def repetition_flags(
         & (dup_ngram_fraction(text, 3) <= max_dup_trigram_frac)
         & (toks_ok | (top_token_fraction(text) <= max_top_token_frac))
     )
+
+
+#: masking patterns for pre-tokenization normalization. URL first (an URL
+#: may embed digits/@-text that must mask as part of the URL, not as an
+#: email/number), then email, then standalone numbers.
+URL_RE = r"(https?://|www\.)[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUMBER_RE = r"\d+([.,]\d+)*"
+
+
+def normalize_text(
+    text: Column,
+    *,
+    lowercase: bool = True,
+    mask_urls: bool = True,
+    mask_emails: bool = True,
+    mask_numbers: bool = False,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Standard pre-tokenization cleanup as one codegen'd expression chain:
+    mask URLs/emails/(optionally) numbers to stable placeholder tokens,
+    lowercase, collapse whitespace runs, trim.
+
+    Masking replaces each match with ``<url>`` / ``<email>`` / ``<num>``
+    so downstream token counts, shingles, and dedup signatures treat all
+    concrete instances as one vocabulary item — the usual way training
+    corpora stop URL/id churn from defeating near-dup detection. Number
+    masking is off by default (it erases real signal in code/math-heavy
+    corpora; turn it on for web text).
+
+    Row-local, order-fixed (URL → email → number, see pattern notes), no
+    Python UDFs — at 100 TB this rides the same scan as every other
+    column expression.
+    """
+    out = text
+    if mask_urls:
+        out = F.regexp_replace(out, URL_RE, "<url>")
+    if mask_emails:
+        out = F.regexp_replace(out, EMAIL_RE, "<email>")
+    if mask_numbers:
+        out = F.regexp_replace(out, NUMBER_RE, "<num>")
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -93,3 +93,47 @@ def test_bulk_invariants_match_python_reference(spark):
         )
         assert abs(got[i][0] - want_d2) < 1e-9, (i, d)
         assert abs(got[i][1] - want_top) < 1e-9, (i, d)
+
+
+class TestNormalizeText:
+    def _norm(self, spark, text, **kw):
+        from hrdp_variant_load_pipeline_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(normalize_text(F.col("t"), **kw).alias("n")).first().n
+
+    def test_masks_urls_emails_and_case(self, spark):
+        got = self._norm(
+            spark,
+            "Visit https://ex.com/a?b=1 or www.ex.org/x, mail Bob@Ex.COM now",
+        )
+        assert got == "visit <url> or <url> mail <email> now"
+
+    def test_number_masking_opt_in(self, spark):
+        text = "pi is 3.14 and 1,000 items"
+        assert self._norm(spark, text) == "pi is 3.14 and 1,000 items"
+        assert (
+            self._norm(spark, text, mask_numbers=True)
+            == "pi is <num> and <num> items"
+        )
+
+    def test_whitespace_collapse_and_trim(self, spark):
+        assert self._norm(spark, "  a \t b\n\nc  ") == "a b c"
+
+    def test_url_wins_over_embedded_email_and_number(self, spark):
+        # an URL containing @ and digits masks as ONE <url>, not a mix
+        got = self._norm(spark, "see https://u:p@host:8080/p?q=1 ok")
+        assert got == "see <url> ok"
+
+    def test_all_off_is_identity(self, spark):
+        t = "Mixed CASE  and https://x.y 42"
+        got = self._norm(
+            spark,
+            t,
+            lowercase=False,
+            mask_urls=False,
+            mask_emails=False,
+            mask_numbers=False,
+            collapse_whitespace=False,
+        )
+        assert got == t
