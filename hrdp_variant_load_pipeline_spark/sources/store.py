@@ -104,19 +104,32 @@ def resolve_store(
 
 
 def read_store(
-    spark: SparkSession, root: str, schema=None, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    schema=None,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the current committed store — or a retained earlier one via
     ``version`` (the commit protocol keeps ``KEEP_PREVIOUS`` superseded
     versions, so the previous batch stays queryable: diff a repair against
     what it replaced, audit a load, roll analysis back a step). Empty
-    DataFrame (with ``schema``) when the store does not exist yet."""
+    DataFrame (with ``schema``) when the store does not exist yet.
+
+    ``merge_schema=True`` unions schemas across files (columns absent in
+    older files read as null) — needed only after an
+    ``allow_schema_drift`` append widened the store. Off by default: the
+    merge reads EVERY file footer, which at 100 TB file counts is a real
+    listing/IO cost the common fixed-schema read should not pay."""
     target = resolve_store(spark, root, version)
     if target is None:
         if schema is None:
             raise FileNotFoundError(f"no committed store under {root}")
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(target)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(target)
 
 
 def _verify_write(fs, jvm, tmp: str, spark: SparkSession) -> None:
@@ -230,7 +243,11 @@ def compact_store(
     if target_partitions is None:
         sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         target_partitions = max(1, int(sp) if sp.isdigit() else 32)
-    df = spark.read.parquet(target)
+    # always merge schemas: a compaction is the rewrite that re-unifies a
+    # drift-widened store (and it reads every file anyway, so the footer
+    # cost is already paid) — a sampled-footer read here could silently
+    # drop a column added by an allow_schema_drift append
+    df = spark.read.option("mergeSchema", "true").parquet(target)
     if sort_by:
         df = df.repartitionByRange(target_partitions, *sort_by).sortWithinPartitions(
             *sort_by
@@ -241,11 +258,38 @@ def compact_store(
     return commit_store_version(df, root)
 
 
-def append_to_store(df: DataFrame, root: str) -> str:
+def append_to_store(
+    df: DataFrame, root: str, allow_schema_drift: bool = False
+) -> str:
     """Append rows to the CURRENT store location (version dir when the
     store is versioned, the root for legacy/new flat stores). Appends are
     file-granular like the reference's batched inserts; use
-    ``commit_store_version`` when replace-visibility is required."""
-    target = resolve_store(df.sparkSession, root) or root.rstrip("/")
+    ``commit_store_version`` when replace-visibility is required.
+
+    Appending a DIFFERENT schema into an existing location is refused:
+    Spark's default parquet read infers from one footer, so a drifted
+    append would silently drop (or null out) columns depending on which
+    file gets sampled — the database behavior the reference relies on is
+    a loud ALTER-or-fail. Pass ``allow_schema_drift=True`` for deliberate
+    widening, and read with ``read_store(..., merge_schema=True)``."""
+    spark = df.sparkSession
+    target = resolve_store(spark, root) or root.rstrip("/")
+    fs, jvm = _fs(spark, target)
+    if not allow_schema_drift and fs.exists(_jpath(jvm, target)):
+        has_data = any(
+            not d and not n.startswith((".", "_"))
+            for n, d in _list_names(fs, jvm, target)
+        )
+        if has_data:
+            existing = spark.read.parquet(target).schema
+            if {(f.name, f.dataType) for f in existing.fields} != {
+                (f.name, f.dataType) for f in df.schema.fields
+            }:
+                raise ValueError(
+                    f"append schema drift at {target}: store has "
+                    f"{existing.simpleString()}, append has "
+                    f"{df.schema.simpleString()}; pass "
+                    "allow_schema_drift=True for deliberate widening"
+                )
     df.write.mode("append").parquet(target)
     return target

@@ -222,3 +222,41 @@ def test_compact_store_sorted_clusters_files_for_data_skipping(spark, tmp_path):
     # rows and values preserved
     out = read_store(spark, store)
     assert out.count() == 8000
+
+
+def test_append_refuses_silent_schema_drift(spark, tmp_path):
+    """A drifted append must fail loudly: the default parquet read infers
+    from ONE footer, so mixed-schema files silently drop or null columns
+    depending on which file is sampled."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    commit_store_version(spark.range(5).selectExpr("id", "id * 2 AS v"), store)
+    with pytest.raises(ValueError, match="schema drift"):
+        append_to_store(
+            spark.range(5).selectExpr("id", "id * 2 AS v", "'x' AS extra"), store
+        )
+    # same schema still appends fine
+    append_to_store(spark.range(5, 8).selectExpr("id", "id * 2 AS v"), store)
+    assert read_store(spark, store).count() == 8
+
+
+def test_schema_widening_roundtrip_with_merge_schema(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    store = str(tmp_path / "store")
+    commit_store_version(spark.range(3).selectExpr("id", "id * 2 AS v"), store)
+    append_to_store(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v", "'new' AS extra"),
+        store,
+        allow_schema_drift=True,
+    )
+    merged = read_store(spark, store, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows[4] == "new" and rows[0] is None
+    # a compaction rewrite re-unifies the store to the widened schema;
+    # plain reads then see every column without the merge cost
+    compact_store(spark, store, target_partitions=1)
+    plain = read_store(spark, store)
+    assert set(plain.columns) == {"id", "v", "extra"} and plain.count() == 5
