@@ -124,3 +124,46 @@ def test_streaming_dedup_equals_batch_distinct(spark):
     streamed = stream_fn(spark, SF_DIR)
     batch = table(spark, SF_DIR, "events").select("user_id", "event_type").distinct()
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Click-attribution shape: purchases (left stream) joined to the same
+    user's clicks within the 30-minute lookback (right stream). On a
+    finite input the watermarked stream-stream join must emit EXACTLY the
+    batch range-join's rows."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts
+    from hrdp_variant_load_pipeline_spark.streaming.joins import interval_join
+
+    ev = table(spark, SF_DIR, "events").select("ts", "user_id", "event_type", "event_id")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        lookback="30 minutes",
+    ).select("user_id", "event_id", "event_id_r")
+
+    raw_schema = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+    )
+    stream = normalize_ts(stream).select("ts", "user_id", "event_type", "event_id")
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        lookback="30 minutes",
+    ).select("user_id", "event_id", "event_id_r")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+    assert batch.count() > 0  # fixture must actually exercise the join
+    assert _rows(streamed) == _rows(batch)
