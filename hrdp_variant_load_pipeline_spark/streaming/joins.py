@@ -29,20 +29,26 @@ def interval_join(
     lookback: str = "30 minutes",
     watermark: str = "10 minutes",
     right_suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join each left event to the right events of the same key
-    whose time falls in ``(left_time - lookback, left_time]`` — e.g.
-    purchases (left) attributed to the clicks (right) that preceded them.
+    """Join each left event to the right events of the same key whose time
+    falls in ``(left_time - lookback, left_time]`` — e.g. purchases (left)
+    attributed to the clicks (right) that preceded them.
 
     Scale shape: the join shuffles both sides on ``key_col`` (the same
     exchange any keyed operation needs); per-key state is bounded by
     ``lookback + watermark`` of event-time, enforced by the state store's
-    watermark purge. Emission for an inner join is immediate on match —
-    the watermark only governs state cleanup, not latency.
+    watermark purge. Emission for inner matches is immediate; with
+    ``how="left_outer"`` an UNMATCHED left row emits (right columns null)
+    only once the watermark passes its join horizon — the stream cannot
+    know "no click will ever arrive" any earlier, so outer results trail
+    live data by the watermark delay by construction.
 
     Right-side columns (except the key) come back suffixed with
     ``right_suffix``. Works identically on batch frames (no watermark).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lw = left.withWatermark(left_time, watermark) if left.isStreaming else left
     rw = (
         right.withWatermark(right_time, watermark)
@@ -64,4 +70,4 @@ def interval_join(
         & (F.col(rt) > F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}"))
         & (F.col(rt) <= F.col(f"l.{left_time}"))
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key_col}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key_col}"))

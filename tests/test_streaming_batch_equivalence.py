@@ -167,3 +167,72 @@ def test_stream_stream_interval_join_equals_batch(spark):
     streamed = spark.table(name)
     assert batch.count() > 0  # fixture must actually exercise the join
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched purchases (no click in the
+    lookback) may only emit once the watermark PASSES their horizon, so the
+    stream is fed as multiple micro-batches with far-future sentinel rows
+    that push the watermark beyond all real data and flush every pending
+    outer row. Output (sans sentinels) must equal the batch left-outer
+    range join."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts
+    from hrdp_variant_load_pipeline_spark.streaming.joins import interval_join
+
+    ev = table(spark, SF_DIR, "events").select("ts", "user_id", "event_type", "event_id")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        lookback="30 minutes",
+        how="left_outer",
+    ).select("user_id", "event_id", "event_id_r")
+
+    # stage the stream dir: two half-files of real events, then two
+    # sentinel files (one purchase, one click, far future, negative user)
+    # whose arrival advances BOTH sides' watermarks past all real data
+    src = str(tmp_path / "stream_src")
+    norm = normalize_ts(spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))).select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    norm.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    norm.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    far = norm.agg(F.max("ts").alias("m")).selectExpr(
+        "m + INTERVAL 2 DAYS AS ts", "CAST(-1 AS BIGINT) AS user_id",
+        "'purchase' AS event_type", "CAST(-1 AS BIGINT) AS event_id",
+    )
+    far.union(
+        far.selectExpr("ts + INTERVAL 1 HOUR AS ts", "CAST(-2 AS BIGINT) AS user_id",
+                       "'click' AS event_type", "CAST(-2 AS BIGINT) AS event_id")
+    ).coalesce(1).write.mode("append").parquet(src)
+    far.selectExpr("ts + INTERVAL 2 HOURS AS ts", "user_id", "event_type",
+                   "CAST(-3 AS BIGINT) AS event_id").union(
+        far.selectExpr("ts + INTERVAL 3 HOURS AS ts", "CAST(-2 AS BIGINT) AS user_id",
+                       "'click' AS event_type", "CAST(-4 AS BIGINT) AS event_id")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(norm.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        lookback="30 minutes",
+        how="left_outer",
+    ).select("user_id", "event_id", "event_id_r")
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name).filter(F.col("user_id") >= 0)
+    n_unmatched = batch.filter(F.col("event_id_r").isNull()).count()
+    assert n_unmatched > 0  # fixture must exercise the outer path
+    assert _rows(streamed) == _rows(batch)
