@@ -1,0 +1,78 @@
+"""Vocabulary builder + frequency scorer (operators/vocab.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.vocab import (
+    build_vocab,
+    frequency_score,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog  sat"),  # double space: no phantom token
+            (3, "cat cat cat"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_build_vocab_tf_df_and_rank(spark):
+    v = {r.token: r for r in build_vocab(_corpus(spark), "text").collect()}
+    assert v["the"].tf == 3 and v["the"].df == 2
+    assert v["cat"].tf == 4 and v["cat"].df == 2
+    assert v["sat"].tf == 2 and v["sat"].df == 2
+    assert v["dog"].tf == 1 and v["dog"].df == 1
+    # rank: by tf desc, token asc on ties; dense 1..n
+    assert v["cat"].rank == 1 and v["the"].rank == 2 and v["sat"].rank == 3
+    assert sorted(r.rank for r in v.values()) == list(range(1, len(v) + 1))
+
+
+def test_build_vocab_truncation_and_min_count(spark):
+    top2 = build_vocab(_corpus(spark), "text", max_vocab=2).collect()
+    assert {r.token for r in top2} == {"cat", "the"}
+    no_hapax = build_vocab(_corpus(spark), "text", min_count=2).collect()
+    assert "dog" not in {r.token for r in no_hapax}
+
+
+def test_frequency_score_matches_manual(spark):
+    docs = _corpus(spark)
+    vocab = build_vocab(docs, "text")
+    tf = {r.token: r.tf for r in vocab.collect()}
+    out = {r.doc_id: r.freq_score for r in frequency_score(docs, "doc_id", "text", vocab).collect()}
+    want1 = sum(math.log10(tf[t]) for t in "the cat sat on the mat".split()) / 6
+    assert abs(out[1] - round(want1, 4)) < 1e-9
+    assert out[3] == round(math.log10(4), 4)
+    assert out[4] is None  # empty doc: no tokens, null score
+
+
+def test_frequency_score_oov_counts_as_one(spark):
+    docs = _corpus(spark)
+    vocab = build_vocab(docs, "text", max_vocab=2)  # only cat/the in vocab
+    out = {r.doc_id: r.freq_score for r in frequency_score(docs, "doc_id", "text", vocab).collect()}
+    # doc 2: the(3), dog(OOV->1), sat(OOV->1) -> mean(log10(3), 0, 0)
+    assert out[2] == round(math.log10(3) / 3, 4)
+
+
+def test_frequency_score_broadcast_no_token_shuffle(spark):
+    """The vocab side must broadcast; no exchange may feed the join's
+    probe (token) side — the corpus explode stays map-local."""
+    docs = _corpus(spark)
+    vocab = build_vocab(docs, "text")
+    plan = (
+        frequency_score(docs, "doc_id", "text", vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    join_at = plan.index("BroadcastHashJoin")
+    gen_at = plan.index("Generate explode", join_at)
+    assert "Exchange hashpartitioning" not in plan[join_at:gen_at]
