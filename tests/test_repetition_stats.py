@@ -137,3 +137,42 @@ class TestNormalizeText:
             collapse_whitespace=False,
         )
         assert got == t
+
+
+def test_normalize_text_matches_duckdb(spark):
+    """Cross-engine parity of the masking chain (URL -> email -> lower ->
+    whitespace collapse) on adversarial rows — the regexes must mean the
+    same thing in Java and RE2."""
+    import duckdb
+
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        EMAIL_RE,
+        URL_RE,
+        normalize_text,
+    )
+
+    rows = [
+        ("Visit https://Ex.com/A?b=1#f and www.site.org/x now",),
+        ("mail A.B-c_9@Sub.Ex.CO.uk or root@host.io!",),
+        ("  MiXeD   Case\twith\n\nruns  ",),
+        ("https://u:p@h:1/q?a=b plus plain@ex.com trailing",),
+        ("no masks here at all",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        r.n for r in df.select(normalize_text(F.col("t")).alias("n")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            """
+            SELECT trim(regexp_replace(lower(
+                     regexp_replace(regexp_replace(?, ?, '<url>', 'g'),
+                                    ?, '<email>', 'g')),
+                   '\\s+', ' ', 'g'))
+            """,
+            [t, URL_RE, EMAIL_RE],
+        ).fetchone()[0]
+        for (t,) in rows
+    ]
+    assert got == want

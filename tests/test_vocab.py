@@ -76,3 +76,37 @@ def test_frequency_score_broadcast_no_token_shuffle(spark):
     join_at = plan.index("BroadcastHashJoin")
     gen_at = plan.index("Generate explode", join_at)
     assert "Exchange hashpartitioning" not in plan[join_at:gen_at]
+
+
+def test_build_vocab_matches_duckdb_on_documents(spark):
+    """Cross-engine parity on the real documents fixture: tf, df, and the
+    deterministic (tf desc, token asc) rank agree with independent SQL."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r.token: (r.tf, r.df, r.rank)
+        for r in build_vocab(docs, "text", max_vocab=50).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        t: (tf, df, rank)
+        for t, tf, df, rank in con.execute(
+            f"""
+            WITH src AS (SELECT row_number() OVER () AS d, text
+                         FROM '{sf}/documents.parquet'),
+            tok AS (SELECT d, unnest(list_filter(
+                      regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+                    FROM src),
+            stats AS (SELECT token, count(*) AS tf, count(DISTINCT d) AS df
+                      FROM tok GROUP BY token),
+            r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rank
+                  FROM stats)
+            SELECT token, tf, df, rank FROM r WHERE rank <= 50
+            """
+        ).fetchall()
+    }
+    assert got == want
