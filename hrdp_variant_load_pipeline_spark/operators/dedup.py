@@ -457,3 +457,146 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), sig.alias("simhash")
     )
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 6,
+    band_rows: int = 2,
+) -> DataFrame:
+    """The persistable LSH index rows for a corpus: one row per (doc,
+    band), carrying the band bucket key and the doc's shingle set.
+
+    Output: (doc, band_idx, band_val, sh). Write this to a store (ideally
+    bucketed on ``band_val``) and nightly batches dedup against history
+    via ``incremental_minhash_dedup`` WITHOUT recomputing the historical
+    corpus — the 100 TB ingest shape, where the index is touched as a
+    co-located probe join instead of re-shingling petabytes.
+
+    Hash convention (seed|shingle md5, concatenated per band) must match
+    between index build and probe; both paths share THIS function, so a
+    drift cannot split them.
+    """
+    def _seeded_hash(seed: int):
+        return lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit("|"), g))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat(
+                    *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_val"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    src = df.select(
+        F.col(id_col).alias("doc"), shingle_array(F.col(text_col), k).alias("sh")
+    )
+    spark = df.sparkSession
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        src.select("doc", "sh", *sig_cols)
+        .select("doc", "sh", F.explode(bands).alias("b"))
+        .select("doc", "b.band_idx", "b.band_val", "sh")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 6,
+    band_rows: int = 2,
+    verify_threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, probed against a persisted
+    ``banded_signatures`` index — history is never re-shingled.
+
+    Returns (doc_new, doc_dup, jaccard, source) where ``source`` is
+    ``'index'`` (duplicate of a historical doc) or ``'batch'``
+    (duplicate within the new batch; emitted once, doc_new < doc_dup).
+    Doc ids must be disjoint between batch and index (the loader's
+    surrogate allocation guarantees it).
+
+    Scale: the probe side is batch-sized; the index join is an equi join
+    on (band_idx, band_val) — bucketed storage makes it exchange the
+    probe side only. Verification intersects shingle arrays row-locally,
+    candidates only.
+    """
+    nb = banded_signatures(
+        new_docs, id_col, text_col, k, num_hashes, band_rows
+    ).persist()
+    try:
+        probe = nb.select("doc", "band_idx", "band_val")
+        idx_cand = (
+            probe.join(
+                index.select(
+                    F.col("doc").alias("doc_dup"), "band_idx", "band_val"
+                ),
+                ["band_idx", "band_val"],
+            )
+            .select("doc", "doc_dup")
+            .distinct()
+            .withColumn("source", F.lit("index"))
+        )
+        batch_cand = (
+            probe.join(
+                nb.select(F.col("doc").alias("doc_dup"), "band_idx", "band_val"),
+                ["band_idx", "band_val"],
+            )
+            .filter(F.col("doc") < F.col("doc_dup"))
+            .select("doc", "doc_dup")
+            .distinct()
+            .withColumn("source", F.lit("batch"))
+        )
+        sh_all = (
+            index.select("doc", "sh")
+            .distinct()
+            .union(nb.select("doc", "sh").distinct())
+        )
+        cands = idx_cand.union(batch_cand)
+        pairs = cands.join(
+            nb.select(F.col("doc"), F.col("sh").alias("sh_a")).distinct(), "doc"
+        ).join(
+            sh_all.select(F.col("doc").alias("doc_dup"), F.col("sh").alias("sh_b")),
+            "doc_dup",
+        )
+        n_shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        jaccard = F.round(
+            n_shared.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - n_shared),
+            4,
+        )
+        out = (
+            pairs.withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= verify_threshold)
+            .select(
+                F.col("doc").alias("doc_new"),
+                F.col("doc_dup"),
+                "jaccard",
+                "source",
+            )
+        )
+        if not materialize:
+            # lazy plan for inspection/composition; caller must consume it
+            # before nb's persist is dropped by session cache churn
+            return out
+        out = _truncate_lineage(out, resolve_reliable(new_docs, None))
+        return out
+    finally:
+        if materialize:
+            nb.unpersist()

@@ -1,0 +1,103 @@
+"""Incremental near-dup detection: a new batch probed against a persisted
+banded-signature index (operators/dedup.py:banded_signatures /
+incremental_minhash_dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.dedup import (
+    banded_signatures,
+    incremental_minhash_dedup,
+    minhash_lsh_pairs,
+)
+
+_HIST = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely different historical content about spark partitions and shuffles"),
+    (3, "one more unrelated doc talking about parquet footers and row groups"),
+]
+_BATCH = [
+    # exact dup of history doc 1
+    (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+    # near dup of history doc 2
+    (102, "completely different historical content about spark partitions and joins"),
+    # intra-batch dup pair
+    (103, "fresh batch text with many specific tokens forming its own cluster"),
+    (104, "fresh batch text with many specific tokens forming its own cluster"),
+    # unique
+    (105, "nothing here resembles anything else in batch or history at all"),
+]
+_SCHEMA = "doc_id long, text string"
+
+
+def test_incremental_matches_full_recompute(spark):
+    """Ground truth: pairs touching the batch from a FULL minhash run over
+    history ∪ batch must equal the incremental probe's pairs."""
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(_BATCH, _SCHEMA)
+    index = banded_signatures(hist, "doc_id", "text")
+    inc = incremental_minhash_dedup(batch, index, "doc_id", "text")
+    got = {(r.doc_new, r.doc_dup, r.jaccard) for r in inc.collect()}
+
+    full = minhash_lsh_pairs(hist.union(batch), "doc_id", "text")
+    batch_ids = {d for d, _ in _BATCH}
+    want = set()
+    for r in full.collect():
+        a, b = r.doc_a, r.doc_b
+        if a in batch_ids and b in batch_ids:
+            want.add((min(a, b), max(a, b), r.jaccard))
+        elif a in batch_ids:
+            want.add((a, b, r.jaccard))
+        elif b in batch_ids:
+            want.add((b, a, r.jaccard))
+    assert got == want
+    assert len(got) >= 3  # exact-dup, near-dup, intra-batch pair all found
+
+
+def test_incremental_source_tags_and_unique_doc(spark):
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(_BATCH, _SCHEMA)
+    index = banded_signatures(hist, "doc_id", "text")
+    rows = incremental_minhash_dedup(batch, index, "doc_id", "text").collect()
+    by_new = {}
+    for r in rows:
+        by_new.setdefault(r.doc_new, []).append(r)
+    assert any(r.doc_dup == 1 and r.source == "index" for r in by_new[101])
+    assert any(r.doc_dup == 2 and r.source == "index" for r in by_new[102])
+    assert any(
+        r.doc_dup == 104 and r.source == "batch" for r in by_new.get(103, [])
+    )
+    assert 105 not in by_new
+    # batch pairs emitted once, oriented doc_new < doc_dup
+    batch_pairs = [r for r in rows if r.source == "batch"]
+    assert all(r.doc_new < r.doc_dup for r in batch_pairs)
+
+
+def test_index_roundtrips_through_parquet(spark, tmp_path):
+    """The index is a plain DataFrame: persisting and re-reading it must
+    not change probe results (hash convention is storage-stable)."""
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(_BATCH, _SCHEMA)
+    path = str(tmp_path / "lsh_index")
+    banded_signatures(hist, "doc_id", "text").write.parquet(path)
+    reread = spark.read.parquet(path)
+    live = incremental_minhash_dedup(batch, banded_signatures(hist, "doc_id", "text"), "doc_id", "text")
+    stored = incremental_minhash_dedup(batch, reread, "doc_id", "text")
+    assert {tuple(r) for r in live.collect()} == {tuple(r) for r in stored.collect()}
+
+
+def test_incremental_no_cartesian(spark):
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(_BATCH, _SCHEMA)
+    index = banded_signatures(hist, "doc_id", "text")
+    # materialize=False: the default return is checkpointed (its plan is
+    # just an RDD scan), so the guard must look at the LAZY plan
+    plan = (
+        incremental_minhash_dedup(batch, index, "doc_id", "text", materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" in plan  # the real (pre-checkpoint) plan is visible
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
