@@ -45,7 +45,15 @@ def read_jsonl_docs(
     reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    lines = reader.text(path)
+    return split_jsonl_lines(reader.text(path), schema)
+
+
+def split_jsonl_lines(
+    lines: DataFrame, schema: str = DOC_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Split a one-string-column (``value``) line frame into (docs,
+    quarantine) — the parsing core of ``read_jsonl_docs``, reusable on a
+    streaming micro-batch (``readStream.text`` emits the same shape)."""
     parsed = lines.select(
         F.col("value").alias("raw"),
         F.from_json(

@@ -1,0 +1,150 @@
+"""Continuous corpus ingest: JSONL stream → quarantine → dedup against the
+persisted LSH index → append docs + index rows.
+
+The streaming twin of the batch corpus pipeline, composed from the same
+operators (``sources.corpus_io.split_jsonl_lines``,
+``operators.dedup.banded_signatures`` / ``incremental_minhash_dedup``,
+``sources.store.append_to_store``): each micro-batch is deduplicated
+against ALL history through the signature index — history is never
+re-shingled, so per-batch cost is O(batch), not O(corpus).
+
+Effectively-once on replay, same argument as ``stream_vcf_loader``:
+``foreachBatch`` is at-least-once, but a replayed batch's doc ids already
+sit in the docs store, and the exact-id anti-join drops them before any
+append — the replay appends nothing. (The id probe must come FIRST: the
+near-dup probe would otherwise match a replayed doc against its own
+first-attempt index rows.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.dedup import (
+    banded_signatures,
+    incremental_minhash_dedup,
+)
+from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+    DOC_SCHEMA,
+    split_jsonl_lines,
+)
+from hrdp_variant_load_pipeline_spark.sources.store import (
+    append_to_store,
+    read_store,
+)
+
+#: empty-store schema for the signature index; ``doc`` mirrors
+#: ``DOC_SCHEMA``'s BIGINT id (a custom ``schema`` with a non-integral id
+#: needs a matching custom index bootstrap)
+_INDEX_SCHEMA = "doc BIGINT, band_idx INT, band_val STRING, sh ARRAY<STRING>"
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    docs_store_dir: str,
+    index_store_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOC_SCHEMA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    on_batch: Callable[[int, dict], None] | None = None,
+):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    Per micro-batch: parse lines (corrupt → ``quarantine_dir``, verbatim),
+    drop ids already in the docs store (replay/idempotence), drop docs
+    near-duplicating history via the index probe or an earlier doc of the
+    same batch (canonical = lowest id), then append accepted docs to
+    ``docs_store_dir`` and their banded signatures to
+    ``index_store_dir``. ``on_batch`` receives per-batch counts.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs, quarantine = split_jsonl_lines(batch_df, schema)
+        docs = docs.persist()
+        try:
+            n_quar = quarantine.count()
+            if n_quar:
+                append_to_store(
+                    quarantine.withColumn("batch_id", F.lit(batch_id)),
+                    quarantine_dir,
+                )
+            store_ids = read_store(
+                spark, docs_store_dir, schema=schema
+            ).select(id_col)
+            fresh = docs.join(store_ids, id_col, "left_anti").persist()
+            n_fresh = fresh.count()
+            if n_fresh == 0:
+                fresh.unpersist()
+                if on_batch is not None:
+                    on_batch(
+                        batch_id,
+                        {"quarantined": n_quar, "fresh": 0, "accepted": 0},
+                    )
+                return
+            index = read_store(spark, index_store_dir, schema=_INDEX_SCHEMA)
+            pairs = incremental_minhash_dedup(
+                fresh,
+                index,
+                id_col,
+                text_col,
+                verify_threshold=verify_threshold,
+            )
+            # drop: any doc near-duplicating history, and the NON-canonical
+            # side of intra-batch pairs (doc_new < doc_dup, so doc_dup is
+            # always the one to drop — the lowest id of a cluster survives)
+            drop = (
+                pairs.filter(F.col("source") == "index")
+                .select(F.col("doc_new").alias(id_col))
+                .union(
+                    pairs.filter(F.col("source") == "batch").select(
+                        F.col("doc_dup").alias(id_col)
+                    )
+                )
+                .distinct()
+            )
+            # EAGER lineage truncation, not persist(): accepted's plan
+            # reads the docs store (the anti-join), and the appends below
+            # MUTATE that store — a cache miss would silently recompute
+            # accepted against the post-append store (empty fresh set, no
+            # index rows). Checkpointing pins the rows first; the appends
+            # then cannot feed back into their own input.
+            accepted = fresh.join(drop, id_col, "left_anti").localCheckpoint()
+            n_acc = accepted.count()
+            if n_acc:
+                append_to_store(accepted, docs_store_dir)
+                append_to_store(
+                    banded_signatures(accepted, id_col, text_col),
+                    index_store_dir,
+                )
+            fresh.unpersist()
+            if on_batch is not None:
+                on_batch(
+                    batch_id,
+                    {
+                        "quarantined": n_quar,
+                        "fresh": n_fresh,
+                        "accepted": n_acc,
+                    },
+                )
+        finally:
+            docs.unpersist()
+
+    reader = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.jsonl*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.text(input_dir)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

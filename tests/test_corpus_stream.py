@@ -1,0 +1,108 @@
+"""Continuous corpus ingest (streaming/corpus_stream.py): quarantine,
+cross-batch near-dup suppression via the persisted index, idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.sources.store import read_store
+from hrdp_variant_load_pipeline_spark.streaming.corpus_stream import (
+    stream_corpus_ingest,
+)
+
+_B1 = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight", "lang": "en"},
+    {"doc_id": 2, "text": "a completely distinct document about spark shuffles and joins", "lang": "en"},
+    # intra-batch dup of 1 -> only 1 (lowest id) survives
+    {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog tonight", "lang": "en"},
+]
+_B2 = [
+    # near-dup of batch-1's doc 2 -> dropped against the INDEX
+    {"doc_id": 10, "text": "a completely distinct document about spark shuffles and sorts", "lang": "en"},
+    {"doc_id": 11, "text": "fresh unrelated second batch content with its own words", "lang": "en"},
+]
+
+
+def _write_batch(dirpath, name, rows, corrupt=()):
+    lines = [json.dumps(r) for r in rows] + list(corrupt)
+    (dirpath / name).write_text("\n".join(lines) + "\n")
+
+
+def _run(spark, tmp_path, tag):
+    src = tmp_path / "in"
+    src.mkdir(exist_ok=True)
+    dirs = {
+        k: str(tmp_path / k)
+        for k in ("docs", "index", "quarantine", f"ckpt_{tag}")
+    }
+    stats = {}
+    q = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quarantine"],
+        dirs[f"ckpt_{tag}"],
+        max_files_per_trigger=1,
+        on_batch=lambda bid, s: stats.update({bid: s}),
+    )
+    return src, dirs, stats, q
+
+
+def test_ingest_dedups_across_batches_and_quarantines(spark, tmp_path):
+    src, dirs, stats, q = _run(spark, tmp_path, "a")
+    try:
+        _write_batch(src, "b1.jsonl", _B1, corrupt=['{"doc_id": broken'])
+        q.processAllAvailable()
+        _write_batch(src, "b2.jsonl", _B2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = read_store(spark, dirs["docs"])
+    kept = sorted(r.doc_id for r in docs.collect())
+    # 3 = intra-batch dup of 1; 10 = near-dup of 2 via the index probe
+    assert kept == [1, 2, 11]
+    quar = read_store(spark, dirs["quarantine"])
+    assert [r.raw for r in quar.collect()] == ['{"doc_id": broken']
+    index = read_store(spark, dirs["index"])
+    # 3 bands per accepted doc
+    assert index.count() == 3 * 3
+    assert sorted({r.doc for r in index.collect()}) == [1, 2, 11]
+    totals = {k: sum(s[k] for s in stats.values()) for k in ("quarantined", "fresh", "accepted")}
+    assert totals == {"quarantined": 1, "fresh": 5, "accepted": 3}
+
+
+def test_ingest_replay_appends_nothing(spark, tmp_path):
+    """A fresh checkpoint over the same input (worst-case replay of every
+    batch) must accept zero docs: the exact-id probe drops them before the
+    near-dup stage can match them against their own index rows."""
+    src, dirs, stats, q = _run(spark, tmp_path, "a")
+    try:
+        _write_batch(src, "b1.jsonl", _B1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_docs = read_store(spark, dirs["docs"]).count()
+    n_index = read_store(spark, dirs["index"]).count()
+
+    stats2 = {}
+    q2 = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quarantine"],
+        str(tmp_path / "ckpt_b"),
+        max_files_per_trigger=1,
+        on_batch=lambda bid, s: stats2.update({bid: s}),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_store(spark, dirs["docs"]).count() == n_docs
+    assert read_store(spark, dirs["index"]).count() == n_index
+    assert all(s["accepted"] == 0 for s in stats2.values())
