@@ -223,3 +223,103 @@ def stratified_sample(
         mapping[F.col(strata_col)], F.lit(float(default_fraction))
     )
     return df.filter(_stratum_hash_unit(F.col(id_col), salt) < frac)
+
+
+def plan_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    allow_upsample: bool = False,
+) -> dict[str, dict[str, float]]:
+    """Turn target mixture ``weights`` (source -> share of the token
+    budget) into per-source sampling fractions, from the corpus's actual
+    per-source token counts.
+
+    The cluster computes one sources-sized aggregate; the arithmetic is
+    driver-side. A source that cannot fill its share gets fraction 1.0
+    and a reported ``shortfall_tokens`` (the honest default) — or, with
+    ``allow_upsample=True``, a fraction > 1 meaning whole-epoch repeats
+    plus a fractional remainder (``apply_mixture`` materializes them).
+    Returns {source: {fraction, target_tokens, available_tokens,
+    shortfall_tokens}}.
+    """
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    avail = {
+        r["src"]: r["tok"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(token_count_col).cast("long").alias("tok"))
+        .collect()
+    }
+    plan: dict[str, dict[str, float]] = {}
+    for src, w in weights.items():
+        target = total_tokens * w / wsum
+        have = float(avail.get(src, 0))
+        if have <= 0:
+            plan[src] = {
+                "fraction": 0.0,
+                "target_tokens": target,
+                "available_tokens": 0.0,
+                "shortfall_tokens": target,
+            }
+            continue
+        frac = target / have
+        if frac > 1.0 and not allow_upsample:
+            plan[src] = {
+                "fraction": 1.0,
+                "target_tokens": target,
+                "available_tokens": have,
+                "shortfall_tokens": target - have,
+            }
+        else:
+            plan[src] = {
+                "fraction": frac,
+                "target_tokens": target,
+                "available_tokens": have,
+                "shortfall_tokens": 0.0,
+            }
+    return plan
+
+
+def apply_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    plan: dict[str, dict[str, float]],
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a ``plan_mixture`` result deterministically.
+
+    Fractions <= 1 reuse the stratified hash threshold (same id set on
+    every run/partitioning). Fractions > 1 emit ``floor(f)`` whole epochs
+    of the source plus a hash-sampled remainder; the output's ``epoch``
+    column (0-based) distinguishes repeats so downstream shuffling can
+    interleave them. Row-local: one ``explode`` per row, no shuffle.
+    """
+    fr_map = F.create_map(
+        *[
+            x
+            for src, p in plan.items()
+            for x in (F.lit(src), F.lit(float(p["fraction"])))
+        ]
+    )
+    frac = F.coalesce(fr_map[F.col(source_col)], F.lit(0.0))
+    u = _stratum_hash_unit(F.col(id_col), salt)
+    # epochs 0..floor(frac)-1 are full copies; epoch floor(frac) keeps the
+    # row iff its hash falls under the fractional remainder
+    n_full = F.floor(frac).cast("int")
+    keep_partial = u < (frac - F.floor(frac))
+    n_copies = (n_full + F.when(keep_partial, 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        # explode must be the top-level expression (no generator nesting):
+        # emit 0-based epochs directly
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )

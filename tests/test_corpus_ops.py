@@ -318,3 +318,98 @@ def test_decontaminate_corpus_shingles_never_shuffled(spark):
     semi = plan.index("BroadcastHashJoin")
     gen = plan.index("Generate explode", semi)
     assert "Exchange hashpartitioning" not in plan[semi:gen]
+
+
+def _mixture_corpus(spark):
+    # web: 40000 tokens over 400 docs; books: 10000 over 100; code: 2000 over 40
+    return spark.range(540).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 400 THEN 'web' WHEN id < 500 THEN 'books' ELSE 'code' END AS source",
+        "CASE WHEN id < 400 THEN 100 WHEN id < 500 THEN 100 ELSE 50 END AS n_tokens",
+    )
+
+
+def test_plan_mixture_fractions_and_shortfall(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import plan_mixture
+
+    df = _mixture_corpus(spark)
+    plan = plan_mixture(
+        df, "source", "n_tokens",
+        weights={"web": 0.5, "books": 0.3, "code": 0.2},
+        total_tokens=10000,
+    )
+    assert abs(plan["web"]["fraction"] - 5000 / 40000) < 1e-9
+    assert abs(plan["books"]["fraction"] - 3000 / 10000) < 1e-9
+    # code: wants 2000, has 2000 -> exactly 1.0, no shortfall
+    assert plan["code"]["fraction"] == 1.0
+    assert plan["code"]["shortfall_tokens"] == 0.0
+    # oversubscribed without upsample: capped at 1 with reported shortfall
+    plan2 = plan_mixture(
+        df, "source", "n_tokens", {"code": 1.0}, total_tokens=6000
+    )
+    assert plan2["code"]["fraction"] == 1.0
+    assert plan2["code"]["shortfall_tokens"] == 4000.0
+    # with upsample: 3 epochs of the 2000-token source
+    plan3 = plan_mixture(
+        df, "source", "n_tokens", {"code": 1.0}, 6000, allow_upsample=True
+    )
+    assert abs(plan3["code"]["fraction"] - 3.0) < 1e-9
+    # unknown source -> fraction 0, full shortfall
+    plan4 = plan_mixture(df, "source", "n_tokens", {"wiki": 1.0}, 1000)
+    assert plan4["wiki"]["fraction"] == 0.0
+    assert plan4["wiki"]["shortfall_tokens"] == 1000.0
+
+
+def test_apply_mixture_hits_budget_and_is_deterministic(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        apply_mixture,
+        plan_mixture,
+    )
+
+    df = _mixture_corpus(spark)
+    plan = plan_mixture(
+        df, "source", "n_tokens",
+        weights={"web": 0.5, "books": 0.3, "code": 0.2},
+        total_tokens=10000,
+    )
+    out = apply_mixture(df, "source", "doc_id", plan)
+    got = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source").agg(
+            F.sum("n_tokens").alias("tok")
+        ).collect()
+    }
+    # hash sampling: each source within 30% of its token target
+    assert abs(got["web"] - 5000) < 1500
+    assert abs(got["books"] - 3000) < 900
+    assert got["code"] == 2000  # fraction exactly 1: everything kept once
+    # deterministic under repartitioning
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in apply_mixture(df.repartition(7), "source", "doc_id", plan).collect()
+    )
+    assert a == b
+
+
+def test_apply_mixture_upsample_epochs(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        apply_mixture,
+        plan_mixture,
+    )
+
+    df = _mixture_corpus(spark).filter("source = 'code'")
+    plan = plan_mixture(
+        df, "source", "n_tokens", {"code": 1.0}, 5000, allow_upsample=True
+    )
+    assert abs(plan["code"]["fraction"] - 2.5) < 1e-9
+    out = apply_mixture(df, "source", "doc_id", plan)
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in out.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    # two full epochs of all 40 docs + a ~half partial epoch
+    assert per_epoch[0] == 40 and per_epoch[1] == 40
+    assert 5 <= per_epoch.get(2, 0) <= 35
+    total_tok = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert abs(total_tok - 5000) < 1000
