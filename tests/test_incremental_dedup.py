@@ -4,7 +4,6 @@ incremental_minhash_dedup)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.dedup import (
     banded_signatures,

@@ -3,7 +3,6 @@ asymmetric-distance search."""
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import functions as F
