@@ -1,0 +1,115 @@
+"""End-to-end training-data pipeline over the driver documents fixture:
+every corpus operator composed in production order, with invariants at
+each stage. This is the integration test for the README's pipeline
+cookbook — if a stage's contract drifts, this breaks before a user does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.functions.text import (
+    normalize_text,
+    quality_score,
+    token_count,
+)
+from hrdp_variant_load_pipeline_spark.operators.corpus import (
+    apply_mixture,
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    plan_mixture,
+)
+from hrdp_variant_load_pipeline_spark.operators.dedup import exact_dedup_groups
+from hrdp_variant_load_pipeline_spark.sources.corpus_io import write_shards
+from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_full_corpus_pipeline(spark, tmp_path):
+    docs = table(spark, SF_DIR, "documents")
+    n_raw = docs.count()
+
+    # 1. normalize + quality/token columns (all row-local)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        normalize_text(F.col("text")).alias("text"),
+    ).select(
+        "*",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+    # 2. quality gate + exact-dup canonicalization
+    kept = scored.filter(F.col("quality") >= 0.4)
+    canon_ids = exact_dedup_groups(kept, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    unique = kept.join(canon_ids, "doc_id", "left_semi")
+    n_unique = unique.count()
+    assert 0 < n_unique <= n_raw
+
+    # 3. decontaminate against a pseudo eval set (docs 0 mod 10)
+    bench = unique.filter(F.col("doc_id") % 10 == 0)
+    corpus = decontaminate(
+        unique.filter(F.col("doc_id") % 10 != 0), bench, "doc_id", "text", n=8
+    )
+    n_clean = corpus.count()
+    assert 0 < n_clean < n_unique
+
+    # 4. mixture: rebalance languages to a 5k-token budget
+    plan = plan_mixture(
+        corpus,
+        "lang",
+        "n_tokens",
+        weights={"en": 0.6, "de": 0.2, "zh": 0.2},
+        total_tokens=5000,
+    )
+    mixed = apply_mixture(corpus, "lang", "doc_id", plan)
+    tok_by_lang = {
+        r["lang"]: r["tok"]
+        for r in mixed.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    assert set(tok_by_lang) <= {"en", "de", "zh"}  # unplanned langs dropped
+    assert sum(tok_by_lang.values()) <= 5000 * 1.5  # budget respected (hash tolerance)
+
+    # 5. chunk + per-language pack (the 100 TB partitioned path)
+    chunks = chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
+    with_lang = chunks.join(
+        F.broadcast(mixed.select("doc_id", "lang").distinct()), "doc_id"
+    )
+    packed = pack_sequences(
+        with_lang.withColumn(
+            "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")
+        ),
+        id_col="doc_id",
+        token_count_col="n_tokens",
+        max_tokens=256,
+        order_col="chunk_uid",
+        partition_col="lang",
+    )
+    over = packed.filter(~F.col("oversize")).groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    # every non-final bin obeys capacity + one-chunk overflow
+    assert over.filter(F.col("bin_tokens") > 256 + 64).count() == 0
+
+    # 6. shard export: disjoint bin ranges per file, lossless
+    out = str(tmp_path / "shards")
+    write_shards(
+        packed.withColumn(
+            "shard_key",
+            F.abs(F.hash("lang")).cast("long") * 10000 + F.col("bin_id"),
+        ),
+        out,
+        "shard_key",
+        n_shards=4,
+        order_col="chunk_uid",
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    assert set(back.columns) == set(packed.columns) | {"shard_key"}
