@@ -108,3 +108,45 @@ def frame_sample_indices(df: DataFrame, n_frames_col: str, every: int) -> DataFr
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))),
     )
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def embed_payloads(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Binary payload → unit-norm embedding, the hand-off from multimodal
+    ingest to the ANN operators (``similarity.ivf_topk``, ``pq.pq_topk``,
+    ``embedding_near_dup``): input (doc_id, payload), output
+    (doc_id, embedding array<double>).
+
+    Runs through ``mapInPandas`` — the production shape for a batch
+    encoder (Arrow transfer in, one model forward per batch, Arrow out).
+    The encoder here is a deterministic stand-in (md5-keyed pseudo-random
+    projection, unit-normalized — no media/model libs in this
+    environment): identical payloads get identical embeddings, so
+    downstream dedup/ANN behavior is faithfully exercised. Swap
+    ``_fake_embed`` for a real encoder call to productionize; schema,
+    batching, and normalization stay.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _fake_embed(payload: bytes) -> list[float]:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(dim)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": [
+                        _fake_embed(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, EMBED_SCHEMA)

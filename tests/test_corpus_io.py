@@ -67,3 +67,49 @@ def test_write_shards_ranges_disjoint_and_ordered(spark, tmp_path):
         assert hi <= lo, f"shard ranges overlap: {ranges}"
     back = spark.read.parquet(out)
     assert back.count() == 4000
+
+
+def test_multimodal_embed_feeds_ann_operators(spark):
+    """The multimodal -> similarity hand-off: payload embeddings flow
+    straight into brute-force and IVF search; an identical payload under
+    a new id finds its original as the top-1 neighbor at cosine ~1."""
+    import os
+
+    from hrdp_variant_load_pipeline_spark.operators.multimodal import (
+        embed_payloads,
+        with_binary_payload,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).limit(80)
+    payloads = with_binary_payload(docs, "doc_id", "text")
+    emb = embed_payloads(payloads).withColumnRenamed("doc_id", "vec_id")
+    rows = emb.collect()
+    assert all(len(r.embedding) == 64 for r in rows)
+    assert all(abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9 for r in rows)
+    # determinism across evaluations
+    assert {tuple(r.embedding) for r in rows} == {
+        tuple(r.embedding) for r in emb.collect()
+    }
+
+    probe_src = docs.orderBy("doc_id").limit(3)
+    probes = embed_payloads(
+        with_binary_payload(
+            probe_src.select((F.col("doc_id") + 100000).alias("doc_id"), "text"),
+            "doc_id",
+            "text",
+        )
+    ).withColumnRenamed("doc_id", "vec_id")
+    want = {r.doc_id + 100000: r.doc_id for r in probe_src.collect()}
+    for fn in (
+        lambda: brute_force_topk(emb, probes, k=1),
+        lambda: ivf_topk(emb, probes, n_centroids=4, nprobe=4, k=1),
+    ):
+        top = {r["query_id"]: r for r in fn().collect()}
+        for qid, orig in want.items():
+            assert top[qid]["neighbor_id"] == orig
+            assert top[qid]["cosine"] > 0.9999
