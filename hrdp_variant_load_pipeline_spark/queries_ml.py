@@ -351,6 +351,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # corpus-prep battery: the operators/corpus.py stages composed the way a
 # pretraining-data job runs them — deterministic stratified sample →
 # benchmark n-gram decontamination (docs 0 mod 10 play the eval set) →
+# data-driven token-budget mixture (fractions from the cleaned corpus's
+# own per-language counts; capped at 1.0 on both engines) →
 # overlapping chunking → per-language sequence packing — reduced to
 # per-(lang, bin) loads so the row stays small and hash-stable. The pack
 # runs the PARTITIONED path (partition_col="lang"), i.e. the 100 TB shape,
@@ -359,6 +361,10 @@ _PREP_FRACTIONS = {"en": 0.6, "de": 0.4, "es": 0.4, "fr": 0.4, "zh": 0.4}
 _PREP_CASE = " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _PREP_FRACTIONS.items()
 )
+#: mixture stage: weights sum to exactly 1.0 so target = budget * w is the
+#: literal mirrored in the oracle CASE (3000/1500/1500)
+_PREP_WEIGHTS = {"en": 0.5, "de": 0.25, "zh": 0.25}
+_PREP_BUDGET = 6000
 
 @q(
     "corpus_prep_battery",
@@ -381,10 +387,21 @@ _PREP_CASE = " ".join(
     clean AS (
       SELECT * FROM sampled
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    ctoks AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tok
+      FROM clean),
+    avail AS (SELECT lang, sum(n_tok)::BIGINT::DOUBLE AS tok FROM ctoks GROUP BY lang),
+    mixed AS (
+      SELECT c.doc_id, c.text, c.lang FROM ctoks c JOIN avail a USING (lang)
+      WHERE ('0x' || substr(md5('mixprep' || c.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+            / 4294967296.0
+            < least(1.0, (CASE c.lang WHEN 'en' THEN 3000.0 WHEN 'de' THEN 1500.0
+                          WHEN 'zh' THEN 1500.0 ELSE 0.0 END) / a.tok)),
     toks AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
-      FROM clean),
+      FROM mixed),
     starts AS (
       SELECT doc_id, lang, len(w) AS n,
              unnest(range(1, greatest(len(w) - 1, 1) + 1, 48)) AS s
@@ -407,9 +424,11 @@ _PREP_CASE = " ".join(
 )
 def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        apply_mixture,
         chunk_documents,
         decontaminate,
         pack_sequences,
+        plan_mixture,
         stratified_sample,
     )
 
@@ -418,11 +437,22 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     src = d.filter(F.col("doc_id") % 10 != 0)
     sampled = stratified_sample(src, "lang", _PREP_FRACTIONS, id_col="doc_id", salt="prep")
     # decontaminate AFTER sampling: only surviving docs pay the shingling
-    clean = decontaminate(sampled, bench, "doc_id", "text", n=8)
-    chunks = chunk_documents(clean, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
+    clean = decontaminate(sampled, bench, "doc_id", "text", n=8).withColumn(
+        "n_tok",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("long"),
+    )
+    # mixture: rebalance languages to the _PREP_BUDGET token budget; the
+    # fractions derive from the cleaned corpus's own per-language token
+    # counts (plan_mixture collects the sources-sized aggregate), so this
+    # stage is data-driven on both engines
+    plan = plan_mixture(clean, "lang", "n_tok", _PREP_WEIGHTS, _PREP_BUDGET)
+    mixed = apply_mixture(clean, "lang", "doc_id", plan, salt="mixprep").drop(
+        "epoch", "n_tok"
+    )
+    chunks = chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
     # chunking keeps only the id — rejoin the stratum key (broadcast: the
     # projected (doc_id, lang) side is tiny relative to chunk_text)
-    with_lang = chunks.join(F.broadcast(clean.select("doc_id", "lang")), "doc_id")
+    with_lang = chunks.join(F.broadcast(mixed.select("doc_id", "lang")), "doc_id")
     packed = pack_sequences(
         with_lang.withColumn(
             "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")
