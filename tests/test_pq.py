@@ -147,3 +147,16 @@ def test_pq_recall_high_on_clustered_data(spark):
     assert len(got) == 6 * 3
     for r in got:
         assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+
+
+def test_codebooks_roundtrip_through_parquet(spark, tmp_path):
+    """The codebook is a plain DataFrame model: persisting and re-reading
+    must not change encodings or search results."""
+    e = _embeddings(spark)
+    cb = train_pq_codebooks(e, dim=64, m=4, n_codes=8, n_iter=2)
+    path = str(tmp_path / "pq_codebooks")
+    cb.write.parquet(path)
+    reread = spark.read.parquet(path)
+    enc_a = {r["vec_id"]: r["pq_codes"] for r in pq_encode(e, cb).collect()}
+    enc_b = {r["vec_id"]: r["pq_codes"] for r in pq_encode(e, reread).collect()}
+    assert enc_a == enc_b
