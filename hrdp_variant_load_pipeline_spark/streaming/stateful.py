@@ -14,7 +14,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -115,4 +115,74 @@ def dedup_stream(
     """
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    k: int = 32,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Approximate top items over an unbounded stream in BOUNDED state:
+    Misra–Gries summaries (≤ ``k`` counters each) kept per hash bucket in
+    the state store.
+
+    Exact top-k over a stream needs state proportional to the distinct-
+    item count — unbounded. Misra–Gries keeps at most ``k`` counters:
+    increment a tracked item, start tracking into a free slot, else
+    decrement ALL counters (evicting zeros). Guarantees per bucket:
+    ``true − k ≤ est ≤ true`` where the undercount is at most
+    ``n_bucket / (k+1)``, and any item with frequency above that bound is
+    guaranteed present. With items hash-partitioned over ``n_buckets``
+    (each item deterministically in ONE bucket — summaries never have to
+    merge across buckets), the stream parallelizes like any keyed agg and
+    total state is ``n_buckets × k`` counters, forever.
+
+    Output (update mode): one row per (bucket, item) still tracked after
+    each micro-batch — (bucket, item, est_count, n_bucket). Take the
+    latest row per item and order by est_count for the top list.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in batches:
+            for item in pdf[item_col]:
+                n_seen += 1
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all: evict zeroed counters
+                    counters = {
+                        it: c - 1 for it, c in counters.items() if c > 1
+                    }
+        state.update((list(counters), [int(c) for c in counters.values()], n_seen))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "item": list(counters),
+                "est_count": [int(c) for c in counters.values()],
+                "n_bucket": [n_seen] * len(counters),
+            }
+        )
+
+    bucketed = stream.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, item string, est_count long, n_bucket long",
+        stateStructType="items array<string>, counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

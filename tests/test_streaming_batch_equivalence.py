@@ -236,3 +236,93 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
     n_unmatched = batch.filter(F.col("event_id_r").isNull()).count()
     assert n_unmatched > 0  # fixture must exercise the outer path
     assert _rows(streamed) == _rows(batch)
+
+
+def _hh_stream(spark):
+    raw_schema = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+    )
+
+
+def test_streaming_heavy_hitters_exact_when_under_capacity(spark):
+    """With k larger than any bucket's distinct-item count, Misra–Gries
+    never decrements — the summary IS the exact per-item count, so the
+    streamed result must equal the batch groupBy."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    out = streaming_heavy_hitters(
+        _hh_stream(spark), "event_type", k=16, n_buckets=4
+    )
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["item"]: r["est_count"]
+        for r in spark.table(name)
+        .groupBy("item")
+        .agg(F.max("est_count").alias("est_count"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_heavy_hitters_bounds_under_pressure(spark):
+    """With k far below the distinct-item count the summary must still
+    (a) keep at most k counters per bucket, (b) never overcount, and
+    (c) undercount by at most n_bucket/(k+1)."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    k = 4
+    out = streaming_heavy_hitters(
+        _hh_stream(spark).selectExpr("CAST(user_id AS STRING) AS item"),
+        "item",
+        k=k,
+        n_buckets=2,
+    )
+    name = f"hhp_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    per_bucket: dict = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append(r)
+    true = {
+        str(r["user_id"]): r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_bucket
+    for bucket, brs in per_bucket.items():
+        assert len(brs) <= k
+        n_bucket = brs[0]["n_bucket"]
+        for r in brs:
+            t = true[r["item"]]
+            assert r["est_count"] <= t  # never overcounts
+            assert t - r["est_count"] <= n_bucket / (k + 1)
