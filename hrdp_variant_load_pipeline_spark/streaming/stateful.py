@@ -186,3 +186,77 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_bottom_k_sample(
+    stream: DataFrame,
+    id_col: str,
+    k: int = 64,
+    n_buckets: int = 8,
+    salt: str = "bk",
+) -> DataFrame:
+    """Deterministic uniform sample of an unbounded stream in bounded
+    state: per hash bucket, keep the ``k`` ids with the SMALLEST
+    ``md5(salt||id)`` values (a bottom-k sketch).
+
+    Since the hash is a fixed uniform function of the id — no RNG, no
+    arrival-order dependence — the kept set equals the batch expression
+    ``ORDER BY md5(salt||id) LIMIT k`` over everything seen so far:
+    replays, re-partitioning, and batch/stream disagreement are
+    impossible by construction. The union of buckets is a uniform
+    without-replacement sample of size ``n_buckets × k``, and the k-th
+    smallest hash doubles as a cardinality estimate
+    (``(k-1) / kth_hash_unit`` per bucket — summed across buckets).
+
+    Output (update mode): one row per kept id per micro-batch —
+    (bucket, id, hash_unit, n_seen). State: ``n_buckets × k`` rows,
+    forever.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if state.exists:
+            ids, hashes, n_seen = state.get
+            kept = dict(zip(ids, hashes))
+        else:
+            kept, n_seen = {}, 0
+        for pdf in batches:
+            for sid in pdf["__sid"]:
+                n_seen += 1
+                if sid in kept:
+                    continue
+                h = int.from_bytes(
+                    hashlib.md5((salt + sid).encode()).digest()[:8], "big"
+                ) / float(2**64)
+                if len(kept) < k:
+                    kept[sid] = h
+                else:
+                    worst = max(kept, key=kept.get)
+                    if h < kept[worst]:
+                        del kept[worst]
+                        kept[sid] = h
+        state.update((list(kept), [float(h) for h in kept.values()], n_seen))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(kept),
+                "id": list(kept),
+                "hash_unit": [float(h) for h in kept.values()],
+                "n_seen": [n_seen] * len(kept),
+            }
+        )
+
+    bucketed = stream.select(
+        F.col(id_col).cast("string").alias("__sid")
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("__sid")), F.lit(n_buckets)))
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, id string, hash_unit double, n_seen long",
+        stateStructType="ids array<string>, hashes array<double>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

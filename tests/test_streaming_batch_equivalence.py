@@ -326,3 +326,64 @@ def test_streaming_heavy_hitters_bounds_under_pressure(spark):
             t = true[r["item"]]
             assert r["est_count"] <= t  # never overcounts
             assert t - r["est_count"] <= n_bucket / (k + 1)
+
+
+def test_streaming_bottom_k_sample_equals_batch_order_by_hash(spark):
+    """The kept set must equal the batch 'k smallest md5(salt||id) per
+    bucket' — deterministic by construction, so stream and batch cannot
+    disagree regardless of arrival order or batching."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import (
+        streaming_bottom_k_sample,
+    )
+
+    k, nb = 8, 4
+    out = streaming_bottom_k_sample(
+        _hh_stream(spark), "event_id", k=k, n_buckets=nb
+    )
+    name = f"bk_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["bucket"], r["id"])
+        for r in spark.table(name)
+        .groupBy("bucket", "id")
+        .agg(F.max("n_seen"))
+        .collect()
+    }
+
+    ev = table(spark, SF_DIR, "events").select(
+        F.col("event_id").cast("string").alias("id")
+    ).distinct()
+    ranked = ev.select(
+        "id",
+        F.pmod(F.xxhash64("id"), F.lit(nb)).alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("bk"), F.col("id"))), 1, 16), 16, 10)
+            .cast("double")
+        ).alias("h"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("bucket").orderBy("h")
+        ),
+    )
+    want = {(r["bucket"], r["id"]) for r in ranked.filter(F.col("rn") <= k).collect()}
+    assert got == want
+    # cardinality estimate from the k-th smallest hash per bucket is in
+    # the right ballpark (sf0.001 events: 1000 distinct event ids)
+    kth = {
+        r["bucket"]: r["kh"]
+        for r in spark.table(name)
+        .groupBy("bucket")
+        .agg(F.max("hash_unit").alias("kh"))
+        .collect()
+    }
+    est = sum((k - 1) / v for v in kth.values())
+    true_n = ev.count()
+    assert 0.3 * true_n <= est <= 3 * true_n
