@@ -156,3 +156,68 @@ def merge_update(
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
     return out.drop(*[f"__new_{c}" for c in set_cols])
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    batch_ts_col: str = "batch_ts",
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply an update batch to a
+    versioned dimension history, returning the NEW history.
+
+    ``history`` rows carry ``[keys..., tracked..., effective_from,
+    effective_to]`` with ``effective_to IS NULL`` marking the open
+    version. For each update row (``[keys..., tracked..., batch_ts]``):
+
+    * key unseen → insert an open version effective from ``batch_ts``;
+    * tracked values unchanged vs the open version → no-op (idempotent:
+      replaying a batch changes nothing);
+    * changed → close the open version at ``batch_ts`` and insert the new
+      open version.
+
+    One null-safe join of the update batch against the OPEN slice decides
+    all three cases; closed history is untouched (appended through). The
+    shuffle is keyed on ``keys`` — batch-sized, not history-sized, on the
+    probe side; at warehouse scale the open slice is dimension-sized and
+    the closed slice is only scanned, never joined.
+    """
+    ks = list(keys)
+    open_rows = history.filter(F.col(to_col).isNull())
+    closed_rows = history.filter(F.col(to_col).isNotNull())
+    up = updates.select(
+        *ks,
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.col(batch_ts_col).alias("__bts"),
+    )
+    joined = open_rows.join(up, ks, "full_outer")
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_open = F.col(from_col).isNotNull()
+    has_update = F.col("__bts").isNotNull()
+
+    # surviving open rows: untouched keys, and unchanged re-sends
+    keep_open = joined.filter(
+        has_open & (~has_update | same)
+    ).select(*ks, *tracked, from_col, to_col)
+    # closed-out versions: open rows superseded by a changed update
+    closed_now = joined.filter(has_open & has_update & ~same).select(
+        *ks, *tracked, from_col, F.col("__bts").alias(to_col)
+    )
+    # new open versions: brand-new keys + changed keys
+    opened = joined.filter(
+        has_update & (~has_open | ~same)
+    ).select(
+        *ks,
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__bts").alias(from_col),
+        F.lit(None).cast("timestamp").alias(to_col),
+    )
+    return closed_rows.select(*ks, *tracked, from_col, to_col).unionByName(
+        keep_open
+    ).unionByName(closed_now).unionByName(opened)

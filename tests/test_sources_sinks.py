@@ -78,3 +78,70 @@ def test_write_parquet_store_partitioned(spark, tmp_path):
     # partition pruning: a chromosome filter must prune to one directory
     pruned = back.filter(F.col("chromosome") == "1")
     assert pruned.count() == 1
+
+
+class TestScd2Merge:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "sample_id long, strain string, status string, "
+            "effective_from timestamp, effective_to timestamp",
+        )
+
+    def _ups(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "sample_id long, strain string, status string, batch_ts timestamp"
+        )
+
+    def test_insert_change_and_noop(self, spark):
+        from datetime import datetime
+
+        from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_merge
+
+        t0, t1 = datetime(2024, 1, 1), datetime(2024, 6, 1)
+        hist = self._hist(
+            spark,
+            [
+                (1, "BN", "active", t0, None),
+                (2, "SHR", "active", t0, None),
+                (3, "WKY", "retired", t0, t1),  # already closed
+                (3, "WKY", "active", t1, None),
+            ],
+        )
+        ups = self._ups(
+            spark,
+            [
+                (1, "BN", "retired", t1),   # changed -> close + open
+                (2, "SHR", "active", t1),   # unchanged -> no-op
+                (9, "F344", "active", t1),  # new key -> insert
+            ],
+        )
+        out = scd2_merge(
+            hist, ups, keys=["sample_id"], tracked=["strain", "status"]
+        )
+        rows = {(r.sample_id, r.status, r.effective_from, r.effective_to) for r in out.collect()}
+        assert rows == {
+            (1, "active", t0, t1),       # closed at the batch ts
+            (1, "retired", t1, None),    # new open version
+            (2, "active", t0, None),     # untouched open row
+            (3, "retired", t0, t1),      # closed history passes through
+            (3, "active", t1, None),
+            (9, "active", t1, None),     # brand-new key
+        }
+        # exactly one open version per key
+        opens = out.filter("effective_to IS NULL").groupBy("sample_id").count()
+        assert opens.filter("count > 1").count() == 0
+
+    def test_replay_is_idempotent(self, spark):
+        from datetime import datetime
+
+        from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_merge
+
+        t0, t1 = datetime(2024, 1, 1), datetime(2024, 6, 1)
+        hist = self._hist(spark, [(1, "BN", "active", t0, None)])
+        ups = self._ups(spark, [(1, "BN", "retired", t1)])
+        once = scd2_merge(hist, ups, ["sample_id"], ["strain", "status"])
+        twice = scd2_merge(once, ups, ["sample_id"], ["strain", "status"])
+        a = sorted(map(tuple, once.collect()))
+        b = sorted(map(tuple, twice.collect()))
+        assert a == b  # re-applying the same batch changes nothing
