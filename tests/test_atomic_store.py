@@ -260,3 +260,72 @@ def test_schema_widening_roundtrip_with_merge_schema(spark, tmp_path):
     compact_store(spark, store, target_partitions=1)
     plain = read_store(spark, store)
     assert set(plain.columns) == {"id", "v", "extra"} and plain.count() == 5
+
+
+def _interleave_ref(vals, bits):
+    z = 0
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+def test_z_order_key_matches_bit_interleave_reference(spark):
+    from hrdp_variant_load_pipeline_spark.sources.store import z_order_key
+
+    # x, y already in [0, 2^4): min/max normalization maps value v of the
+    # observed span [0, 15] to bucket floor(v/15*15) = v
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    out = z_order_key(df, ["x", "y"], bits=4)
+    for r in out.collect():
+        assert r["z_key"] == _interleave_ref([r["x"], r["y"]], 4), (r["x"], r["y"])
+
+
+def test_z_order_compaction_clusters_both_dimensions(spark, tmp_path):
+    """After a z-sorted compaction, EVERY file's min/max range is narrow in
+    BOTH dimensions; a 1-D sort on x leaves y's per-file spread at ~the
+    global spread. This is exactly the footer-stats property that lets a
+    2-predicate probe skip files on either dimension."""
+    import pyarrow.parquet as pq
+
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        compact_store,
+        z_order_key,
+    )
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y, x * n + y) for x in range(n) for y in range(n)],
+        "x long, y long, payload long",
+    )
+
+    def spreads(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.startswith("part-"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+            st = [
+                md.row_group(g).column(cols[col]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return out
+
+    zstore = str(tmp_path / "zstore")
+    commit_store_version(z_order_key(grid, ["x", "y"], bits=6), zstore)
+    zpath = compact_store(spark, zstore, target_partitions=16, sort_by=["z_key"])
+
+    xstore = str(tmp_path / "xstore")
+    commit_store_version(grid, xstore)
+    xpath = compact_store(spark, xstore, target_partitions=16, sort_by=["x"])
+
+    # z-order: both dimensions narrow per file (Z-curve cell ~ n/4 here)
+    assert max(spreads(zpath, "x")) <= n / 2
+    assert max(spreads(zpath, "y")) <= n / 2
+    # 1-D sort: x narrow but y spans ~everything in every file
+    assert max(spreads(xpath, "x")) <= n / 2
+    assert min(spreads(xpath, "y")) >= n - 1
