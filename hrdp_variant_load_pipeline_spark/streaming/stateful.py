@@ -260,3 +260,26 @@ def streaming_bottom_k_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quantiles_from_sample(
+    sample: DataFrame, value_col: str, qs: list[float]
+) -> list[float]:
+    """Quantile estimates from a uniform sample — the consumer side of
+    ``streaming_bottom_k_sample`` (join the kept ids back to their rows,
+    or carry the value through the sketch): because the sketch's kept set
+    is a provably uniform without-replacement sample, order statistics of
+    the sample estimate the stream's quantiles with the standard
+    sampling error (±O(1/sqrt(sample_size)) in rank). Driver-side sort of
+    a sample-sized list."""
+    vals = sorted(
+        r[0] for r in sample.select(F.col(value_col).cast("double")).collect()
+        if r[0] is not None
+    )
+    if not vals:
+        return [float("nan")] * len(qs)
+    out = []
+    for q in qs:
+        i = min(len(vals) - 1, max(0, int(round(q * (len(vals) - 1)))))
+        out.append(vals[i])
+    return out

@@ -387,3 +387,39 @@ def test_streaming_bottom_k_sample_equals_batch_order_by_hash(spark):
     est = sum((k - 1) / v for v in kth.values())
     true_n = ev.count()
     assert 0.3 * true_n <= est <= 3 * true_n
+
+
+def test_streaming_sample_quantiles_track_exact(spark):
+    """Bottom-k sample -> value join-back -> quantile estimates within
+    sampling error of the exact percentiles."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.streaming.stateful import (
+        quantiles_from_sample,
+        streaming_bottom_k_sample,
+    )
+
+    out = streaming_bottom_k_sample(
+        _hh_stream(spark), "event_id", k=64, n_buckets=4
+    )
+    name = f"qs_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ev = table(spark, SF_DIR, "events")
+    kept = (
+        spark.table(name)
+        .select(F.col("id").cast("long").alias("event_id"))
+        .distinct()
+        .join(ev, "event_id")
+    )
+    assert kept.count() == 4 * 64
+    est = quantiles_from_sample(kept, "value", [0.25, 0.5, 0.75])
+    exact = ev.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    ).collect()[0][0]
+    spread = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    for e, x in zip(est, exact):
+        assert abs(e - x) <= 0.15 * spread, (est, exact)
