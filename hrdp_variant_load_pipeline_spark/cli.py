@@ -43,6 +43,7 @@ from hrdp_variant_load_pipeline_spark.sources.store import (
     append_to_store,
     commit_store_version,
     compact_store,
+    describe_store,
     read_store,
 )
 from hrdp_variant_load_pipeline_spark.sources.tables import register_catalog_namespaces
@@ -160,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--runLoad", action="store_true")
     parser.add_argument("--genicQc", action="store_true")
     parser.add_argument("--compactStores", action="store_true")
+    parser.add_argument("--describeStores", action="store_true")
     parser.add_argument("--config", required=True)
     args = parser.parse_args(argv)
 
@@ -178,8 +180,17 @@ def main(argv: list[str] | None = None) -> int:
             out = cmd_genic_qc(spark, cfg)
         elif args.compactStores:
             out = cmd_compact(spark, cfg)
+        elif args.describeStores:
+            out = {}
+            for key in ("variant_store", "detail_store"):
+                if cfg.get(key):
+                    for k, v in describe_store(spark, cfg[key]).items():
+                        out[f"{key}.{k}"] = v
         else:
-            parser.error("one of --runLoad / --genicQc / --compactStores is required")
+            parser.error(
+                "one of --runLoad / --genicQc / --compactStores / "
+                "--describeStores is required"
+            )
         for k, v in out.items():
             print(f"{k}: {v}")
         return 0

@@ -339,3 +339,50 @@ def z_order_key(
                 )
             )
     return df.withColumn(out_col, z)
+
+
+def describe_store(spark: SparkSession, root: str) -> dict:
+    """Operational introspection without scanning data: retained versions,
+    current version's file count / bytes / row count — all from listings
+    and parquet footers (the same metadata the planner's pruning reads).
+
+    The row count sums footer row-group counts (``spark.read`` +
+    ``count()`` would schedule a job over every file; footers are one
+    metadata read each). At real file counts this is still O(files) —
+    the same cost as planning one scan of the store.
+    """
+    base = root.rstrip("/")
+    versions = committed_versions(spark, base)
+    target = resolve_store(spark, base)
+    out: dict = {
+        "root": base,
+        "versions_retained": versions,
+        "current": target,
+        "layout": "versioned" if versions else ("flat" if target else "absent"),
+    }
+    if target is None:
+        return out
+    fs, jvm = _fs(spark, target)
+    files = [
+        n
+        for n, is_dir in _list_names(fs, jvm, target)
+        if not is_dir and not n.startswith((".", "_"))
+    ]
+    n_bytes = 0
+    n_rows = 0
+    for n in files:
+        st = fs.getFileStatus(_jpath(jvm, f"{target}/{n}"))
+        n_bytes += st.getLen()
+    try:
+        import pyarrow.parquet as pq
+
+        local = target
+        for n in files:
+            p = f"{local}/{n}"
+            if p.startswith("file:"):
+                p = p.removeprefix("file:")
+            n_rows += pq.ParquetFile(p).metadata.num_rows
+    except Exception:  # noqa: BLE001 — non-local fs: row count unavailable
+        n_rows = -1
+    out.update(n_files=len(files), n_bytes=int(n_bytes), n_rows=int(n_rows))
+    return out

@@ -329,3 +329,19 @@ def test_z_order_compaction_clusters_both_dimensions(spark, tmp_path):
     # 1-D sort: x narrow but y spans ~everything in every file
     assert max(spreads(xpath, "x")) <= n / 2
     assert min(spreads(xpath, "y")) >= n - 1
+
+
+def test_describe_store_reports_versions_files_rows(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.sources.store import describe_store
+
+    store = str(tmp_path / "store")
+    assert describe_store(spark, store)["layout"] == "absent"
+    commit_store_version(spark.range(100).repartition(4), store)
+    append_to_store(spark.range(100, 150).repartition(2), store)
+    d = describe_store(spark, store)
+    assert d["layout"] == "versioned" and d["versions_retained"] == [1]
+    assert d["n_rows"] == 150
+    assert d["n_files"] >= 6 and d["n_bytes"] > 0
+    commit_store_version(spark.range(10), store)
+    d2 = describe_store(spark, store)
+    assert d2["versions_retained"] == [1, 2] and d2["n_rows"] == 10
