@@ -83,3 +83,31 @@ def test_shingle_array_short_doc_is_empty_not_error(spark):
     }
     assert out[1] == [] and out[2] == []
     assert "a b c" in out[3] and len(out[3]) == 3
+
+
+def test_minhash_lsh_precision_recall_vs_exact_jaccard(spark):
+    """Quality gate against ground truth: on the driver fixture the LSH
+    path must return EXACTLY the pairs the exhaustive n-gram Jaccard path
+    finds at the same threshold (precision 1.0 is guaranteed by the exact
+    verify stage; recall 1.0 here because every >=0.5-Jaccard pair in the
+    fixture shares a full band — a banding change that silently drops
+    recall fails this)."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(d, "doc_id", "text", verify_threshold=0.5).collect()
+    }
+    assert len(exact) > 20  # fixture exercises the dup structure
+    assert set(lsh) == set(exact)
+    for p in exact:
+        assert abs(exact[p] - lsh[p]) < 1e-9
