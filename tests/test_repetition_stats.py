@@ -176,3 +176,51 @@ def test_normalize_text_matches_duckdb(spark):
         for (t,) in rows
     ]
     assert got == want
+
+
+class TestTrigramLangId:
+    def _corpus(self, spark):
+        # two "languages" with genuinely distinct character distributions
+        rows = []
+        a_words = ["aba", "bab", "abba", "baab", "ab"]
+        b_words = ["zyz", "yzy", "zzyy", "yyzz", "zy"]
+        for i in range(40):
+            rows.append((i, "aa", " ".join(a_words[(i + j) % 5] for j in range(12))))
+            rows.append((100 + i, "bb", " ".join(b_words[(i + j) % 5] for j in range(12))))
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_trained_profiles_classify_held_out_docs(self, spark):
+        from hrdp_variant_load_pipeline_spark.functions.text import (
+            lang_predict_trigram,
+            train_lang_profiles,
+        )
+
+        d = self._corpus(spark)
+        train = d.filter(F.col("doc_id") % 2 == 0)
+        test = d.filter(F.col("doc_id") % 2 == 1)
+        prof = train_lang_profiles(train, "text", "lang", top_n=50)
+        assert set(prof) == {"aa", "bb"}
+        # discriminative training: no shared trigram survives in both
+        assert not (set(prof["aa"]) & set(prof["bb"]))
+        pred = test.select(
+            "lang", lang_predict_trigram(F.col("text"), prof).alias("p")
+        )
+        n = pred.count()
+        assert n > 0
+        assert pred.filter("lang = p").count() == n  # fully separable -> 100%
+
+    def test_prediction_is_row_local(self, spark):
+        from hrdp_variant_load_pipeline_spark.functions.text import (
+            lang_predict_trigram,
+            train_lang_profiles,
+        )
+
+        d = self._corpus(spark)
+        prof = train_lang_profiles(d, "text", "lang", top_n=20)
+        plan = (
+            d.select(lang_predict_trigram(F.col("text"), prof).alias("p"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
