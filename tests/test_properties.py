@@ -193,3 +193,73 @@ def test_decontaminate_matches_bruteforce_bulk(spark):
     )
     kept = {r.doc_id for r in decontaminate(docs, bdf, "doc_id", "text", n=n).collect()}
     assert kept == expect_kept
+
+
+def _collect_scd2_cases(n=12):
+    cases = []
+
+    @settings(max_examples=n, derandomize=True, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=5),   # key
+                    st.sampled_from(["a", "b", "c"]),        # tracked value
+                ),
+                min_size=1,
+                max_size=5,
+                unique_by=lambda kv: kv[0],  # one update per key per batch
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def gen(batches):
+        cases.append(batches)
+
+    gen()
+    return cases
+
+
+def test_scd2_invariants_over_random_update_sequences(spark):
+    """Apply random batch sequences through scd2_merge; afterwards every
+    key must have exactly one open version, per-key intervals must be
+    non-overlapping and contiguous, and the open value must equal the
+    key's last CHANGED update."""
+    from datetime import datetime
+
+    from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_merge
+
+    for ci, batches in enumerate(_collect_scd2_cases()):
+        hist = spark.createDataFrame(
+            [],
+            "k long, v string, effective_from timestamp, effective_to timestamp",
+        )
+        expected: dict[int, str] = {}
+        for bi, batch in enumerate(batches):
+            ts = datetime(2024, 1, 1 + bi)
+            ups = spark.createDataFrame(
+                [(k, v, ts) for k, v in batch], "k long, v string, batch_ts timestamp"
+            )
+            hist = scd2_merge(hist, ups, keys=["k"], tracked=["v"])
+            for k, v in batch:
+                expected[k] = v
+        rows = hist.collect()
+        by_key: dict[int, list] = {}
+        for r in rows:
+            by_key.setdefault(r["k"], []).append(r)
+        assert set(by_key) == set(expected), (ci, batches)
+        for k, krows in by_key.items():
+            opens = [r for r in krows if r["effective_to"] is None]
+            assert len(opens) == 1, (ci, k, krows)
+            assert opens[0]["v"] == expected[k], (ci, k)
+            closed = sorted(
+                (r for r in krows if r["effective_to"] is not None),
+                key=lambda r: r["effective_from"],
+            )
+            # contiguous, non-overlapping: each closed row ends where the
+            # next version starts; the last closed row ends at the open
+            # row's start
+            chain = closed + [opens[0]]
+            for a, b in zip(chain, chain[1:]):
+                assert a["effective_to"] == b["effective_from"], (ci, k, krows)
