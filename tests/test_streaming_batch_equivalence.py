@@ -423,3 +423,43 @@ def test_streaming_sample_quantiles_track_exact(spark):
     spread = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
     for e, x in zip(est, exact):
         assert abs(e - x) <= 0.15 * spread, (est, exact)
+
+
+def test_streaming_windowed_approx_distinct_equals_batch(spark):
+    """Sketch aggregates stream natively: watermarked tumbling
+    approx_count_distinct(user_id) must emit exactly the batch plan's
+    values (HLL++ is deterministic on identical input)."""
+    import uuid
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts
+
+    agg_cols = lambda src: (  # noqa: E731
+        src.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n_users"))
+        .select(
+            (F.unix_timestamp("w.start") / 900).cast("long").alias("bucket"),
+            "n_users",
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(SF_DIR)
+    )
+    streamed = agg_cols(normalize_ts(stream).withWatermark("ts", "10 minutes"))
+    name = f"ad_{uuid.uuid4().hex[:8]}"
+    q = (
+        streamed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = agg_cols(table(spark, SF_DIR, "events"))
+    assert _rows(spark.table(name)) == _rows(batch)
