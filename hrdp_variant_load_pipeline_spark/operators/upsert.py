@@ -221,3 +221,42 @@ def scd2_merge(
     return closed_rows.select(*ks, *tracked, from_col, to_col).unionByName(
         keep_open
     ).unionByName(closed_now).unionByName(opened)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    broadcast_history: bool = True,
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 history: each fact row
+    joins the dimension version valid AT its timestamp
+    (``effective_from <= ts < effective_to``, open version unbounded).
+
+    The write path (``scd2_merge``) guarantees per-key intervals are
+    non-overlapping and contiguous, so the residual range predicate
+    matches at most one version per key — the join stays 1:1 and facts
+    before a key's first version get nulls (left join). Dimension
+    histories are dimension-sized, so the default broadcasts them and the
+    fact table never shuffles; pass ``broadcast_history=False`` for a
+    genuinely large history (equi-join on keys + residual range, AQE
+    sizing the build side).
+    """
+    ks = list(keys)
+    h = history
+    if broadcast_history:
+        h = F.broadcast(h)
+    ts = F.col(fact_ts_col)
+    # the range predicate must be part of the JOIN condition, not a
+    # post-filter: filtered afterwards, a fact older than its key's first
+    # version would lose every joined row AND its null-match row — i.e.
+    # vanish from the output instead of surviving with nulls
+    cond = (ts >= F.col(from_col)) & (
+        F.col(to_col).isNull() | (ts < F.col(to_col))
+    )
+    for k in ks:
+        cond = cond & (facts[k] == history[k])
+    return facts.join(h, cond, "left").drop(*[history[k] for k in ks])

@@ -145,3 +145,75 @@ class TestScd2Merge:
         a = sorted(map(tuple, once.collect()))
         b = sorted(map(tuple, twice.collect()))
         assert a == b  # re-applying the same batch changes nothing
+
+
+class TestScd2Lookup:
+    def test_point_in_time_enrichment(self, spark):
+        from datetime import datetime
+
+        from hrdp_variant_load_pipeline_spark.operators.upsert import (
+            scd2_lookup,
+            scd2_merge,
+        )
+
+        t0, t1, t2 = (
+            datetime(2024, 1, 1),
+            datetime(2024, 6, 1),
+            datetime(2024, 9, 1),
+        )
+        hist = spark.createDataFrame(
+            [], "sample_id long, status string, effective_from timestamp, effective_to timestamp"
+        )
+        for ts, status in ((t0, "active"), (t1, "retired"), (t2, "active")):
+            ups = spark.createDataFrame(
+                [(1, status, ts)], "sample_id long, status string, batch_ts timestamp"
+            )
+            hist = scd2_merge(hist, ups, ["sample_id"], ["status"])
+        facts = spark.createDataFrame(
+            [
+                (10, 1, datetime(2023, 12, 1)),  # before first version -> nulls
+                (11, 1, datetime(2024, 3, 1)),   # active era
+                (12, 1, datetime(2024, 6, 1)),   # boundary: new version wins
+                (13, 1, datetime(2024, 7, 15)),  # retired era
+                (14, 1, datetime(2025, 1, 1)),   # open version
+                (15, 9, datetime(2024, 7, 1)),   # unknown key -> nulls
+            ],
+            "fact_id long, sample_id long, ts timestamp",
+        )
+        out = {
+            r.fact_id: r.status
+            for r in scd2_lookup(facts, hist, ["sample_id"], "ts").collect()
+        }
+        assert out == {
+            10: None,
+            11: "active",
+            12: "retired",
+            13: "retired",
+            14: "active",
+            15: None,
+        }
+        # 1:1 — no fact duplicated, none dropped
+        assert scd2_lookup(facts, hist, ["sample_id"], "ts").count() == 6
+
+    def test_history_broadcast_no_fact_shuffle(self, spark):
+        from datetime import datetime
+
+        from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_lookup
+
+        hist = spark.createDataFrame(
+            [(1, "a", datetime(2024, 1, 1), None)],
+            "sample_id long, status string, effective_from timestamp, effective_to timestamp",
+        )
+        facts = spark.range(1000).selectExpr(
+            "id AS fact_id",
+            "id % 2 AS sample_id",  # non-constant: the equi key must survive
+            "timestamp'2024-02-01' AS ts",
+        )
+        plan = (
+            scd2_lookup(facts, hist, ["sample_id"], "ts")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
