@@ -273,9 +273,11 @@ def repetition_flags(
 
 #: masking patterns for pre-tokenization normalization. URL first (an URL
 #: may embed digits/@-text that must mask as part of the URL, not as an
-#: email/number), then email, then standalone numbers.
-URL_RE = r"(https?://|www\.)[^\s]+"
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: email/number), then email, then standalone numbers. Case-insensitive
+#: ((?i)) because masking runs BEFORE lowercasing — an uppercase-scheme
+#: URL must not escape into the lowercased output.
+URL_RE = r"(?i)(https?://|www\.)[^\s]+"
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 NUMBER_RE = r"\d+([.,]\d+)*"
 
 
@@ -379,8 +381,10 @@ def lang_predict_trigram(
     sum of profile weights of its trigrams (cosine against the profile up
     to the doc's own norm — rank-equivalent per doc). The model inlines
     as literal maps; prediction is a single codegen'd expression, no
-    join, no shuffle. Ties and empty docs fall back to the
-    lexicographically first language for determinism.
+    join, no shuffle. Ties and empty docs resolve to the
+    lexicographically LARGEST language name (``array_max`` over
+    (score, lang) structs) — deterministic, which is the property that
+    matters for replay.
     """
     grams = _char_trigrams(text)
     scored = []

@@ -257,7 +257,7 @@ def plan_mixture(
     plan: dict[str, dict[str, float]] = {}
     for src, w in weights.items():
         target = total_tokens * w / wsum
-        have = float(avail.get(src, 0))
+        have = float(avail.get(src) or 0)  # null sum (all-null counts) == empty
         if have <= 0:
             plan[src] = {
                 "fraction": 0.0,

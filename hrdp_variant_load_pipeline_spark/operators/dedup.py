@@ -506,7 +506,11 @@ def banded_signatures(
     if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
     return (
-        src.select("doc", "sh", *sig_cols)
+        # docs with no shingles (< k words) have null minhashes and null
+        # band_val rows that can never equi-join — dropped here so a
+        # persisted index does not accrete dead rows batch after batch
+        src.filter(F.size("sh") > 0)
+        .select("doc", "sh", *sig_cols)
         .select("doc", "sh", F.explode(bands).alias("b"))
         .select("doc", "b.band_idx", "b.band_val", "sh")
     )
@@ -529,8 +533,9 @@ def incremental_minhash_dedup(
     Returns (doc_new, doc_dup, jaccard, source) where ``source`` is
     ``'index'`` (duplicate of a historical doc) or ``'batch'``
     (duplicate within the new batch; emitted once, doc_new < doc_dup).
-    Doc ids must be disjoint between batch and index (the loader's
-    surrogate allocation guarantees it).
+    A batch doc sharing an id with an index row is treated as the SAME
+    document (replay of a partially-committed batch), never as its own
+    duplicate.
 
     Scale: the probe side is batch-sized; the index join is an equi join
     on (band_idx, band_val) — bucketed storage makes it exchange the
@@ -549,6 +554,10 @@ def incremental_minhash_dedup(
                 ),
                 ["band_idx", "band_val"],
             )
+            # a replayed batch can meet its own first-attempt index rows
+            # (crash between index and docs append): a doc must never
+            # count as a duplicate of ITSELF
+            .filter(F.col("doc") != F.col("doc_dup"))
             .select("doc", "doc_dup")
             .distinct()
             .withColumn("source", F.lit("index"))

@@ -260,10 +260,11 @@ def ivfpq_topk(
     cdists = F.array(*[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse])
     bucket = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
     enc = pq_encode(
-        corpus.withColumn("__bucket", bucket), codebooks
-    ).select(
-        F.col(id_col).alias("neighbor_id"), "__bucket", "pq_codes"
-    )
+        corpus.withColumn("__bucket", bucket),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "__bucket", "pq_codes")
 
     idxs = F.sequence(F.lit(0), F.lit(nb - 1))
     scored = F.transform(

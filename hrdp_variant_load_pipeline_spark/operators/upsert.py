@@ -180,6 +180,10 @@ def scd2_merge(
     * changed → close the open version at ``batch_ts`` and insert the new
       open version.
 
+    Multiple update rows for one key in a batch collapse to a single
+    winner — the greatest (batch_ts, tracked...) tuple — before merging,
+    so the single-open-version invariant holds for CDC-style inputs.
+
     One null-safe join of the update batch against the OPEN slice decides
     all three cases; closed history is untouched (appended through). The
     shuffle is keyed on ``keys`` — batch-sized, not history-sized, on the
@@ -189,10 +193,27 @@ def scd2_merge(
     ks = list(keys)
     open_rows = history.filter(F.col(to_col).isNull())
     closed_rows = history.filter(F.col(to_col).isNotNull())
-    up = updates.select(
-        *ks,
-        *[F.col(c).alias(f"__u_{c}") for c in tracked],
-        F.col(batch_ts_col).alias("__bts"),
+    # collapse CDC-style multi-updates to ONE row per key — without this,
+    # two updates for a key would full-outer-join the single open row
+    # twice and emit two open versions (breaking the single-open /
+    # non-overlapping invariants scd2_lookup relies on). Winner: greatest
+    # (batch_ts, tracked...) — deterministic under any input order.
+    up = (
+        updates.groupBy(*ks)
+        .agg(
+            F.max_by(
+                F.struct(
+                    *[F.col(c).alias(c) for c in tracked],
+                    F.col(batch_ts_col).alias("__bts"),
+                ),
+                F.struct(F.col(batch_ts_col), *[F.col(c) for c in tracked]),
+            ).alias("__u")
+        )
+        .select(
+            *ks,
+            *[F.col(f"__u.{c}").alias(f"__u_{c}") for c in tracked],
+            F.col("__u.__bts").alias("__bts"),
+        )
     )
     joined = open_rows.join(up, ks, "full_outer")
     same = F.lit(True)

@@ -316,6 +316,13 @@ def z_order_key(
     skewed columns cluster less evenly but correctness (pruning validity)
     is unaffected. Null values bucket to 0.
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits({bits}) * columns({len(cols)}) exceeds the 63-bit key "
+            "budget: Spark's shiftleft wraps shift amounts mod 64, which "
+            "would silently scramble the curve — lower bits or split the "
+            "column set"
+        )
     agg = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],

@@ -10,10 +10,12 @@ re-shingled, so per-batch cost is O(batch), not O(corpus).
 
 Effectively-once on replay, same argument as ``stream_vcf_loader``:
 ``foreachBatch`` is at-least-once, but a replayed batch's doc ids already
-sit in the docs store, and the exact-id anti-join drops them before any
-append — the replay appends nothing. (The id probe must come FIRST: the
-near-dup probe would otherwise match a replayed doc against its own
-first-attempt index rows.)
+sit in the docs store and the exact-id anti-join drops them; quarantine
+appends anti-join their own batch's prior rows. The index is appended
+BEFORE the docs (and the index probe excludes same-id matches), so a
+crash between the two appends re-accepts the docs on replay — duplicate
+index rows are benign (the probe dedups candidates), whereas the reverse
+order left a permanent signature-index gap.
 """
 
 from __future__ import annotations
@@ -71,10 +73,16 @@ def stream_corpus_ingest(
         try:
             n_quar = quarantine.count()
             if n_quar:
-                append_to_store(
-                    quarantine.withColumn("batch_id", F.lit(batch_id)),
-                    quarantine_dir,
-                )
+                # idempotent under replay: drop lines this batch already
+                # quarantined in a previous (crashed) attempt
+                tagged = quarantine.withColumn("batch_id", F.lit(batch_id))
+                existing = read_store(
+                    spark, quarantine_dir, schema="raw STRING, batch_id BIGINT"
+                ).filter(F.col("batch_id") == batch_id)
+                fresh_q = tagged.join(
+                    existing, ["raw", "batch_id"], "left_anti"
+                ).localCheckpoint()  # pinned BEFORE the append mutates its input
+                append_to_store(fresh_q, quarantine_dir)
             store_ids = read_store(
                 spark, docs_store_dir, schema=schema
             ).select(id_col)
@@ -118,11 +126,19 @@ def stream_corpus_ingest(
             accepted = fresh.join(drop, id_col, "left_anti").localCheckpoint()
             n_acc = accepted.count()
             if n_acc:
-                append_to_store(accepted, docs_store_dir)
+                # index FIRST, docs second: a crash between the two leaves
+                # signature rows for ids absent from the docs store — the
+                # replay re-accepts those docs (self-matches are excluded
+                # in the index probe) and re-appends, leaving only benign
+                # duplicate index rows (deduped by the probe's distinct).
+                # The reverse order left a PERMANENT index gap: replayed
+                # ids were dropped by the exact-id probe before their
+                # signatures were ever written.
                 append_to_store(
                     banded_signatures(accepted, id_col, text_col),
                     index_store_dir,
                 )
+                append_to_store(accepted, docs_store_dir)
             fresh.unpersist()
             if on_batch is not None:
                 on_batch(

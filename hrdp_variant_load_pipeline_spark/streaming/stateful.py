@@ -176,9 +176,11 @@ def streaming_heavy_hitters(
             }
         )
 
+    # item cast to string up front: the output/state schemas declare
+    # string, and an int64 pandas series would fail Arrow serialization
     bucketed = stream.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets))
-    )
+        item_col, F.col(item_col).cast("string")
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)))
     return bucketed.groupBy("bucket").applyInPandasWithState(
         update,
         outputStructType="bucket long, item string, est_count long, n_bucket long",

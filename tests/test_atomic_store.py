@@ -345,3 +345,13 @@ def test_describe_store_reports_versions_files_rows(spark, tmp_path):
     commit_store_version(spark.range(10), store)
     d2 = describe_store(spark, store)
     assert d2["versions_retained"] == [1, 2] and d2["n_rows"] == 10
+
+
+def test_z_order_key_rejects_bit_budget_overflow(spark):
+    import pytest
+
+    from hrdp_variant_load_pipeline_spark.sources.store import z_order_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4, 5, 6)], "a long, b long, c long, d long, e long, f long")
+    with pytest.raises(ValueError, match="63-bit"):
+        z_order_key(df, ["a", "b", "c", "d", "e", "f"], bits=12)

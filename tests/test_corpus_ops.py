@@ -413,3 +413,16 @@ def test_apply_mixture_upsample_epochs(spark):
     assert 5 <= per_epoch.get(2, 0) <= 35
     total_tok = out.agg(F.sum("n_tokens")).collect()[0][0]
     assert abs(total_tok - 5000) < 1000
+
+
+def test_plan_mixture_all_null_counts_treated_as_empty(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import plan_mixture
+
+    df = spark.createDataFrame(
+        [(1, "web", None), (2, "web", None), (3, "books", 100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = plan_mixture(df, "source", "n_tokens", {"web": 0.5, "books": 0.5}, 100)
+    assert plan["web"]["fraction"] == 0.0
+    assert plan["web"]["shortfall_tokens"] == 50.0
+    assert plan["books"]["fraction"] == 0.5

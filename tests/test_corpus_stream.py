@@ -81,12 +81,14 @@ def test_ingest_replay_appends_nothing(spark, tmp_path):
     near-dup stage can match them against their own index rows."""
     src, dirs, stats, q = _run(spark, tmp_path, "a")
     try:
-        _write_batch(src, "b1.jsonl", _B1)
+        _write_batch(src, "b1.jsonl", _B1, corrupt=['not json'])
         q.processAllAvailable()
     finally:
         q.stop()
     n_docs = read_store(spark, dirs["docs"]).count()
     n_index = read_store(spark, dirs["index"]).count()
+    n_quar = read_store(spark, dirs["quarantine"]).count()
+    assert n_quar == 1
 
     stats2 = {}
     q2 = stream_corpus_ingest(
@@ -105,4 +107,6 @@ def test_ingest_replay_appends_nothing(spark, tmp_path):
         q2.stop()
     assert read_store(spark, dirs["docs"]).count() == n_docs
     assert read_store(spark, dirs["index"]).count() == n_index
+    # quarantine replay is idempotent too: same batch's lines never double
+    assert read_store(spark, dirs["quarantine"]).count() == n_quar
     assert all(s["accepted"] == 0 for s in stats2.values())

@@ -100,3 +100,29 @@ def test_incremental_no_cartesian(spark):
     )
     assert "Join" in plan  # the real (pre-checkpoint) plan is visible
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_replayed_doc_never_duplicates_itself(spark):
+    """Regression (crash between index and docs append): a batch doc whose
+    id ALREADY has index rows must not be flagged as a duplicate of
+    itself — same-id matches are excluded from the index probe."""
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(_BATCH, _SCHEMA)
+    # index contains the batch's own first-attempt signatures
+    index = banded_signatures(hist.union(batch), "doc_id", "text")
+    rows = incremental_minhash_dedup(batch, index, "doc_id", "text").collect()
+    assert all(r.doc_new != r.doc_dup for r in rows)
+    # doc 105 (unique) still accepted; 101 still flagged vs the REAL 1
+    flagged = {r.doc_new for r in rows if r.source == "index"}
+    assert 105 not in flagged and 101 in flagged
+
+
+def test_banded_signatures_skip_shingleless_docs(spark):
+    """Docs with fewer than k words have no shingles — no index rows (a
+    persisted index must not accrete null-band dead rows)."""
+    d = spark.createDataFrame(
+        [(1, "too short"), (2, "exactly three words here ok")], _SCHEMA
+    )
+    rows = banded_signatures(d, "doc_id", "text").collect()
+    assert {r.doc for r in rows} == {2}
+    assert all(r.band_val is not None for r in rows)

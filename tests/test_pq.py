@@ -202,3 +202,19 @@ def test_ivfpq_corpus_never_shuffled(spark):
     scan_at = plan.index("Scan parquet", join_at)
     probe_side = plan[join_at:scan_at]
     assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_ivfpq_respects_custom_column_names(spark):
+    """Regression: ivfpq_topk must forward id_col/vec_col to pq_encode —
+    a renamed embedding column used to crash (or silently encode an
+    unrelated default-named column)."""
+    from hrdp_variant_load_pipeline_spark.operators.pq import ivfpq_topk
+
+    e = _embeddings(spark).selectExpr("vec_id AS vid", "embedding AS vec")
+    coarse = train_pq_codebooks(e, id_col="vid", vec_col="vec", dim=64, m=1, n_codes=4, n_iter=1)
+    cb = train_pq_codebooks(e, id_col="vid", vec_col="vec", dim=64, m=4, n_codes=8, n_iter=1)
+    out = ivfpq_topk(
+        e, e.filter(F.col("vid") < 3), coarse, cb,
+        nprobe=4, k=2, id_col="vid", vec_col="vec",
+    )
+    assert out.count() == 3 * 2

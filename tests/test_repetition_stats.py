@@ -224,3 +224,15 @@ class TestTrigramLangId:
             .toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_normalize_text_masks_uppercase_urls_and_emails(spark):
+    """Regression: masking runs BEFORE lowercasing, so the patterns must
+    be case-insensitive — uppercase schemes used to escape."""
+    from hrdp_variant_load_pipeline_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("Visit WWW.FOO.COM or HTTP://X.COM/a mail BOB@EX.COM",)], "t string"
+    )
+    got = df.select(normalize_text(F.col("t")).alias("n")).first().n
+    assert got == "visit <url> or <url> mail <email>"

@@ -217,3 +217,34 @@ class TestScd2Lookup:
         )
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+def test_scd2_merge_collapses_multi_updates_per_key(spark):
+    """Regression: two updates for one key in a batch must produce ONE
+    open version (greatest (batch_ts, tracked) wins), not two."""
+    from datetime import datetime
+
+    from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_merge
+
+    t0, t1, t2 = (
+        datetime(2024, 1, 1),
+        datetime(2024, 6, 1),
+        datetime(2024, 6, 2),
+    )
+    hist = spark.createDataFrame(
+        [(1, "a", t0, None)],
+        "k long, v string, effective_from timestamp, effective_to timestamp",
+    )
+    ups = spark.createDataFrame(
+        [(1, "b", t1), (1, "c", t2), (2, "x", t1), (2, "y", t1)],
+        "k long, v string, batch_ts timestamp",
+    )
+    out = scd2_merge(hist, ups, ["k"], ["v"]).collect()
+    opens = {r.k: r.v for r in out if r.effective_to is None}
+    # key 1: latest ts wins (c@t2); key 2: ts tie -> larger tracked wins (y)
+    assert opens == {1: "c", 2: "y"}
+    per_key_open = {}
+    for r in out:
+        if r.effective_to is None:
+            per_key_open[r.k] = per_key_open.get(r.k, 0) + 1
+    assert all(n == 1 for n in per_key_open.values())

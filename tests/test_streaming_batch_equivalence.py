@@ -296,7 +296,8 @@ def test_streaming_heavy_hitters_bounds_under_pressure(spark):
 
     k = 4
     out = streaming_heavy_hitters(
-        _hh_stream(spark).selectExpr("CAST(user_id AS STRING) AS item"),
+        # bigint column on purpose: the operator must cast internally
+        _hh_stream(spark).selectExpr("user_id AS item"),
         "item",
         k=k,
         n_buckets=2,
