@@ -74,6 +74,7 @@ def write_shards(
     shard_col: str,
     n_shards: int | None = None,
     order_col: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Export size-balanced training shards: range-partition on
     ``shard_col`` (e.g. the ``bin_id`` from ``pack_sequences``) so each
@@ -82,7 +83,9 @@ def write_shards(
     streams sequentially without a shuffle on its side.
 
     One shuffle (the range exchange), then a straight parquet write.
-    ``n_shards`` defaults to the session's shuffle parallelism.
+    ``n_shards`` defaults to the session's shuffle parallelism;
+    ``max_records_per_file`` additionally splits oversized shards into
+    bounded files.
     """
     spark = df.sparkSession
     if n_shards is None:
@@ -92,4 +95,58 @@ def write_shards(
     out = out.sortWithinPartitions(
         shard_col, *( [order_col] if order_col else [] )
     )
-    out.write.mode("overwrite").parquet(path)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        # hard cap per FILE (a partition then splits into several files,
+        # each still sorted): data loaders that mmap or stream whole
+        # files get a bounded working set regardless of shard skew
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> dict:
+    """One-pass corpus summary: the numbers a dataset card leads with.
+
+    Everything rides ONE aggregate job (plus one tiny per-language job
+    when ``lang_col`` is given): document count, token totals/percentiles,
+    exact-duplicate rate (distinct md5 vs rows), and mean quality score.
+    Scalars only — nothing corpus-sized reaches the driver.
+    """
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    row = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(t)).cast("long").alias("total_tokens"),
+        F.expr(
+            f"percentile(size(split({text_col}, ' ')), array(0.5, 0.9, 0.99))"
+        ).alias("tok_pcts"),
+        F.count_distinct(F.md5(t)).alias("n_distinct"),
+        F.round(F.avg(quality_score(t)), 4).alias("avg_quality"),
+    ).collect()[0]
+    out = {
+        "n_docs": int(row["n_docs"]),
+        "total_tokens": int(row["total_tokens"] or 0),
+        "tokens_p50": float(row["tok_pcts"][0]) if row["tok_pcts"] else None,
+        "tokens_p90": float(row["tok_pcts"][1]) if row["tok_pcts"] else None,
+        "tokens_p99": float(row["tok_pcts"][2]) if row["tok_pcts"] else None,
+        "exact_dup_rate": (
+            round(1.0 - row["n_distinct"] / row["n_docs"], 6)
+            if row["n_docs"]
+            else 0.0
+        ),
+        "avg_quality": float(row["avg_quality"] or 0.0),
+    }
+    if lang_col is not None and lang_col in df.columns:
+        out["docs_per_lang"] = {
+            r[0]: r[1]
+            for r in df.groupBy(lang_col).count().collect()
+        }
+    return out

@@ -113,3 +113,38 @@ def test_multimodal_embed_feeds_ann_operators(spark):
         for qid, orig in want.items():
             assert top[qid]["neighbor_id"] == orig
             assert top[qid]["cosine"] > 0.9999
+
+
+def test_write_shards_max_records_per_file(spark, tmp_path):
+    df = spark.range(1000).selectExpr("id % 4 AS bin_id", "id AS doc_id")
+    out = str(tmp_path / "capped")
+    write_shards(df, out, "bin_id", n_shards=2, max_records_per_file=200)
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(files) >= 5  # 1000 rows / 200-cap
+    for f in files:
+        assert pq.ParquetFile(os.path.join(out, f)).metadata.num_rows <= 200
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_corpus_report_scalars(spark):
+    from hrdp_variant_load_pipeline_spark.sources.corpus_io import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the quick brown fox", "en"),  # exact dup
+            (3, "der schnelle fuchs", "de"),
+            (4, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    r = corpus_report(df)
+    assert r["n_docs"] == 4
+    assert r["exact_dup_rate"] == round(1 - 3 / 4, 6)
+    assert r["docs_per_lang"] == {"en": 3, "de": 1}
+    assert r["tokens_p50"] is not None and r["total_tokens"] > 0
+    # no lang column: section omitted, no error
+    r2 = corpus_report(df.drop("lang"))
+    assert "docs_per_lang" not in r2
