@@ -540,11 +540,15 @@ def incremental_minhash_dedup(
     Scale: the probe side is batch-sized; the index join is an equi join
     on (band_idx, band_val) — bucketed storage makes it exchange the
     probe side only. Verification intersects shingle arrays row-locally,
-    candidates only.
+    candidates only, and historical shingles are fetched through a
+    broadcast semi-join against the candidate id set — the per-batch
+    cost is O(batch + candidates): the full history is scanned once per
+    batch (a columnar read) but never shuffled.
     """
     nb = banded_signatures(
         new_docs, id_col, text_col, k, num_hashes, band_rows
     ).persist()
+    cands = None
     try:
         probe = nb.select("doc", "band_idx", "band_val")
         idx_cand = (
@@ -572,12 +576,31 @@ def incremental_minhash_dedup(
             .distinct()
             .withColumn("source", F.lit("batch"))
         )
-        sh_all = (
-            index.select("doc", "sh")
+        # candidate pairs first — the verify stage below only ever needs
+        # shingles for docs that appear in a candidate pair, so the pair
+        # set is computed (and cached: it feeds both the history-id
+        # pruning and the final join) before any shingle is fetched
+        cands = idx_cand.union(batch_cand).persist()
+        # Historical shingles are fetched through a broadcast LEFT SEMI
+        # join against the candidate doc_dup id set: batch-sized by
+        # construction (candidates are pairs touching the batch). The
+        # distinct that collapses the index's per-band row replication
+        # therefore shuffles candidate survivors only — history is never
+        # re-shingled NOR re-shuffled, which is what makes the per-batch
+        # cost O(batch) rather than O(corpus). The index side never
+        # exchanges: scan → broadcast semi filter → candidate-only
+        # distinct (plan-pinned in tests/test_plan_shapes.py).
+        hist_ids = (
+            cands.filter(F.col("source") == "index")
+            .select(F.col("doc_dup").alias("doc"))
             .distinct()
-            .union(nb.select("doc", "sh").distinct())
         )
-        cands = idx_cand.union(batch_cand)
+        sh_hist = (
+            index.select("doc", "sh")
+            .join(F.broadcast(hist_ids), "doc", "left_semi")
+            .distinct()
+        )
+        sh_all = sh_hist.union(nb.select("doc", "sh").distinct())
         pairs = cands.join(
             nb.select(F.col("doc"), F.col("sh").alias("sh_a")).distinct(), "doc"
         ).join(
@@ -609,3 +632,5 @@ def incremental_minhash_dedup(
     finally:
         if materialize:
             nb.unpersist()
+            if cands is not None:
+                cands.unpersist()

@@ -6,7 +6,9 @@ operators (``sources.corpus_io.split_jsonl_lines``,
 ``operators.dedup.banded_signatures`` / ``incremental_minhash_dedup``,
 ``sources.store.append_to_store``): each micro-batch is deduplicated
 against ALL history through the signature index — history is never
-re-shingled, so per-batch cost is O(batch), not O(corpus).
+re-shingled nor re-shuffled (the verify stage fetches historical
+shingles through a broadcast semi-join against the batch's candidate
+ids), so per-batch cost is O(batch + candidates), not O(corpus).
 
 Effectively-once on replay, same argument as ``stream_vcf_loader``:
 ``foreachBatch`` is at-least-once, but a replayed batch's doc ids already

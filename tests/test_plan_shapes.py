@@ -177,3 +177,41 @@ def test_brute_force_topk_single_corpus_pass_broadcast_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the rank window only
+
+
+def test_incremental_dedup_history_probe_is_candidate_pruned(spark, tmp_path):
+    """The incremental dedup verify stage must fetch historical shingles
+    through a broadcast LEFT-SEMI join against the (batch-sized)
+    candidate id set — never distinct/shuffle the full index's (doc, sh)
+    rows. The index-side shingle scan must feed the semi filter DIRECTLY
+    (no Exchange between scan and filter): this is the O(batch), not
+    O(history), per-ingest-batch contract."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(101, "a b c d e f g"), (102, "z y x w v u t")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    banded_signatures(hist, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    out = incremental_minhash_dedup(
+        batch, index, "doc_id", "text", materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 1
+    # locate the index shingle scan (the only FileScan reading sh)
+    sh_scan = plan.find("sh:array<string>")
+    assert sh_scan != -1, "index shingle scan missing from plan"
+    above = plan[max(0, sh_scan - 600) : sh_scan]
+    # scan -> (null filter) -> broadcast semi: nothing else in between —
+    # in particular no Exchange and no full-index distinct aggregate
+    assert "BroadcastHashJoin" in above and "LeftSemi" in above
+    seg = above[above.find("LeftSemi") :]
+    assert "Exchange" not in seg and "HashAggregate" not in seg
