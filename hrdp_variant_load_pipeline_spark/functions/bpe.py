@@ -27,11 +27,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 EOW = "</w>"
 
 
-def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+def word_frequencies(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
     """(word, freq) over whitespace tokens — the vocabulary-sized reduction
     all BPE training statistics come from. One explode + one hash
-    aggregate with map-side combine."""
-    return (
+    aggregate with map-side combine.
+
+    ``min_count`` drops words below a frequency floor INSIDE the cluster
+    (heavy-tailed web text makes the raw distinct-word table corpus-like
+    — URLs, ids, typos — so training callers must bound it here, never
+    after a collect); ``max_words`` additionally caps to the top-k by
+    (freq desc, word asc) via a distributed TakeOrdered, so the result is
+    model-sized by construction."""
+    stats = (
         df.select(
             F.explode(
                 F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
@@ -40,6 +52,11 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    if min_count > 1:
+        stats = stats.filter(F.col("freq") >= min_count)
+    if max_words is not None:
+        stats = stats.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+    return stats
 
 
 def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
@@ -60,20 +77,35 @@ def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, .
 
 
 def learn_bpe(
-    df: DataFrame, text_col: str, n_merges: int = 100
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 100,
+    min_count: int = 2,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge list from the corpus.
 
     The cluster computes ``word_frequencies`` (the only corpus-sized
-    work); the greedy merge loop runs driver-side over that vocab-sized
-    dict — per merge: count adjacent symbol pairs weighted by word
-    frequency, take the most frequent (ties broken lexicographically for
-    determinism), rewrite the affected words. Stops early when no pair
-    repeats.
+    work), BOUNDED cluster-side before the collect: ``min_count`` (a
+    word seen once cannot create a repeating pair on its own, and the
+    merge loop already ignores pairs below frequency 2, so the floor
+    mostly removes hapax noise — URLs, ids, typos — that dominates the
+    distinct-word table on web text) and a ``max_words`` top-k cap, so
+    the driver-side dict is model-sized by construction rather than by
+    assumption about the corpus. The greedy merge loop then runs
+    driver-side over that vocab-sized dict — per merge: count adjacent
+    symbol pairs weighted by word frequency, take the most frequent
+    (ties broken lexicographically for determinism), rewrite the
+    affected words. Stops early when no pair repeats.
+
+    Pass ``min_count=1, max_words=None`` to reproduce unbounded
+    subword-nmt training statistics on small curated corpora.
     """
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + (EOW,): r["freq"]
-        for r in word_frequencies(df, text_col).collect()
+        for r in word_frequencies(
+            df, text_col, min_count=min_count, max_words=max_words
+        ).collect()
     }
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -334,32 +334,45 @@ def train_lang_profiles(
     corpora share most of their trigrams — e.g. code-mixed or templated
     text — because the dominant trigrams are identical everywhere).
     Model size: languages × top_n floats (KBs), inlined as literals.
+
+    The whole selection runs CLUSTER-side — normalized frequencies, the
+    cross-language mean (via one per-trigram sum: mean-of-others =
+    (sum − own) / (n_langs − 1)), and a per-language top-N window — so
+    the only collects are model-sized by construction: one row per
+    language (the totals) and languages × top_n profile rows. The raw
+    (lang × distinct-trigram) table, which is corpus-like for CJK/web
+    corpora, never reaches the driver.
     """
+    from pyspark.sql import Window
+
     tri = df.select(
         F.col(lang_col).alias("lang"),
         F.explode(_char_trigrams(F.col(text_col))).alias("g"),
     )
-    counts = tri.groupBy("lang", "g").count().collect()
-    by_lang: dict[str, dict[str, int]] = {}
-    for r in counts:
-        by_lang.setdefault(r["lang"], {})[r["g"]] = r["count"]
-    freq: dict[str, dict[str, float]] = {}
-    for lang, grams in by_lang.items():
-        total = float(sum(grams.values())) or 1.0
-        freq[lang] = {g: c / total for g, c in grams.items()}
-    langs = sorted(freq)
-    profiles: dict[str, dict[str, float]] = {}
-    for lang in langs:
-        others = [f for l2, f in freq.items() if l2 != lang]
-        diff = {
-            g: v - (sum(o.get(g, 0.0) for o in others) / max(len(others), 1))
-            for g, v in freq[lang].items()
-        }
-        top = sorted(
-            ((g, w) for g, w in diff.items() if w > 0),
-            key=lambda kv: (-kv[1], kv[0]),
-        )[:top_n]
-        profiles[lang] = dict(top)
+    counts = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    langs = sorted(r["lang"] for r in totals.collect())  # one row per language
+    if not langs:
+        return {}
+    norm = counts.join(totals, "lang").select(
+        "lang", "g", (F.col("c") / F.col("tot")).alias("f")
+    )
+    sums = norm.groupBy("g").agg(F.sum("f").alias("s"))
+    n_others = float(max(len(langs) - 1, 1))
+    diff = norm.join(sums, "g").select(
+        "lang",
+        "g",
+        (F.col("f") - (F.col("s") - F.col("f")) / F.lit(n_others)).alias("wt"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("wt"), F.asc("g"))
+    top = (
+        diff.filter(F.col("wt") > 0)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= top_n)
+    )
+    profiles: dict[str, dict[str, float]] = {lang: {} for lang in langs}
+    for r in top.collect():
+        profiles[r["lang"]][r["g"]] = r["wt"]
     return profiles
 
 

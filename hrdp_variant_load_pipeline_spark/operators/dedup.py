@@ -503,7 +503,10 @@ def banded_signatures(
         F.col(id_col).alias("doc"), shingle_array(F.col(text_col), k).alias("sh")
     )
     spark = df.sparkSession
-    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # partition count read JVM-side (no Python RDD wrapper / serializer
+    # construction) — only the partitioning metadata is needed to decide
+    # whether a tiny-file input must be spread before CPU-heavy shingling
+    if src._jdf.rdd().getNumPartitions() < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
     return (
         # docs with no shingles (< k words) have null minhashes and null

@@ -30,7 +30,9 @@ def pagerank(
     iterations reuse the partitioning) and one hash aggregate on ``dst``
     — the contribution shuffle carries one row per EDGE partition after
     map-side combine, and the rank vector is vertex-sized, never
-    edge-sized. Lineage is truncated every iteration
+    edge-sized. Each iteration is ONE Spark action (the dangling-mass
+    scalar rides the same job as a broadcast 1-row aggregate, pinned by
+    ``tests/test_graph.py``). Lineage is truncated every iteration
     (``localCheckpoint``; pass ``reliable=True`` on a real cluster with a
     checkpoint dir to survive executor loss).
 
@@ -39,29 +41,38 @@ def pagerank(
     from hrdp_variant_load_pipeline_spark.operators.dedup import resolve_reliable
 
     reliable = resolve_reliable(edges, reliable)
+    # loop invariants are persisted: without this every iteration re-runs
+    # the edge distinct and the vertex union from source (the checkpoint
+    # truncates the RANK lineage only)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().persist()
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .persist()
     )
     n = vertices.count()
     if n == 0:
+        e.unpersist()
+        vertices.unpersist()
         return vertices.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         with_deg = ranks.join(
             out_deg, ranks.vertex == out_deg.src, "left"
         ).select("vertex", "rank", "deg")
         # dangling mass: vertices with no out-edges spread their rank
-        # uniformly — a scalar, computed with a tiny aggregate
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # uniformly — a 1-row aggregate kept CLUSTER-side and broadcast
+        # onto the step (never collected): the whole iteration is ONE
+        # Spark action (the checkpoint), not a collect + a checkpoint.
+        # with_deg feeds both subtrees; recomputing it costs one extra
+        # vertex-sized join per iteration, cheaper than a second
+        # scheduler round-trip per iteration at bounded n_iter.
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -73,12 +84,20 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        stepped = vertices.join(contribs, "vertex", "left").select(
-            "vertex",
-            (
-                F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("rank"),
+        stepped = (
+            vertices.join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dang") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
         )
         ranks = stepped.checkpoint() if reliable else stepped.localCheckpoint()
+    e.unpersist()
+    vertices.unpersist()
+    out_deg.unpersist()
     return ranks

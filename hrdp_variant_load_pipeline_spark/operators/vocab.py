@@ -50,16 +50,18 @@ def build_vocab(
     )
     if min_count > 1:
         stats = stats.filter(F.col("tf") >= min_count)
-    ranked = stats.withColumn(
+    # two-stage exact top-k: (tf desc, token asc) is a TOTAL order (token
+    # is unique after the aggregate), so orderBy+limit — a distributed
+    # TakeOrdered: per-partition top-k heaps, merged — selects exactly
+    # the rows the global rank would keep, ties included. The
+    # single-partition rank window then runs over ≤ max_vocab survivors
+    # (model-sized by construction), never the full distinct-token table
+    # (corpus-like at web scale: 10^8+ rows).
+    top = stats.orderBy(F.desc("tf"), F.asc("token")).limit(max_vocab)
+    return top.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token"))),
     )
-    # the global rank window is single-partition — acceptable ONLY because
-    # its input is already reduced to distinct tokens and then truncated
-    # to max_vocab: orderBy+limit before the window would change ranks on
-    # tf ties, so the window runs on the full distinct-token table. For
-    # vocab-sized outputs (10^4..10^6 rows) this is driver-trivial.
-    return ranked.filter(F.col("rank") <= max_vocab)
 
 
 def frequency_score(

@@ -99,3 +99,31 @@ def test_merges_roundtrip_through_disk(spark, tmp_path):
     a = corpus.select(bpe_tokenize(F.col("text"), merges).alias("t")).collect()
     b = corpus.select(bpe_tokenize(F.col("text"), reloaded).alias("t")).collect()
     assert [r.t for r in a] == [r.t for r in b]
+
+
+def test_training_stats_bounded_cluster_side(spark):
+    """min_count / max_words must bound the stats INSIDE the cluster (the
+    model-sized-collect contract): hapax noise is dropped, the top-k cap
+    keeps the most frequent words, and learned merges ignore noise words
+    below the floor."""
+    rows = [(1, "low low low low low url9x7 q3k8z"), (2, "lower lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    floored = {
+        r.word: r.freq
+        for r in word_frequencies(df, "text", min_count=2).collect()
+    }
+    assert floored == {"low": 5, "lower": 2}
+    capped = {
+        r.word
+        for r in word_frequencies(df, "text", max_words=1).collect()
+    }
+    assert capped == {"low"}
+    # default learn_bpe floor: merges must be identical to training on
+    # the noise-free corpus
+    clean = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower")],
+        "doc_id long, text string",
+    )
+    assert learn_bpe(df, "text", n_merges=5) == learn_bpe(
+        clean, "text", n_merges=5
+    )

@@ -60,3 +60,38 @@ def test_pagerank_duplicate_edges_collapse(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, n_iter=3).count() == 0
+
+
+def test_pagerank_one_action_per_iteration(spark, monkeypatch):
+    """The dangling-mass scalar must ride the iteration's checkpoint job
+    (broadcast 1-row aggregate), never a driver collect: zero collect()
+    calls inside pagerank, and the per-iteration job count is FLAT
+    (under AQE each stage materialization is its own job, so "one action"
+    shows as a constant, not 1, in the job counter)."""
+    from pyspark.sql import DataFrame
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame(_EDGES, "src long, dst long")
+
+    calls = {"collect": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["collect"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+
+    def n_jobs(n_iter, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            pagerank(df, n_iter=n_iter)
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j2 = n_jobs(2, "pr-2")
+    j4 = n_jobs(4, "pr-4")
+    j6 = n_jobs(6, "pr-6")
+    assert calls["collect"] == 0
+    assert j4 - j2 == j6 - j4, (j2, j4, j6)  # flat cost per iteration

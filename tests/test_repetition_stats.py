@@ -236,3 +236,18 @@ def test_normalize_text_masks_uppercase_urls_and_emails(spark):
     )
     got = df.select(normalize_text(F.col("t")).alias("n")).first().n
     assert got == "visit <url> or <url> mail <email>"
+
+
+def test_train_lang_profiles_identical_corpora_yield_empty_profiles(spark):
+    """Languages whose corpora are indistinguishable have NO positive
+    discriminative trigrams — both profiles must still be present (empty),
+    not silently missing (the cluster-side top-N must not drop languages)."""
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        train_lang_profiles,
+    )
+
+    rows = [(1, "same shared text here", "aa"), (2, "same shared text here", "bb")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    prof = train_lang_profiles(d, "text", "lang", top_n=10)
+    assert set(prof) == {"aa", "bb"}
+    assert prof["aa"] == {} and prof["bb"] == {}

@@ -110,3 +110,20 @@ def test_build_vocab_matches_duckdb_on_documents(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_build_vocab_rank_window_input_is_bounded(spark):
+    """The exact global rank must run over a TakeOrdered top-k of the
+    distinct-token table, never sort the full table through one window
+    partition (the web-scale contract)."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b a x y z w v u t s r q")], "doc_id long, text string"
+    )
+    out = build_vocab(df, "text", max_vocab=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the window sits ABOVE the take (bounded input), not directly on the
+    # token aggregate
+    assert plan.find("Window") < plan.find("TakeOrderedAndProject")
