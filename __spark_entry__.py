@@ -19,8 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from hrdp_variant_load_pipeline_spark.queries_core import REGISTRY as CORE  # noqa: E402
 from hrdp_variant_load_pipeline_spark.queries_domain import REGISTRY as DOMAIN  # noqa: E402
 from hrdp_variant_load_pipeline_spark.queries_ml import REGISTRY as ML  # noqa: E402
+from hrdp_variant_load_pipeline_spark.queries_model import REGISTRY as MODEL  # noqa: E402
 
-_ALL = {**CORE, **DOMAIN, **ML}
+_ALL = {**CORE, **DOMAIN, **ML, **MODEL}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -119,7 +119,6 @@ FROM b
 """
 
 
-@q("variant_normalize_branches", _NORMALIZE_SQL)
 def variant_normalize_branches(spark: SparkSession, sf: str) -> DataFrame:
     df = spark.createDataFrame(
         NORMALIZE_CASES,
@@ -177,7 +176,6 @@ FROM x
 """
 
 
-@q("zygosity_ladder", _ZYGOSITY_SQL)
 def zygosity_ladder(spark: SparkSession, sf: str) -> DataFrame:
     df = spark.createDataFrame(
         ZYGOSITY_CASES, "var_freq int, depth int, gender string, chrom string, pos long"
@@ -211,10 +209,81 @@ SELECT fname, replace(s, '_', ' (') AS strain FROM s5
 """
 
 
-@q("strain_names", _STRAIN_SQL)
 def strain_names(spark: SparkSession, sf: str) -> DataFrame:
     df = spark.createDataFrame(STRAIN_FILES, "fname string")
     return df.select("fname", derive_strain_name(F.col("fname")).alias("strain"))
+
+
+# The three literal-VALUES semantics checks above (9-branch allele
+# normalization F8, zygosity ladder, strain-name derivation F9) ride ONE
+# driver row in long format — same coverage (every case, every output
+# field, nulls made explicit via a sentinel so a null/empty drift cannot
+# hide in concat), one window slot. The underlying queries stay
+# individually callable for tests.
+_NULL = "<null>"
+
+
+def _pipe(*cols):
+    return F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
+    )
+
+
+_DOMAIN_BATTERY_SQL = f"""
+WITH n AS ({_NORMALIZE_SQL}),
+z AS ({_ZYGOSITY_SQL}),
+s AS ({_STRAIN_SQL})
+SELECT 'normalize' AS component,
+       concat_ws('|', copy_ref, orig_ref, var, is_copy) AS case_id,
+       concat_ws('|', coalesce(variant_type, '{_NULL}'),
+                 coalesce(ref_nuc, '{_NULL}'), coalesce(var_nuc, '{_NULL}'),
+                 coalesce(padding_base, '{_NULL}'),
+                 coalesce(start_pos::VARCHAR, '{_NULL}'),
+                 coalesce(end_pos::VARCHAR, '{_NULL}')) AS result
+FROM n
+UNION ALL
+SELECT 'zygosity',
+       concat_ws('|', var_freq, depth, gender, chrom, pos),
+       concat_ws('|', coalesce(zygosity_status, '{_NULL}'),
+                 coalesce(zygosity_percent_read::VARCHAR, '{_NULL}'),
+                 coalesce(zygosity_poss_error, '{_NULL}'),
+                 coalesce(zygosity_in_pseudo, '{_NULL}'))
+FROM z
+UNION ALL
+SELECT 'strain', fname, coalesce(strain, '{_NULL}') FROM s
+"""
+
+
+@q("domain_semantics_battery", _DOMAIN_BATTERY_SQL)
+def domain_semantics_battery(spark: SparkSession, sf: str) -> DataFrame:
+    n = variant_normalize_branches(spark, sf).select(
+        F.lit("normalize").alias("component"),
+        _pipe("copy_ref", "orig_ref", "var", "is_copy").alias("case_id"),
+        _pipe(
+            "variant_type",
+            "ref_nuc",
+            "var_nuc",
+            "padding_base",
+            "start_pos",
+            "end_pos",
+        ).alias("result"),
+    )
+    z = zygosity_ladder(spark, sf).select(
+        F.lit("zygosity").alias("component"),
+        _pipe("var_freq", "depth", "gender", "chrom", "pos").alias("case_id"),
+        _pipe(
+            "zygosity_status",
+            "zygosity_percent_read",
+            "zygosity_poss_error",
+            "zygosity_in_pseudo",
+        ).alias("result"),
+    )
+    s = strain_names(spark, sf).select(
+        F.lit("strain").alias("component"),
+        F.col("fname").alias("case_id"),
+        F.coalesce(F.col("strain"), F.lit(_NULL)).alias("result"),
+    )
+    return n.unionByName(z).unionByName(s)
 
 
 def _interval_sides(spark: SparkSession, sf: str):
