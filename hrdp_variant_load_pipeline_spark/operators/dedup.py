@@ -529,6 +529,7 @@ def incremental_minhash_dedup(
     band_rows: int = 2,
     verify_threshold: float = 0.5,
     materialize: bool = True,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch, probed against a persisted
     ``banded_signatures`` index — history is never re-shingled.
@@ -554,8 +555,16 @@ def incremental_minhash_dedup(
     cands = None
     try:
         probe = nb.select("doc", "band_idx", "band_val")
+        # The batch side of the band join is explicitly broadcast by
+        # default: the planner cannot size the probe (derived plan, no
+        # stats) and would otherwise broadcast the INDEX side whenever
+        # its file stats look small — an O(history) ship per batch that
+        # grows forever. Micro-batches are bounded by construction; for
+        # a huge backfill batch against a BUCKETED index pass
+        # ``broadcast_probe=False`` (probe-side-only exchange).
+        bprobe = F.broadcast(probe) if broadcast_probe else probe
         idx_cand = (
-            probe.join(
+            bprobe.join(
                 index.select(
                     F.col("doc").alias("doc_dup"), "band_idx", "band_val"
                 ),

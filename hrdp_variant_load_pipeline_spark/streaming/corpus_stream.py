@@ -88,7 +88,17 @@ def stream_corpus_ingest(
             store_ids = read_store(
                 spark, docs_store_dir, schema=schema
             ).select(id_col)
-            fresh = docs.join(store_ids, id_col, "left_anti").persist()
+            # replay probe, batch-bounded: semi-join the store's id column
+            # to the batch ids FIRST (broadcasting the batch side), so the
+            # anti-join's build side is the ≤batch-sized hit set — never
+            # the full history id set (which the planner would otherwise
+            # broadcast or shuffle, an O(history) cost per batch)
+            hit_ids = store_ids.join(
+                F.broadcast(docs.select(id_col)), id_col, "left_semi"
+            )
+            fresh = docs.join(
+                F.broadcast(hit_ids), id_col, "left_anti"
+            ).persist()
             n_fresh = fresh.count()
             if n_fresh == 0:
                 fresh.unpersist()
