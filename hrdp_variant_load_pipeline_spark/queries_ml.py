@@ -16,7 +16,11 @@ from hrdp_variant_load_pipeline_spark.functions import text as TXT
 from hrdp_variant_load_pipeline_spark.operators import dedup as DD
 from hrdp_variant_load_pipeline_spark.operators import multimodal as MM
 from hrdp_variant_load_pipeline_spark.operators import similarity as SIM
-from hrdp_variant_load_pipeline_spark.sources.tables import normalize_ts, table
+from hrdp_variant_load_pipeline_spark.sources.tables import (
+    normalize_ts,
+    spread_for_cpu,
+    table,
+)
 
 REGISTRY: dict[str, tuple] = {}
 
@@ -48,7 +52,9 @@ def q(name: str, sql: str | None):
     """,
 )
 def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
+    # spread the single-split scan: every output column is per-row string
+    # CPU, which otherwise runs on ONE task (see spread_for_cpu)
+    d = spread_for_cpu(table(spark, sf, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -129,11 +135,11 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents").select("doc_id", "text")
-    # repartition BEFORE the gram hashing so the per-row CPU runs across
-    # all cores, not on the single input-file partition
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+    # spread BEFORE the gram hashing so the per-row CPU runs in parallel
+    # rather than on the single input-file partition (cores/4 target:
+    # measured faster than full-cores spread at this input size — task
+    # dispatch overhead dominates under ~1 MB per slice)
+    d = spread_for_cpu(table(spark, sf, "documents").select("doc_id", "text"))
     # two staging selects so the code/hash arrays bind as columns: each is
     # referenced more than once downstream, which stops CollapseProject
     # from inlining the producing expression into every lambda element
@@ -324,7 +330,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
+    # quality_score + token_count are the heavy per-row CPU here; spread
+    # the single-split scan so they parallelize (no-op on real multi-split
+    # inputs — see spread_for_cpu)
+    d = spread_for_cpu(table(spark, sf, "documents"))
     scored = d.select(
         "doc_id",
         "text",

@@ -128,3 +128,27 @@ def register_catalog_namespaces(
                 f"CREATE TABLE IF NOT EXISTS `{db}`.`{name}` "
                 f"USING parquet LOCATION '{escaped}'"
             )
+
+
+def spread_for_cpu(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition a SMALL scan before CPU-heavy row-local work.
+
+    The driver testdata is one row group per file, so a scan stage — and
+    every narrow projection fused into it — runs as ONE task no matter
+    how many cores exist; for string-/vector-heavy expressions (quality
+    scoring, tokenization, dot products) that single thread IS the query
+    latency. One cheap exchange of the raw rows buys parts-way
+    parallelism for all downstream per-row CPU.
+
+    No-op when the plan already has >= parts partitions, so at warehouse
+    scale (thousands of input splits) this never inserts a shuffle — it
+    only repairs the tiny-file/single-split pathology. Default parts is
+    cores/4 (capped spread: per-task dispatch overhead beats the win on
+    a local master when the per-task slice drops under ~1 MB).
+    """
+    spark = df.sparkSession
+    if parts is None:
+        parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    if df._jdf.rdd().getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
