@@ -86,13 +86,17 @@ def learn_bpe(
     """Learn an ordered BPE merge list from the corpus.
 
     The cluster computes ``word_frequencies`` (the only corpus-sized
-    work), BOUNDED cluster-side before the collect: ``min_count`` (a
-    word seen once cannot create a repeating pair on its own, and the
-    merge loop already ignores pairs below frequency 2, so the floor
-    mostly removes hapax noise — URLs, ids, typos — that dominates the
-    distinct-word table on web text) and a ``max_words`` top-k cap, so
+    work), BOUNDED cluster-side before the collect: ``min_count`` drops
+    hapax words — URLs, ids, typos — which dominate the distinct-word
+    table on web text, and a ``max_words`` top-k cap bounds the rest, so
     the driver-side dict is model-sized by construction rather than by
-    assumption about the corpus. The greedy merge loop then runs
+    assumption about the corpus. NOTE the floor is a deliberate
+    statistics change, not semantics-preserving: pair counts sum ACROSS
+    words, so two different hapax words sharing a bigram ("abc" + "abd"
+    → pair (a,b) at weight 2) could previously seed a merge and no
+    longer do. That trade — ignore patterns only attested in unrepeated
+    words — is what production BPE trainers ship with; the defaults here
+    follow them. The greedy merge loop then runs
     driver-side over that vocab-sized dict — per merge: count adjacent
     symbol pairs weighted by word frequency, take the most frequent
     (ties broken lexicographically for determinism), rewrite the

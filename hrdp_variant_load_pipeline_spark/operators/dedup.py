@@ -502,12 +502,13 @@ def banded_signatures(
     src = df.select(
         F.col(id_col).alias("doc"), shingle_array(F.col(text_col), k).alias("sh")
     )
-    spark = df.sparkSession
-    # partition count read JVM-side (no Python RDD wrapper / serializer
-    # construction) — only the partitioning metadata is needed to decide
-    # whether a tiny-file input must be spread before CPU-heavy shingling
-    if src._jdf.rdd().getNumPartitions() < spark.sparkContext.defaultParallelism:
-        src = src.repartition(spark.sparkContext.defaultParallelism)
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    # spread a tiny-file input before CPU-heavy shingling (no-op when the
+    # scan already has enough partitions); full parallelism here — the
+    # per-row minhash work is far heavier than spread_for_cpu's default
+    # string-stats target
+    src = spread_for_cpu(src, df.sparkSession.sparkContext.defaultParallelism)
     return (
         # docs with no shingles (< k words) have null minhashes and null
         # band_val rows that can never equi-join — dropped here so a
@@ -590,9 +591,15 @@ def incremental_minhash_dedup(
         )
         # candidate pairs first — the verify stage below only ever needs
         # shingles for docs that appear in a candidate pair, so the pair
-        # set is computed (and cached: it feeds both the history-id
-        # pruning and the final join) before any shingle is fetched
-        cands = idx_cand.union(batch_cand).persist()
+        # set is computed (and, on the materialized path, cached: it
+        # feeds both the history-id pruning and the final join) before
+        # any shingle is fetched. The lazy path does NOT persist (the
+        # caller gets no unpersist handle — a cache here would leak for
+        # the session lifetime); it recomputes the band joins once more
+        # instead, the documented cost of materialize=False.
+        cands = idx_cand.union(batch_cand)
+        if materialize:
+            cands = cands.persist()
         # Historical shingles are fetched through a broadcast LEFT SEMI
         # join against the candidate doc_dup id set: batch-sized by
         # construction (candidates are pairs touching the batch). The

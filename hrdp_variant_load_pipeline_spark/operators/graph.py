@@ -60,44 +60,48 @@ def pagerank(
         return vertices.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        with_deg = ranks.join(
-            out_deg, ranks.vertex == out_deg.src, "left"
-        ).select("vertex", "rank", "deg")
-        # dangling mass: vertices with no out-edges spread their rank
-        # uniformly — a 1-row aggregate kept CLUSTER-side and broadcast
-        # onto the step (never collected): the whole iteration is ONE
-        # Spark action (the checkpoint), not a collect + a checkpoint.
-        # with_deg feeds both subtrees; recomputing it costs one extra
-        # vertex-sized join per iteration, cheaper than a second
-        # scheduler round-trip per iteration at bounded n_iter.
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
-        )
-        contribs = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, with_deg.vertex == e.src)
-            .select(
-                F.col("dst").alias("vertex"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+    try:
+        for _ in range(n_iter):
+            with_deg = ranks.join(
+                out_deg, ranks.vertex == out_deg.src, "left"
+            ).select("vertex", "rank", "deg")
+            # dangling mass: vertices with no out-edges spread their rank
+            # uniformly — a 1-row aggregate kept CLUSTER-side and broadcast
+            # onto the step (never collected): the whole iteration is ONE
+            # Spark action (the checkpoint), not a collect + a checkpoint.
+            # with_deg feeds both subtrees; recomputing it costs one extra
+            # vertex-sized join per iteration, cheaper than a second
+            # scheduler round-trip per iteration at bounded n_iter.
+            dangling = with_deg.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
             )
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        stepped = (
-            vertices.join(contribs, "vertex", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vertex",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("dang") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+            contribs = (
+                with_deg.filter(F.col("deg").isNotNull())
+                .join(e, with_deg.vertex == e.src)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("inflow"))
             )
-        )
-        ranks = stepped.checkpoint() if reliable else stepped.localCheckpoint()
-    e.unpersist()
-    vertices.unpersist()
-    out_deg.unpersist()
+            stepped = (
+                vertices.join(contribs, "vertex", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "vertex",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("dang") / F.lit(float(n))
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            ranks = stepped.checkpoint() if reliable else stepped.localCheckpoint()
+    finally:
+        # failures mid-iteration must not pin the loop invariants for the
+        # session lifetime
+        e.unpersist()
+        vertices.unpersist()
+        out_deg.unpersist()
     return ranks

@@ -234,7 +234,9 @@ WITH n AS ({_NORMALIZE_SQL}),
 z AS ({_ZYGOSITY_SQL}),
 s AS ({_STRAIN_SQL})
 SELECT 'normalize' AS component,
-       concat_ws('|', copy_ref, orig_ref, var, is_copy) AS case_id,
+       concat_ws('|', coalesce(copy_ref, '{_NULL}'), coalesce(orig_ref, '{_NULL}'),
+                 coalesce(var, '{_NULL}'),
+                 coalesce(is_copy::VARCHAR, '{_NULL}')) AS case_id,
        concat_ws('|', coalesce(variant_type, '{_NULL}'),
                  coalesce(ref_nuc, '{_NULL}'), coalesce(var_nuc, '{_NULL}'),
                  coalesce(padding_base, '{_NULL}'),
@@ -243,14 +245,17 @@ SELECT 'normalize' AS component,
 FROM n
 UNION ALL
 SELECT 'zygosity',
-       concat_ws('|', var_freq, depth, gender, chrom, pos),
+       concat_ws('|', coalesce(var_freq::VARCHAR, '{_NULL}'),
+                 coalesce(depth::VARCHAR, '{_NULL}'),
+                 coalesce(gender, '{_NULL}'), coalesce(chrom, '{_NULL}'),
+                 coalesce(pos::VARCHAR, '{_NULL}')),
        concat_ws('|', coalesce(zygosity_status, '{_NULL}'),
                  coalesce(zygosity_percent_read::VARCHAR, '{_NULL}'),
                  coalesce(zygosity_poss_error, '{_NULL}'),
                  coalesce(zygosity_in_pseudo, '{_NULL}'))
 FROM z
 UNION ALL
-SELECT 'strain', fname, coalesce(strain, '{_NULL}') FROM s
+SELECT 'strain', coalesce(fname, '{_NULL}'), coalesce(strain, '{_NULL}') FROM s
 """
 
 

@@ -95,12 +95,18 @@ def scd2_battery(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderdate").alias("batch_ts"),
         )
 
+    # each merge output is materialized: scd2_merge's three filter
+    # branches re-derive the full-outer join, and h2 feeds BOTH the
+    # history rows and the lookup — unmaterialized, the chained plan
+    # re-executed the orders scan 29 times (measured); checkpointed it
+    # scans once per merge. This mirrors production, where each merge
+    # lands in the dimension store before the next batch reads it.
     h1 = scd2_merge(
         empty, updates(F.col("o_orderdate") < cut), ["o_custkey"], ["o_orderpriority"]
-    )
+    ).localCheckpoint()
     h2 = scd2_merge(
         h1, updates(F.col("o_orderdate") >= cut), ["o_custkey"], ["o_orderpriority"]
-    )
+    ).localCheckpoint()
     hist_rows = h2.select(
         F.lit("history").alias("component"),
         F.col("o_custkey").alias("k"),
@@ -270,7 +276,9 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    vocab = build_vocab(d, "text", max_vocab=50)
+    # 50 rows, consumed twice (tf + df branches): materialize so the
+    # explode + token aggregate + TakeOrdered subtree runs once
+    vocab = build_vocab(d, "text", max_vocab=50).localCheckpoint()
     vocab_tf = vocab.select(
         F.lit("vocab_tf").alias("component"),
         F.col("rank").cast("long").alias("k"),

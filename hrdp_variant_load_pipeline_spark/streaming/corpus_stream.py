@@ -58,6 +58,7 @@ def stream_corpus_ingest(
     verify_threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
+    broadcast_probe: bool = True,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -67,6 +68,12 @@ def stream_corpus_ingest(
     same batch (canonical = lowest id), then append accepted docs to
     ``docs_store_dir`` and their banded signatures to
     ``index_store_dir``. ``on_batch`` receives per-batch counts.
+
+    ``broadcast_probe`` is forwarded to the index probe: the default
+    assumes bounded micro-batches (set ``max_files_per_trigger``!); pass
+    ``False`` when a first trigger may swallow a huge backlog — e.g. a
+    restart over an unthrottled directory — so the band join shuffles
+    instead of broadcasting a too-large batch.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -115,6 +122,7 @@ def stream_corpus_ingest(
                 id_col,
                 text_col,
                 verify_threshold=verify_threshold,
+                broadcast_probe=broadcast_probe,
             )
             # drop: any doc near-duplicating history, and the NON-canonical
             # side of intra-batch pairs (doc_new < doc_dup, so doc_dup is
