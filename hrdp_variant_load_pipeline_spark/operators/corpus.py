@@ -323,3 +323,35 @@ def apply_mixture(
         )
         .drop("__n")
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group, hash-deterministic.
+
+    The companion to ``stratified_sample`` (which takes FRACTIONS and so
+    cannot promise exact counts): rows are ordered inside each group by
+    a salted md5 of their id — a fixed pseudo-random order, reproducible
+    across runs/engines, re-drawable via ``salt`` — and the first ``n``
+    survive. Eval-set carving and per-source caps want this exactness.
+
+    Scale: one shuffle keyed on the group column plus a per-group sort;
+    no global sort, no driver round-trips. For a pathologically hot
+    group the sort is bounded by that group's size — pre-filter with
+    ``stratified_sample`` to knock oversized groups down first if a
+    single group would not fit one task.
+    """
+    order = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

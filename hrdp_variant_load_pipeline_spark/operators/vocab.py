@@ -101,3 +101,118 @@ def frequency_score(
         )
     )
     return df.join(scored, id_col, "left")
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    n_docs: int | None = None,
+    out_prefix: str = "tfidf",
+) -> DataFrame:
+    """Sparse TF-IDF document vectors against a ``build_vocab`` table —
+    the text → vector bridge feeding the ANN/near-dup operators when no
+    learned embeddings exist.
+
+    Weights: ``tf_d * (ln((N+1)/(df_t+1)) + 1)`` (smoothed idf), then
+    L2-normalized per document so downstream cosine is a plain dot
+    product. Output: input columns plus ``{out_prefix}_idx``
+    (``array<int>`` of vocabulary ranks, ascending) and
+    ``{out_prefix}_val`` (``array<double>``) — a sparse encoding that
+    stays array-native (no UDFs). Documents with no in-vocabulary tokens
+    keep empty arrays.
+
+    Scale: the vocabulary is broadcast (bounded by ``max_vocab``); the
+    corpus pays one explode + one (doc, rank)-keyed aggregate + one
+    doc-keyed collect — wire volume O(matched tokens), and the corpus
+    text itself never shuffles. ``n_docs`` (the idf N) is a metadata
+    scalar: pass it when known, else ONE count() action derives it.
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    matched = tok.join(
+        F.broadcast(vocab.select("token", "rank", "df")), "token"
+    )
+    weights = (
+        # df rides the key (functionally dependent on rank) so the idf
+        # factor needs no first()-style pick
+        matched.groupBy(id_col, "rank", "df")
+        .agg((F.count("*") * idf).alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank").cast("int").alias("rank"), F.col("w")
+                    )
+                )
+            ).alias("__pairs")
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "__pairs", F.lit(0.0), lambda acc, p: acc + p["w"] * p["w"]
+        )
+    )
+    vecs = weights.select(
+        F.col(id_col),
+        F.transform("__pairs", lambda p: p["rank"]).alias(f"{out_prefix}_idx"),
+        F.transform("__pairs", lambda p: F.round(p["w"] / norm, 6)).alias(
+            f"{out_prefix}_val"
+        ),
+    )
+    empty_i = F.array().cast("array<int>")
+    empty_v = F.array().cast("array<double>")
+    return df.join(vecs, id_col, "left").select(
+        *df.columns,
+        F.coalesce(F.col(f"{out_prefix}_idx"), empty_i).alias(f"{out_prefix}_idx"),
+        F.coalesce(F.col(f"{out_prefix}_val"), empty_v).alias(f"{out_prefix}_val"),
+    )
+
+
+def sparse_cosine_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    idx_col: str = "tfidf_idx",
+    val_col: str = "tfidf_val",
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Cosine between L2-normalized sparse vectors (``tfidf_vectors``
+    output): broadcast the (small) ``b`` side, intersect index arrays
+    row-locally via a map lookup — no explode, no shuffle of ``a``.
+
+    Output: (id_a, id_b, cosine). For corpus-scale × corpus-scale use an
+    inverted-index/LSH blocking strategy instead (operators.dedup) —
+    this is the query-set path, queries ≪ corpus.
+    """
+    bm = F.map_from_arrays(F.col(f"b_{idx_col}"), F.col(f"b_{val_col}"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(idx_col),
+            F.col(val_col),
+            lambda i, v: v * F.coalesce(bm[i], F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bside = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(idx_col).alias(f"b_{idx_col}"),
+        F.col(val_col).alias(f"b_{val_col}"),
+    )
+    return (
+        a.select(F.col(id_col).alias("id_a"), idx_col, val_col)
+        .crossJoin(F.broadcast(bside))
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -215,3 +215,49 @@ def test_incremental_dedup_history_probe_is_candidate_pruned(spark, tmp_path):
     assert "BroadcastHashJoin" in above and "LeftSemi" in above
     seg = above[above.find("LeftSemi") :]
     assert "Exchange" not in seg and "HashAggregate" not in seg
+
+
+def test_incremental_dedup_band_join_broadcasts_probe_side(spark, tmp_path):
+    """The band join must broadcast the BATCH probe side (BuildLeft), not
+    the index: the planner sizes the parquet index but not the derived
+    probe plan, and an index-side broadcast grows with history forever."""
+    import re
+
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(101, "a b c d e f g")], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "idx")
+    banded_signatures(hist, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    out = incremental_minhash_dedup(
+        batch, index, "doc_id", "text", materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    band_joins = re.findall(
+        r"BroadcastHashJoin \[band_idx#\d+, band_val#\d+\].*", plan
+    )
+    assert band_joins, "band join missing or not a broadcast join"
+    # the index-probing band join (right side carries doc_dup from the
+    # index) must build from the LEFT (broadcast probe)
+    assert any("BuildLeft" in j for j in band_joins), band_joins
+
+
+def test_spread_for_cpu_noop_on_wide_scans(spark):
+    """spread_for_cpu must never insert a shuffle when the plan already
+    has enough partitions (the real-cluster case)."""
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    wide = spark.range(0, 1000, 1, 16).selectExpr("id", "id * 2 AS v")
+    assert spread_for_cpu(wide, parts=8) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    spreaded = spread_for_cpu(narrow, parts=8)
+    assert spreaded is not narrow
+    assert "Exchange" in spreaded._jdf.queryExecution().executedPlan().toString()

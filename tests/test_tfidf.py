@@ -1,0 +1,118 @@
+"""TF-IDF document vectors + sparse cosine (operators/vocab.py) against a
+pure-Python oracle, and exact per-group sampling (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import math
+
+from hrdp_variant_load_pipeline_spark.operators.corpus import sample_n_per_group
+from hrdp_variant_load_pipeline_spark.operators.vocab import (
+    build_vocab,
+    sparse_cosine_pairs,
+    tfidf_vectors,
+)
+
+_DOCS = [
+    (1, "spark shuffles data between stages"),
+    (2, "spark broadcasts small tables"),
+    (3, "duckdb scans parquet fast"),
+    (4, "spark spark spark"),
+    (5, ""),  # no tokens at all
+]
+
+
+def _oracle(docs, max_vocab=100):
+    tf: dict[str, int] = {}
+    dfreq: dict[str, int] = {}
+    for _, text in docs:
+        toks = text.split()
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    ranked = sorted(tf, key=lambda t: (-tf[t], t))[:max_vocab]
+    rank = {t: i + 1 for i, t in enumerate(ranked)}
+    n = len(docs)
+    out = {}
+    for doc_id, text in docs:
+        counts: dict[int, float] = {}
+        for t in text.split():
+            if t in rank:
+                counts[rank[t]] = counts.get(rank[t], 0) + 1
+        w = {
+            r: c * (math.log((n + 1) / (dfreq_for_rank(r, rank, dfreq) + 1)) + 1)
+            for r, c in counts.items()
+        }
+        norm = math.sqrt(sum(v * v for v in w.values())) or 1.0
+        out[doc_id] = {r: round(v / norm, 6) for r, v in sorted(w.items())}
+    return out
+
+
+def dfreq_for_rank(r, rank, dfreq):
+    for t, rr in rank.items():
+        if rr == r:
+            return dfreq[t]
+    raise KeyError(r)
+
+
+def test_tfidf_matches_python_oracle(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    vocab = build_vocab(df, "text", max_vocab=100)
+    got = tfidf_vectors(df, "doc_id", "text", vocab)
+    rows = {r.doc_id: dict(zip(r.tfidf_idx, r.tfidf_val)) for r in got.collect()}
+    want = _oracle(_DOCS)
+    assert rows == want
+    # indices ascending; empty doc keeps empty arrays, not nulls
+    for r in got.collect():
+        assert list(r.tfidf_idx) == sorted(r.tfidf_idx)
+    empty = [r for r in got.collect() if r.doc_id == 5][0]
+    assert list(empty.tfidf_idx) == [] and list(empty.tfidf_val) == []
+
+
+def test_tfidf_unit_norm_and_n_docs_param(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    vocab = build_vocab(df, "text", max_vocab=100)
+    got = tfidf_vectors(df, "doc_id", "text", vocab, n_docs=len(_DOCS))
+    for r in got.collect():
+        if r.tfidf_val:
+            assert abs(sum(v * v for v in r.tfidf_val) - 1.0) < 1e-4
+
+
+def test_sparse_cosine_self_similarity_and_overlap(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    vocab = build_vocab(df, "text", max_vocab=100)
+    vecs = tfidf_vectors(df, "doc_id", "text", vocab)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(vecs, vecs, "doc_id").collect()
+    }
+    # docs 1 and 2 share only 'spark'; doc 3 shares nothing with them
+    assert pairs[(1, 2)] > 0
+    assert pairs.get((1, 3), 0.0) == 0.0
+    # symmetric
+    assert pairs[(1, 2)] == pairs[(2, 1)]
+    # cosine of a doc against a doc with identical text would be 1; check
+    # the dominant-token doc against itself is excluded (no self pairs)
+    assert (4, 4) not in pairs
+
+
+def test_sample_n_per_group_exact_and_deterministic(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    a = sample_n_per_group(df, "grp", 5, "id")
+    b = sample_n_per_group(df, "grp", 5, "id")
+    got_a = sorted((r.grp, r.id) for r in a.collect())
+    got_b = sorted((r.grp, r.id) for r in b.collect())
+    assert got_a == got_b  # deterministic
+    from collections import Counter
+
+    counts = Counter(g for g, _ in got_a)
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # different salt draws a different sample
+    c = sorted(
+        (r.grp, r.id) for r in sample_n_per_group(df, "grp", 5, "id", salt="x").collect()
+    )
+    assert c != got_a
+    # n larger than the group returns the whole group
+    small = spark.createDataFrame([(1, "g"), (2, "g")], "id long, grp string")
+    assert sample_n_per_group(small, "grp", 10, "id").count() == 2
