@@ -188,7 +188,11 @@ def scd2_merge(
     all three cases; closed history is untouched (appended through). The
     shuffle is keyed on ``keys`` — batch-sized, not history-sized, on the
     probe side; at warehouse scale the open slice is dimension-sized and
-    the closed slice is only scanned, never joined.
+    the closed slice is only scanned, never joined. The three outcomes
+    (survive / close+reopen / insert) are emitted from ONE pass over the
+    joined frame via a conditional row array + explode — an earlier
+    three-filter-branch form re-executed the full-outer join once per
+    branch unless the caller persisted it.
     """
     ks = list(keys)
     open_rows = history.filter(F.col(to_col).isNull())
@@ -222,26 +226,35 @@ def scd2_merge(
     has_open = F.col(from_col).isNotNull()
     has_update = F.col("__bts").isNotNull()
 
-    # surviving open rows: untouched keys, and unchanged re-sends
-    keep_open = joined.filter(
-        has_open & (~has_update | same)
-    ).select(*ks, *tracked, from_col, to_col)
-    # closed-out versions: open rows superseded by a changed update
-    closed_now = joined.filter(has_open & has_update & ~same).select(
-        *ks, *tracked, from_col, F.col("__bts").alias(to_col)
+    def _row(track_src, frm, to):
+        return F.struct(
+            *[track_src(c).alias(c) for c in tracked],
+            frm.alias(from_col),
+            to.alias(to_col),
+        )
+
+    # surviving open row: untouched key, or unchanged re-send
+    keep_open = _row(F.col, F.col(from_col), F.col(to_col))
+    # version closed out by a changed update
+    closed_now = _row(F.col, F.col(from_col), F.col("__bts"))
+    # new open version: brand-new key, or the changed key's replacement
+    opened = _row(
+        lambda c: F.col(f"__u_{c}"),
+        F.col("__bts"),
+        F.lit(None).cast("timestamp"),
     )
-    # new open versions: brand-new keys + changed keys
-    opened = joined.filter(
-        has_update & (~has_open | ~same)
-    ).select(
-        *ks,
-        *[F.col(f"__u_{c}").alias(c) for c in tracked],
-        F.col("__bts").alias(from_col),
-        F.lit(None).cast("timestamp").alias(to_col),
+    rows = (
+        F.when(has_open & (~has_update | same), F.array(keep_open))
+        .when(has_open & has_update & ~same, F.array(closed_now, opened))
+        .otherwise(F.array(opened))  # full outer: the only case left is
+        # has_update & ~has_open (a brand-new key)
+    )
+    merged = joined.select(*ks, F.explode(rows).alias("__r")).select(
+        *ks, "__r.*"
     )
     return closed_rows.select(*ks, *tracked, from_col, to_col).unionByName(
-        keep_open
-    ).unionByName(closed_now).unionByName(opened)
+        merged
+    )
 
 
 def scd2_lookup(
