@@ -66,6 +66,12 @@ def brute_force_topk(
     before ranking and ties break on neighbor id, so results are
     deterministic and engine-portable.
     """
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    # the corpus side is pure per-row vector CPU (norm + q dot products):
+    # spread a single-split scan so it parallelizes (no-op on real
+    # multi-split inputs)
+    corpus = spread_for_cpu(corpus)
     # norms are per-row, so compute them BEFORE the pair join: O(n+q)
     # instead of O(n*q) sqrt-of-self-dot evaluations. Whole stages are
     # built as selectExpr strings (see _dot_sql) — identical plan, a
@@ -252,6 +258,13 @@ def ivf_topk(
             F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
         ).alias("__cents")
     )
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    # bucket assignment costs n_centroids dot products per corpus row —
+    # spread a single-split scan so that CPU parallelizes (no-op on real
+    # multi-split inputs; measured 0.86 -> 0.55 s at sf0.1, 0.73 -> 0.55 s
+    # on the sf1 staging)
+    corpus = spread_for_cpu(corpus)
     # per-row norms precomputed before any pair join (O(n), not O(n*pairs));
     # stages built as SQL text (see _dot_sql) — same plan, cheap to build
     c = corpus.selectExpr(
