@@ -263,3 +263,40 @@ def test_scd2_invariants_over_random_update_sequences(spark):
             chain = closed + [opens[0]]
             for a, b in zip(chain, chain[1:]):
                 assert a["effective_to"] == b["effective_from"], (ci, k, krows)
+
+
+def test_sample_n_per_group_invariants_bulk(spark):
+    """Random (id, group) populations: per-group output size is exactly
+    min(n, group size); output ⊆ input; determinism across invocations;
+    changing the salt re-draws without changing counts."""
+    from collections import Counter
+
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        sample_n_per_group,
+    )
+
+    cases: list[tuple[int, str]] = []
+
+    @settings(max_examples=250, derandomize=True, deadline=None)
+    @given(i=st.integers(0, 100_000), g=st.sampled_from("abcdefgh"))
+    def gen(i, g):
+        cases.append((i, g))
+
+    gen()
+    # hypothesis may repeat ids; dedup so ids are unique keys
+    cases = list({i: g for i, g in cases}.items())
+    df = spark.createDataFrame(cases, "id long, grp string")
+    sizes = Counter(g for _, g in cases)
+    for n in (1, 3, 50):
+        got = [(r.grp, r.id) for r in sample_n_per_group(df, "grp", n, "id").collect()]
+        counts = Counter(g for g, _ in got)
+        assert counts == {g: min(n, c) for g, c in sizes.items() if c}
+        assert set(got) <= set((g, i) for i, g in cases)
+        again = [
+            (r.grp, r.id) for r in sample_n_per_group(df, "grp", n, "id").collect()
+        ]
+        assert sorted(got) == sorted(again)
+    a = {(r.grp, r.id) for r in sample_n_per_group(df, "grp", 3, "id").collect()}
+    b = {(r.grp, r.id) for r in sample_n_per_group(df, "grp", 3, "id", salt="s2").collect()}
+    assert Counter(g for g, _ in a) == Counter(g for g, _ in b)
+    assert a != b
