@@ -653,3 +653,71 @@ def incremental_minhash_dedup(
             nb.unpersist()
             if cands is not None:
                 cands.unpersist()
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph deduplication (the RefinedWeb/CCNet
+    preprocessing step): every paragraph that already occurred earlier in
+    the corpus — in any document — is removed; the first occurrence
+    (lowest ``(doc, paragraph index)``) survives. Documents are
+    reassembled in original paragraph order; a document whose every
+    paragraph was removed keeps an empty string (callers drop or filter).
+
+    ``min_chars`` exempts short paragraphs (headers, separators,
+    boilerplate fragments) from deduplication — they survive everywhere,
+    matching production pipelines which only dedup substantial spans.
+
+    Scale shape: two hash-keyed shuffles, both O(paragraphs) — one
+    keyed on the paragraph hash (min_by picks the canonical occurrence;
+    map-side combine applies), one keyed on the doc id to reassemble.
+    Paragraph TEXT crosses the wire once per shuffle; nothing is
+    collected, nothing is quadratic, no window over the full corpus.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "__idx", "__para"
+        ),
+    )
+    eligible = F.length(F.col("__para")) >= min_chars
+    keepers = (
+        paras.filter(eligible)
+        .groupBy(F.md5(F.col("__para")).alias("__h"))
+        .agg(
+            F.min(F.struct(F.col("__doc"), F.col("__idx"))).alias("__keep")
+        )
+        .select("__h", "__keep.__doc", "__keep.__idx")
+        .withColumn("__keeper", F.lit(True))
+    )
+    tagged = paras.join(
+        keepers, ["__doc", "__idx"], "left"
+    ).filter(~eligible | F.col("__keeper").isNotNull())
+    rebuilt = (
+        tagged.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__idx", "__para"))
+                    ),
+                    lambda p: p["__para"],
+                ),
+                sep,
+            ).alias("__new_text")
+        )
+    )
+    out_cols = [
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(
+        rebuilt, df[id_col] == rebuilt["__doc"], "left"
+    ).select(*out_cols)

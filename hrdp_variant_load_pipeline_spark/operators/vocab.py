@@ -216,3 +216,45 @@ def sparse_cosine_pairs(
         .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    min_count: int = 1,
+    bos: str = "<s>",
+    eos: str = "</s>",
+) -> DataFrame:
+    """Word n-gram count table — the corpus statistic a KenLM-style LM
+    (or the CCNet perplexity filter it powers) trains from.
+
+    Each document contributes its padded word sequence's n-grams
+    (``bos`` ×(n−1) prefix, one ``eos``), built row-locally with a
+    transform over index windows (no explode until the single hash
+    aggregate keyed on the gram; map-side combine applies). ``min_count``
+    prunes the heavy tail inside the cluster — the same bound every LM
+    toolkit applies — so the result is model-sized, not corpus-sized.
+
+    Output: (gram array<string>, count) with count >= min_count.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    padded = F.concat(
+        F.array(*[F.lit(bos)] * (n - 1)), words, F.array(F.lit(eos))
+    )
+    m = F.size(padded)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.slice(padded, i, n),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    counted = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("count"))
+    )
+    if min_count > 1:
+        counted = counted.filter(F.col("count") >= min_count)
+    return counted

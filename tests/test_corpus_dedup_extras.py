@@ -1,0 +1,99 @@
+"""Paragraph-level exact dedup (operators/dedup.py) and n-gram count
+tables (operators/vocab.py) against pure-Python oracles."""
+
+from __future__ import annotations
+
+from hrdp_variant_load_pipeline_spark.operators.dedup import paragraph_dedup
+from hrdp_variant_load_pipeline_spark.operators.vocab import ngram_counts
+
+_DOCS = [
+    (1, "shared boilerplate header\n\nunique first body\n\nshared footer text"),
+    (2, "shared boilerplate header\n\nunique second body\n\nshared footer text"),
+    (3, "totally unique document\n\nshared boilerplate header"),
+    (4, "shared footer text"),
+    (5, ""),
+]
+
+
+def _oracle_paragraph_dedup(docs, sep="\n\n", min_chars=1):
+    seen = set()
+    out = {}
+    for doc_id, text in docs:
+        kept = []
+        for para in text.split(sep):
+            if len(para) < min_chars:
+                kept.append(para)
+            elif para not in seen:
+                seen.add(para)
+                kept.append(para)
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+def test_paragraph_dedup_matches_oracle(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == _oracle_paragraph_dedup(_DOCS)
+    # doc 1 keeps everything (first occurrences), doc 2 keeps only its
+    # unique body, doc 4 becomes empty, doc 5 stays empty
+    assert got[1] == _DOCS[0][1]
+    assert got[2] == "unique second body"
+    assert got[4] == ""
+    assert got[5] == ""
+
+
+def test_paragraph_dedup_min_chars_exempts_short_paragraphs(spark):
+    docs = [(1, "hi\n\nlong shared paragraph"), (2, "hi\n\nlong shared paragraph")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in paragraph_dedup(df, "doc_id", "text", min_chars=5).collect()
+    }
+    assert got[1] == "hi\n\nlong shared paragraph"
+    assert got[2] == "hi"  # the short 'hi' survives everywhere
+
+
+def test_paragraph_dedup_keeps_other_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: (r.text, r.lang) for r in
+            paragraph_dedup(df, "doc_id", "text").collect()}
+    assert rows[1] == ("a b c", "en")
+    assert rows[2] == ("", "de")
+
+
+def _oracle_ngrams(texts, n, bos="<s>", eos="</s>"):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        w = [bos] * (n - 1) + t.split() + [eos]
+        for i in range(len(w) - n + 1):
+            c[tuple(w[i : i + n])] += 1
+    return c
+
+
+def test_ngram_counts_match_oracle(spark):
+    texts = ["the cat sat", "the cat ran", "cat", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (1, 2, 3):
+        got = {
+            tuple(r.gram): r["count"]
+            for r in ngram_counts(df, "text", n=n).collect()
+        }
+        assert got == dict(_oracle_ngrams(texts, n)), n
+
+
+def test_ngram_counts_min_count_prunes(spark):
+    texts = ["a b", "a b", "a c"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        tuple(r.gram): r["count"]
+        for r in ngram_counts(df, "text", n=2, min_count=2).collect()
+    }
+    assert got == {("<s>", "a"): 3, ("a", "b"): 2, ("b", "</s>"): 2}
