@@ -85,10 +85,40 @@ def _jvm_stats(spark) -> tuple[float, float]:
         return 0.0, 0.0
 
 
+#: tables each headline query reads — drives the PER-QUERY runtime
+#: profile (tune_for_tables): a small-input query inside a large dataset
+#: keeps the small profile instead of paying AQE + cores-sized shuffles
+QUERY_TABLES = {
+    "q1_pricing_summary": ["lineitem"],
+    "q3_shipping_priority": ["customer", "orders", "lineitem"],
+    "q5_nation_volume": ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    "scan_filter_project": ["lineitem"],
+    "join_semi_anti_tagged": ["customer", "orders"],
+    "insert_if_absent": ["lineitem"],
+    "window_battery": ["lineitem"],
+    "agg_distinct_battery": ["lineitem"],
+    "grouping_sets_battery": ["lineitem"],
+    "events_tumbling_counts": ["events"],
+    "events_sessionize": ["events"],
+    "events_asof_last_purchase": ["events"],
+    "text_token_stats": ["documents"],
+    "text_doc_profile": ["documents"],
+    "dedup_exact": ["documents"],
+    "dedup_minhash_lsh": ["documents"],
+    "dedup_clusters": ["documents"],
+    "corpus_clean_pipeline": ["documents"],
+    "embedding_cosine_topk": ["embeddings"],
+    "embedding_ivf_topk": ["embeddings"],
+}
+
+
 def _bench_spark(
     spark, queries, sf_dir: str, tag: str, provenance: dict | None = None
 ) -> dict[str, float]:
-    from hrdp_variant_load_pipeline_spark.session import tune_for_input
+    from hrdp_variant_load_pipeline_spark.session import (
+        tune_for_input,
+        tune_for_tables,
+    )
 
     # input-size-aware profile (AQE / shuffle partitions) per benched dir
     applied = tune_for_input(spark, sf_dir)
@@ -103,6 +133,9 @@ def _bench_spark(
             continue
         best = None
         gc0, _ = _jvm_stats(spark)
+        # per-query profile from the query's own input tables (falls back
+        # to the dir-level profile for unmapped names)
+        tune_for_tables(spark, sf_dir, QUERY_TABLES.get(name))
         for _ in range(2):  # best-of-2: report steady state, not JIT noise
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -58,3 +58,29 @@ def test_table_cache_reuses_dataframe(spark):
     assert c is a, "trailing slash must not split the cache key"
     d = table(spark, SF_DIR, "nation")
     assert d is not a
+
+
+def test_tune_for_tables_per_query_profile(spark, tmp_path):
+    """A small table inside a large dataset gets the small profile; a
+    large table gets the cluster profile; None falls back to dir-level."""
+    import os
+
+    from hrdp_variant_load_pipeline_spark.session import (
+        SMALL_INPUT_BYTES,
+        tune_for_tables,
+    )
+
+    small = tmp_path / "tiny.parquet"
+    small.mkdir()
+    (small / "part-0").write_bytes(b"x" * 1024)
+    big = tmp_path / "big.parquet"
+    big.mkdir()
+    (big / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
+
+    conf = tune_for_tables(spark, str(tmp_path), ["tiny"])
+    assert conf["spark.sql.adaptive.enabled"] == "false"
+    conf = tune_for_tables(spark, str(tmp_path), ["tiny", "big"])
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.shuffle.partitions"] == os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"
+    )
