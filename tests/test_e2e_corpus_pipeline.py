@@ -53,6 +53,16 @@ def test_full_corpus_pipeline(spark, tmp_path):
     n_unique = unique.count()
     assert 0 < n_unique <= n_raw
 
+    # 2b. corpus-wide paragraph dedup (single-paragraph docs here, so the
+    # operator must be a value-preserving pass for already-unique texts)
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    para = paragraph_dedup(unique, "doc_id", "text")
+    assert para.count() == n_unique
+    assert para.filter(F.col("text") == "").count() == 0
+
     # 3. decontaminate against a pseudo eval set (docs 0 mod 10)
     bench = unique.filter(F.col("doc_id") % 10 == 0)
     corpus = decontaminate(
