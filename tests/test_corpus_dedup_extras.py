@@ -97,3 +97,48 @@ def test_ngram_counts_min_count_prunes(spark):
         for r in ngram_counts(df, "text", n=2, min_count=2).collect()
     }
     assert got == {("<s>", "a"): 3, ("a", "b"): 2, ("b", "</s>"): 2}
+
+
+def test_paragraph_dedup_idempotent_and_globally_unique(spark):
+    """Eligible paragraphs are globally unique after one pass, so a second
+    pass is a no-op; original paragraph order is preserved."""
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    once = paragraph_dedup(df, "doc_id", "text")
+    twice = paragraph_dedup(once, "doc_id", "text")
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+    paras = [
+        p
+        for t in a.values()
+        for p in t.split("\n\n")
+        if len(p) >= 1
+    ]
+    assert len(paras) == len(set(paras))
+    # order preserved inside the fully-kept doc
+    assert a[1].split("\n\n") == _DOCS[0][1].split("\n\n")
+
+
+def test_scd2_merge_single_pass_plan(spark):
+    """scd2_merge must emit all three outcomes from ONE pass over the
+    open-slice join: exactly one scan of the update source in the plan
+    (the old three-filter-branch form scanned it once per branch)."""
+    import tempfile
+
+    from hrdp_variant_load_pipeline_spark.operators.upsert import scd2_merge
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a", "2020-01-01"), (2, "b", "2020-01-02")],
+            "k long, v string, ts string",
+        ).withColumn("batch_ts", F.col("ts").cast("timestamp")).drop(
+            "ts"
+        ).write.parquet(d + "/u")
+        updates = spark.read.parquet(d + "/u")
+        empty = spark.createDataFrame(
+            [], "k long, v string, effective_from timestamp, effective_to timestamp"
+        )
+        merged = scd2_merge(empty, updates, ["k"], ["v"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1, plan.count("FileScan parquet")
