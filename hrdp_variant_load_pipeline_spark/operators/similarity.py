@@ -617,3 +617,105 @@ def hard_negatives(
         )
         .where(f"rank <= {k}")
     )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Row-local nearest-centroid assignment: input columns + ``cluster``.
+
+    Same shape as ``ivf_topk``'s inverted-file stage: the centroid set
+    (``(cent_id, cvec)``, e.g. ``train_centroids`` output) collapses to ONE
+    array row and rides a broadcast, so the corpus is NEVER shuffled —
+    assignment is a per-row argmax over ``n_centroids`` dot products.
+    Cosine is rounded before the argmax so ties break engine-portably
+    (then by cent_id asc via the struct sort order).
+    """
+    cent_arr = centroids.selectExpr(
+        "cent_id", "cvec", f"{_norm_sql('cvec')} AS cvec_norm"
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
+        ).alias("__cents")
+    )
+    vnorm = _norm_sql(f"`{vec_col}`")
+    scored = (
+        f"transform(__cents, x -> named_struct("
+        f"'neg_cos', -round({_dot_sql(f'`{vec_col}`', 'x.cvec')} / "
+        f"({vnorm} * x.cvec_norm), {round_digits}), "
+        f"'cent_id', x.cent_id))"
+    )
+    return corpus.crossJoin(F.broadcast(cent_arr)).selectExpr(
+        *[f"`{c}`" for c in corpus.columns],
+        f"coalesce(array_min({scored}).cent_id, -1L) AS cluster",
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then inside each
+    cluster drop every document whose cosine similarity to a SMALLER-id
+    cluster-mate is >= ``threshold``. Keeping the minimum id per duplicate
+    chain is deterministic and engine-portable (the paper keeps an
+    arbitrary representative; any fixed rule is equally valid for
+    training-data curation).
+
+    Output: input columns + ``cluster`` (long) + ``is_semantic_dup``
+    (boolean) — filter ``NOT is_semantic_dup`` for the kept corpus.
+    Invariant (tested): no two KEPT documents in the same cluster have
+    cosine >= threshold, because any such pair would have flagged the
+    larger id.
+
+    Scale shape (100 TB): assignment is row-local against the broadcast
+    centroid array (corpus never shuffled — see ``assign_clusters``); the
+    pair space is bounded by clusters via one equi-join on ``cluster``
+    (``near_dup_pairs``), never all-pairs; the dup-id set is
+    candidates-only and joined back with a broadcast-friendly left join.
+    The quadratic term is per-cluster, so ``n_centroids`` must grow with
+    the corpus (SemDeDup uses ~100k clusters for 100M docs — cluster size,
+    not corpus size, is the knob); skewed clusters show up in the pair
+    join's task histogram and are split by raising n_centroids or
+    pre-blocking with ``hyperplane_buckets`` as an extra block column.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            n_iter=n_iter,
+            round_digits=round_digits,
+        )
+    assigned = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    pairs = near_dup_pairs(
+        assigned,
+        block_cols=["cluster"],
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        round_digits=round_digits,
+    )
+    # a doc is a dup iff SOME smaller-id cluster-mate sits above threshold;
+    # near_dup_pairs already emits only id_a < id_b, so id_b is the drop side
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(
+        dups.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        *[F.col(c) for c in assigned.columns],
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
