@@ -111,6 +111,20 @@ QUERY_TABLES = {
     "embedding_ivf_topk": ["embeddings"],
 }
 
+# hand-maintained maps drift: a renamed query or a table absent from every
+# sf dir would silently size a profile from 0 bytes. Fail fast instead.
+assert set(QUERY_TABLES) == set(HEADLINE), (
+    "QUERY_TABLES out of sync with HEADLINE: "
+    f"{set(QUERY_TABLES) ^ set(HEADLINE)}"
+)
+_KNOWN_TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+}
+assert all(
+    t in _KNOWN_TABLES for ts in QUERY_TABLES.values() for t in ts
+), "QUERY_TABLES references an unknown table name"
+
 
 def _bench_spark(
     spark, queries, sf_dir: str, tag: str, provenance: dict | None = None

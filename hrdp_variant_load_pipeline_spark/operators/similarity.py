@@ -635,6 +635,13 @@ def assign_clusters(
     Cosine is rounded before the argmax so ties break engine-portably
     (then by cent_id asc via the struct sort order).
     """
+    if "cluster" in corpus.columns:
+        raise ValueError(
+            "assign_clusters: corpus already has a 'cluster' column "
+            "(re-running dedup, or pre-blocked input?) — rename/drop it "
+            "first; silently shadowing it would make downstream joins "
+            "ambiguous"
+        )
     cent_arr = centroids.selectExpr(
         "cent_id", "cvec", f"{_norm_sql('cvec')} AS cvec_norm"
     ).agg(
@@ -690,6 +697,13 @@ def semantic_dedup(
     join's task histogram and are split by raising n_centroids or
     pre-blocking with ``hyperplane_buckets`` as an extra block column.
     """
+    clash = {"cluster", "is_semantic_dup", "__dup"} & set(corpus.columns)
+    if clash:
+        raise ValueError(
+            f"semantic_dedup: output column(s) {sorted(clash)} already "
+            "exist on the input — rename/drop them first (duplicate "
+            "column names are ambiguous downstream)"
+        )
     if centroids is None:
         centroids = train_centroids(
             corpus,

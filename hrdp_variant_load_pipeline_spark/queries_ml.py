@@ -822,10 +822,15 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# grouped pandas UDF (applyInPandas — the per-group Python escape hatch):
-# per-user purchase-value trend, centered least-squares slope. The same
-# closed form is written in SQL; x is centered per group so the sums stay
-# small (epoch-seconds squared would otherwise cancel catastrophically)
+# per-user purchase-value trend: centered least-squares slope as ONE hash
+# aggregate. The slope's closed form sxy/sxx equals covar_pop(x,y)/var_pop(x)
+# exactly (the group count cancels), and Spark's covar_pop/var_pop use
+# Welford-style shifted co-moments — numerically equivalent to the oracle's
+# explicit per-group centering (epoch-seconds squared without centering
+# would cancel catastrophically; the co-moment update never forms them).
+# Unlike the earlier applyInPandas form, this is map-side combinable: a
+# hot user straggles one partial-agg task, never one Python worker's
+# memory (plan pinned UDF-free in tests/test_plan_shapes.py).
 @q(
     "events_user_trend",
     """
@@ -842,10 +847,6 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
-    import math
-
-    import pandas as pd
-
     e = (
         table(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
@@ -855,22 +856,17 @@ def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value").alias("y"),
         )
     )
-
-    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        xc = pdf["x"] - pdf["x"].mean()
-        yc = pdf["y"] - pdf["y"].mean()
-        sxx = float((xc * xc).sum())
-        sxy = float((xc * yc).sum())
-        if n < 3 or sxx <= 0:
-            return pd.DataFrame({"user_id": [], "n": [], "slope": []})
-        slope = math.floor(sxy / sxx * 10000 + 0.5) / 10000
-        return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "n": [n], "slope": [slope]}
-        )
-
-    return e.groupBy("user_id").applyInPandas(
-        trend, "user_id long, n long, slope double"
+    g = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.covar_pop("x", "y").alias("__cxy"),
+        F.var_pop("x").alias("__vx"),
+    )
+    return g.filter((F.col("n") >= 3) & (F.col("__vx") > 0)).select(
+        "user_id",
+        "n",
+        (F.floor(F.col("__cxy") / F.col("__vx") * 10000 + F.lit(0.5)) / 10000).alias(
+            "slope"
+        ),
     )
 
 

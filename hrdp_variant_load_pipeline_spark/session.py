@@ -142,7 +142,22 @@ def tune_for_tables(
     default_sp = int(cpus) if cpus.isdigit() else 32
     size = 0
     for t in tables:
-        size += _dir_bytes(os.path.join(input_dir, f"{t}.parquet"), cap=SMALL_INPUT_BYTES)
+        path = os.path.join(input_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            # a renamed query / mistyped table list must not silently sum
+            # 0 bytes and pin a LARGE query to the small profile (AQE off,
+            # ~4 shuffle partitions — a quiet perf cliff): fall back to
+            # whole-directory sizing, which can only err toward the
+            # cluster profile
+            import warnings
+
+            warnings.warn(
+                f"tune_for_tables: {path} not found; falling back to "
+                "whole-directory sizing",
+                stacklevel=2,
+            )
+            return tune_for_input(spark, input_dir)
+        size += _dir_bytes(path, cap=SMALL_INPUT_BYTES)
         if size >= SMALL_INPUT_BYTES:
             break
     if size < SMALL_INPUT_BYTES:

@@ -7,6 +7,7 @@ Columnar parquet scans give predicate pushdown + column pruning for free
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -130,6 +131,59 @@ def register_catalog_namespaces(
             )
 
 
+def _parse_byte_conf(raw: str, default: int) -> int:
+    """Parse a Spark byte conf string ('134217728b', '128m', '4MB')."""
+    m = re.match(r"^\s*(\d+)\s*([kmgtp]?)i?b?\s*$", raw, re.IGNORECASE)
+    if not m:
+        return default
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(m.group(1)) * mult[m.group(2).lower()]
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the file-scan partition count WITHOUT converting the plan
+    to an RDD (`df.rdd` forces a full plan-to-RDD translation per call —
+    cheap, but measurable on sub-second headline queries).
+
+    Replicates Spark's FilePartition packing arithmetic: each file is
+    charged ``openCostInBytes``, the split size is
+    ``min(maxPartitionBytes, max(openCost, totalBytes/parallelism))``,
+    and partitions ≈ ceil(total/splitSize). Only local ``file:`` paths
+    can be stat'ed; any other scheme (or a non-file source, e.g.
+    ``spark.range``/in-memory) returns None and the caller falls back to
+    the RDD probe. Accurate for scan-stage frames (scan + narrow
+    projections/filters) — a frame that already contains an exchange
+    reflects that exchange's count only via the fallback path.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    max_pb = _parse_byte_conf(
+        conf.get("spark.sql.files.maxPartitionBytes", "128m"), 128 << 20
+    )
+    open_cost = _parse_byte_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4m"), 4 << 20
+    )
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = f[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            total += max(os.path.getsize(p), open_cost)
+        except OSError:
+            return None
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    split = min(max_pb, max(open_cost, total // par + 1))
+    return max(1, -(-total // split))
+
+
 def spread_for_cpu(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Repartition a SMALL scan before CPU-heavy row-local work.
 
@@ -142,13 +196,19 @@ def spread_for_cpu(df: DataFrame, parts: int | None = None) -> DataFrame:
 
     No-op when the plan already has >= parts partitions, so at warehouse
     scale (thousands of input splits) this never inserts a shuffle — it
-    only repairs the tiny-file/single-split pathology. Default parts is
-    cores/4 (capped spread: per-task dispatch overhead beats the win on
-    a local master when the per-task slice drops under ~1 MB).
+    only repairs the tiny-file/single-split pathology. The partition
+    count comes from the scan's file statistics (no plan-to-RDD
+    conversion on the headline path); non-file frames fall back to the
+    RDD probe. Default parts is cores/4 (capped spread: per-task
+    dispatch overhead beats the win on a local master when the per-task
+    slice drops under ~1 MB).
     """
     spark = df.sparkSession
     if parts is None:
         parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    if df._jdf.rdd().getNumPartitions() >= parts:
+    current = _estimated_scan_partitions(df)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current >= parts:
         return df
     return df.repartition(parts)

@@ -99,13 +99,19 @@ def stream_corpus_ingest(
             # to the batch ids FIRST (broadcasting the batch side), so the
             # anti-join's build side is the ≤batch-sized hit set — never
             # the full history id set (which the planner would otherwise
-            # broadcast or shuffle, an O(history) cost per batch)
-            hit_ids = store_ids.join(
-                F.broadcast(docs.select(id_col)), id_col, "left_semi"
-            )
-            fresh = docs.join(
-                F.broadcast(hit_ids), id_col, "left_anti"
-            ).persist()
+            # broadcast or shuffle, an O(history) cost per batch). The
+            # broadcast hints share the probe's boundedness assumption, so
+            # they are gated on the SAME flag as the band join: with
+            # broadcast_probe=False (restart over an unthrottled backlog —
+            # one trigger may swallow the whole directory) the batch id
+            # set shuffles instead of shipping to every executor.
+            batch_ids = docs.select(id_col)
+            if broadcast_probe:
+                batch_ids = F.broadcast(batch_ids)
+            hit_ids = store_ids.join(batch_ids, id_col, "left_semi")
+            if broadcast_probe:
+                hit_ids = F.broadcast(hit_ids)
+            fresh = docs.join(hit_ids, id_col, "left_anti").persist()
             n_fresh = fresh.count()
             if n_fresh == 0:
                 fresh.unpersist()

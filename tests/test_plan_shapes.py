@@ -261,3 +261,34 @@ def test_spread_for_cpu_noop_on_wide_scans(spark):
     spreaded = spread_for_cpu(narrow, parts=8)
     assert spreaded is not narrow
     assert "Exchange" in spreaded._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spread_for_cpu_file_scan_estimate_matches_rdd(spark):
+    """The file-stat partition estimate (no plan-to-RDD conversion) must
+    agree with the RDD probe on real parquet scans: single-split testdata
+    repartitions, and a many-file input is left alone."""
+    from hrdp_variant_load_pipeline_spark.sources.tables import (
+        _estimated_scan_partitions,
+        spread_for_cpu,
+        table,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    est = _estimated_scan_partitions(docs)
+    assert est is not None
+    assert est == docs.rdd.getNumPartitions()
+    spreaded = spread_for_cpu(docs, parts=8)
+    assert spreaded is not docs  # single row-group file -> repaired
+    # non-file frames fall back to the RDD probe, never crash
+    assert _estimated_scan_partitions(spark.range(10)) is None
+
+
+def test_events_user_trend_is_pure_aggregate(spark):
+    """The per-user OLS slope is covar_pop/var_pop — ONE map-side
+    combinable hash aggregate. A FlatMapGroupsInPandas here would force
+    every user's rows into one Python worker (hot keys straggle; no
+    partial aggregation), so the plan must stay UDF-free."""
+    plan = _plan(spark, "events_user_trend")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan

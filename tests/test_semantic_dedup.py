@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.similarity import (
     assign_clusters,
@@ -135,3 +136,19 @@ def test_assign_clusters_is_row_local(spark, fixed_centroids):
     # the only exchanges allowed are the broadcast of the 1-row centroid
     # array; no shuffle exchange may touch the corpus
     assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
+
+
+def test_output_column_collisions_raise(spark, fixed_centroids):
+    """Re-running dedup (or pre-blocked input) must fail loudly, not
+    produce duplicate/ambiguous column names."""
+    import pytest
+
+    corpus = _mk_corpus(spark, np.eye(3).tolist())
+    clustered = corpus.withColumn("cluster", F.lit(0))
+    with pytest.raises(ValueError, match="cluster"):
+        assign_clusters(clustered, fixed_centroids)
+    with pytest.raises(ValueError, match="is_semantic_dup"):
+        semantic_dedup(
+            corpus.withColumn("is_semantic_dup", F.lit(False)),
+            centroids=fixed_centroids,
+        )

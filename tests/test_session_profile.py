@@ -84,3 +84,27 @@ def test_tune_for_tables_per_query_profile(spark, tmp_path):
     assert conf["spark.sql.shuffle.partitions"] == os.environ.get(
         "SPARK_GRAFT_CPUS", "32"
     )
+
+
+def test_tune_for_tables_missing_table_falls_back(spark, tmp_path):
+    """A mistyped/renamed table must NOT silently sum 0 bytes and pin the
+    small profile: the fallback sizes from the whole directory (which can
+    only err toward the cluster profile)."""
+    import warnings
+
+    from hrdp_variant_load_pipeline_spark.session import (
+        SMALL_INPUT_BYTES,
+        tune_for_tables,
+    )
+
+    big = tmp_path / "big.parquet"
+    big.mkdir()
+    (big / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        conf = tune_for_tables(spark, str(tmp_path), ["nonexistent"])
+    assert any("not found" in str(x.message) for x in w)
+    # the dir holds > SMALL_INPUT_BYTES, so the fallback picks the
+    # cluster profile — the opposite of the 0-byte small-profile cliff
+    assert conf["spark.sql.adaptive.enabled"] == "true"
