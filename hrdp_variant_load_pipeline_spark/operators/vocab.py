@@ -258,3 +258,79 @@ def ngram_counts(
     if min_count > 1:
         counted = counted.filter(F.col("count") >= min_count)
     return counted
+
+
+def lm_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame,
+    n: int = 2,
+    add_k: float = 1.0,
+    bos: str = "<s>",
+    eos: str = "</s>",
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """N-gram LM document scoring over an ``ngram_counts`` table — the
+    step that completes the CCNet chain (counts ≙ the KenLM seed; this is
+    the perplexity filter those counts power). Add-k smoothed:
+
+        logprob(doc) = mean over doc n-grams g of
+                       ln((count(g) + k) / (count(ctx(g)) + k·V))
+
+    where ``ctx(g)`` is the gram's first n−1 words, context counts are
+    aggregated FROM the (pruned) counts table itself, and ``V`` is the
+    table's distinct-continuation count + 1 (the +1 is the shared OOV
+    bucket; grams pruned by the table's ``min_count`` smooth like unseen
+    ones). Higher = more ordinary language; the production filter drops
+    the low tail. Documents shorter than one n-gram window still score
+    (their single padded gram).
+
+    Scale shape (100 TB): the counts table and its two derived frames
+    (context counts, the 1-row V) are model-sized by construction
+    (``min_count`` pruning) and BROADCAST; the corpus pays one row-local
+    gram construction + explode and ONE doc-keyed hash aggregate with
+    map-side partial (a doc's grams are partition-local after the
+    explode). The corpus text itself never shuffles.
+
+    Output: input columns + ``out_col`` (double, rounded to 6; null only
+    for null text).
+    """
+    ctx = counts.groupBy(F.slice("gram", 1, n - 1).alias("__ctx")).agg(
+        F.sum("count").alias("__ctx_count")
+    )
+    vrow = (
+        counts.select(F.element_at("gram", n).alias("__w"))
+        .distinct()
+        .agg((F.count("*") + 1).cast("double").alias("__V"))
+    )
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    padded = F.concat(
+        F.array(*[F.lit(bos)] * (n - 1)), words, F.array(F.lit(eos))
+    )
+    m = F.size(padded)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.slice(padded, i, n),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    joined = (
+        exploded.join(F.broadcast(counts), "gram", "left")
+        .join(
+            F.broadcast(ctx),
+            F.slice("gram", 1, n - 1) == F.col("__ctx"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vrow))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("count"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("__ctx_count"), F.lit(0)) + F.lit(add_k) * F.col("__V"))
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.round(F.avg(logp), 6).alias(out_col)
+    )
+    return df.join(scored, id_col, "left")

@@ -127,3 +127,75 @@ def test_build_vocab_rank_window_input_is_bounded(spark):
     # the window sits ABOVE the take (bounded input), not directly on the
     # token aggregate
     assert plan.find("Window") < plan.find("TakeOrderedAndProject")
+
+
+def test_lm_doc_score_matches_manual(spark):
+    """Add-k bigram scoring against a hand-computed oracle on a tiny
+    corpus: counts from the corpus itself (min_count=1), k=1."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = _corpus(spark)
+    counts = ngram_counts(docs, "text", n=2)
+    crows = {tuple(r.gram): r["count"] for r in counts.collect()}
+    ctx = {}
+    for g, c in crows.items():
+        ctx[g[0]] = ctx.get(g[0], 0) + c
+    vocab_v = len({g[1] for g in crows}) + 1
+    out = {
+        r.doc_id: r.lm_logprob
+        for r in lm_doc_score(docs, "doc_id", "text", counts).collect()
+    }
+
+    def score(text):
+        ws = ["<s>"] + [w for w in text.split(" ") if w] + ["</s>"]
+        lps = [
+            math.log(
+                (crows.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + vocab_v)
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        return round(sum(lps) / len(lps), 6)
+
+    for did, text in [(1, "the cat sat on the mat"), (2, "the dog  sat"), (3, "cat cat cat"), (4, "")]:
+        assert abs(out[did] - score(text)) < 1e-9, did
+
+
+def test_lm_doc_score_pruned_counts_smooth_as_unseen(spark):
+    """Grams pruned by min_count score exactly like unseen grams (the
+    OOV bucket), and rarer-gram docs score lower than common-gram docs."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y")], "doc_id long, text string"
+    )
+    counts = ngram_counts(docs, "text", n=2, min_count=2)
+    got = {
+        r.doc_id: r.lm_logprob
+        for r in lm_doc_score(docs, "doc_id", "text", counts).collect()
+    }
+    assert got[1] > got[2]  # frequent bigrams beat pruned/unseen ones
+
+
+def test_lm_doc_score_corpus_side_has_no_token_shuffle(spark):
+    """Plan guard: the counts/context/V frames are broadcast; the only
+    hash exchange is the final doc-keyed aggregate."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = _corpus(spark)
+    counts = ngram_counts(docs, "text", n=2).localCheckpoint()
+    plan = (
+        lm_doc_score(docs, "doc_id", "text", counts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastExchange") >= 2
