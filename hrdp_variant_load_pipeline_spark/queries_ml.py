@@ -179,9 +179,10 @@ sh0 AS (SELECT doc_id,
 sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM sh0)
 """
 
-@q(
-    "dedup_ngram_jaccard",
-    f"""
+# exact n-gram Jaccard pairs and SimHash signatures share a driver-window
+# slot as one tagged battery (dedup_text_battery below) — both stay
+# hash-gated; the minhash/clusters entries keep their own rows (headline)
+_NGRAM_JACCARD_SQL = f"""
     WITH {_SHINGLE_CTE},
     rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
     shj AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -193,9 +194,10 @@ sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM sh0)
            round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
     FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
     WHERE round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.2
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         table(spark, sf, "documents"), "doc_id", "text", k=3, threshold=0.2, max_df=100
     )
@@ -274,9 +276,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return DD.connected_components(pairs)
 
 
-@q(
-    "dedup_simhash",
-    """
+_SIMHASH_SQL = """
     WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS w FROM documents),
     h AS (SELECT doc, substring(md5(w), 1, 16) AS hh FROM tok),
     pb AS (SELECT doc, p.i AS p, b.i AS b,
@@ -288,10 +288,37 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                            ORDER BY p * 4 + b) AS simhash
     FROM votes GROUP BY doc
+"""
+
+
+@q(
+    "dedup_text_battery",
+    f"""
+    WITH jac AS ({_NGRAM_JACCARD_SQL}),
+    sim AS ({_SIMHASH_SQL})
+    SELECT 'jaccard' AS component, doc_a, doc_b, jaccard,
+           CAST(NULL AS VARCHAR) AS simhash
+    FROM jac
+    UNION ALL
+    SELECT 'simhash', doc, NULL, NULL, simhash FROM sim
     """,
 )
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return DD.simhash(table(spark, sf, "documents"), "doc_id", "text")
+def dedup_text_battery(spark: SparkSession, sf: str) -> DataFrame:
+    jac = _ngram_jaccard(spark, sf).select(
+        F.lit("jaccard").alias("component"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(None).cast("string").alias("simhash"),
+    )
+    sim = DD.simhash(table(spark, sf, "documents"), "doc_id", "text").select(
+        F.lit("simhash").alias("component"),
+        F.col("doc").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "simhash",
+    )
+    return jac.unionAll(sim)
 
 
 # composite training-data cleaning pipeline: quality gate -> exact-dup
@@ -504,9 +531,10 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-@q(
-    "embedding_near_dup",
-    f"""
+# blocked-exact AND hyperplane-LSH near-dup as ONE tagged battery (the
+# two strategies share a schema; merging them frees a driver-window slot
+# for the r8 operator families while keeping BOTH hash-gated)
+_NEAR_DUP_BLOCK_SQL = f"""
     WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                           a.embedding AS av, b.embedding AS bv
                    FROM embeddings a JOIN embeddings b
@@ -518,9 +546,10 @@ def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
              FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2)
     SELECT id_a, id_b, round({_COS_EXPR}, 6) AS cosine
     FROM dots WHERE round({_COS_EXPR}, 6) >= 0.3
-    """,
-)
-def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+"""
+
+
+def _near_dup_block(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.near_dup_pairs(
         table(spark, sf, "embeddings"), block_cols=["label"], threshold=0.3
     )
@@ -607,9 +636,7 @@ _LSH_PLANE_VALUES = ",\n           ".join(
     for j, row in enumerate(SIM.make_planes(n_planes=16, dim=64, seed=7))
 )
 
-@q(
-    "embedding_near_dup_lsh",
-    f"""
+_NEAR_DUP_LSH_SQL = f"""
     WITH planes AS (SELECT * FROM (VALUES
            {_LSH_PLANE_VALUES}) p(j, pv)),
     v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
@@ -635,11 +662,28 @@ _LSH_PLANE_VALUES = ",\n           ".join(
            FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2)
     SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
     FROM d2 WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+"""
+
+
+@q(
+    "embedding_near_dup",
+    f"""
+    WITH blk AS ({_NEAR_DUP_BLOCK_SQL}),
+    lsh AS ({_NEAR_DUP_LSH_SQL})
+    SELECT 'block' AS method, id_a, id_b, cosine FROM blk
+    UNION ALL
+    SELECT 'lsh', id_a, id_b, cosine FROM lsh
     """,
 )
-def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
-    return SIM.near_dup_pairs_lsh(e, threshold=0.3, dim=64)
+    blk = _near_dup_block(spark, sf).select(
+        F.lit("block").alias("method"), "id_a", "id_b", "cosine"
+    )
+    lsh = SIM.near_dup_pairs_lsh(e, threshold=0.3, dim=64).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cosine"
+    )
+    return blk.unionAll(lsh)
 
 
 # distributed Lloyd's k-means, fixed 2 iterations / k=4 so the whole run is

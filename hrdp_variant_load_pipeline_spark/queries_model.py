@@ -343,3 +343,320 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(quality)
         .unionByName(pq_rows)
     )
+
+
+# ----------------------------------------------------- corpus stats battery
+# Driver-gates four r7/r8 operator families in one window slot:
+# corpus-wide paragraph dedup (exact reassembly pinned via md5), n-gram
+# count tables, sparse TF-IDF + broadcast sparse cosine, and add-k n-gram
+# LM document scoring (the CCNet perplexity-filter chain end-to-end).
+# The documents texts are single-line word soup, so the "paragraph"
+# separator is the word boundary (sep=' ', min_chars=4): every token of
+# >= 4 chars is deduped corpus-wide to its first (doc, position)
+# occurrence — semantically a token-level variant, structurally the
+# exact operator (eligibility gate, min_by canonical pick, in-order
+# reassembly, empty-doc coalesce).
+_CS_SEP = " "
+_CS_MINCH = 4
+_CS_VOCAB = 50
+_CS_NG_MIN = 5
+_CS_NG_TOP = 20
+_CS_LM_MIN = 2
+_CS_TFIDF_Q = 3
+_CS_TFIDF_MIN = 0.5
+
+_CORPUS_STATS_SQL = rf"""
+WITH paras AS (
+  SELECT doc_id, unnest(string_split(text, '{_CS_SEP}')) AS para,
+         generate_subscripts(string_split(text, '{_CS_SEP}'), 1) - 1 AS idx
+  FROM documents),
+elig AS (SELECT *, length(para) >= {_CS_MINCH} AS eligible FROM paras),
+canon AS (
+  SELECT doc_id, idx, TRUE AS keeper FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM elig WHERE eligible) WHERE rn = 1),
+kept AS (
+  SELECT e.doc_id, e.idx, e.para
+  FROM elig e LEFT JOIN canon c USING (doc_id, idx)
+  WHERE NOT e.eligible OR c.keeper IS NOT NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, '{_CS_SEP}' ORDER BY idx) AS new_text
+  FROM kept GROUP BY doc_id),
+parad AS (
+  SELECT d.doc_id AS k, md5(coalesce(r.new_text, '')) AS s,
+         length(coalesce(r.new_text, ''))::BIGINT AS n
+  FROM documents d LEFT JOIN rebuilt r USING (doc_id)),
+
+pw AS (
+  SELECT doc_id,
+         list_concat(list_concat(['<s>'],
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
+           ['</s>']) AS pwv
+  FROM documents),
+ptok AS (SELECT doc_id, unnest(pwv) AS word,
+                generate_subscripts(pwv, 1) AS i FROM pw),
+grams AS (SELECT a.doc_id, a.word AS w1, b.word AS w2
+          FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+ngc AS (SELECT w1, w2, count(*) AS c FROM grams GROUP BY w1, w2),
+ngtop AS (SELECT w1 || ' ' || w2 AS s, c AS n FROM ngc
+          WHERE c >= {_CS_NG_MIN} ORDER BY c DESC, s LIMIT {_CS_NG_TOP}),
+
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+  FROM documents),
+stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY token),
+vocab AS (SELECT token, df FROM stats ORDER BY tf DESC, token LIMIT {_CS_VOCAB}),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tw AS (SELECT t.doc_id, t.token,
+              count(*) * (ln((nd.n + 1) / (v.df + 1)) + 1) AS w
+       FROM tok t JOIN vocab v USING (token), nd
+       GROUP BY t.doc_id, t.token, v.df, nd.n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM tw GROUP BY doc_id),
+uv AS (SELECT tw.doc_id, token, round(w / nn, 6) AS uw
+       FROM tw JOIN nrm USING (doc_id)),
+cospairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(sum(a.uw * b.uw), 6) AS cosine
+  FROM uv a JOIN uv b USING (token)
+  WHERE b.doc_id < {_CS_TFIDF_Q} AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+
+lmcnt AS (SELECT w1, w2, c FROM ngc WHERE c >= {_CS_LM_MIN}),
+lmctx AS (SELECT w1, sum(c) AS cc FROM lmcnt GROUP BY w1),
+lmv AS (SELECT (count(DISTINCT w2) + 1)::DOUBLE AS v FROM lmcnt),
+lmsc AS (
+  SELECT g.doc_id,
+         round(avg(ln((coalesce(cnt.c, 0) + 1.0)
+                      / (coalesce(ctx.cc, 0) + lmv.v))), 6) AS lp
+  FROM grams g
+  LEFT JOIN lmcnt cnt ON g.w1 = cnt.w1 AND g.w2 = cnt.w2
+  LEFT JOIN lmctx ctx ON g.w1 = ctx.w1, lmv
+  GROUP BY g.doc_id)
+
+SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
+UNION ALL
+SELECT 'ngram', NULL, s, n, NULL FROM ngtop
+UNION ALL
+SELECT 'tfidf', id_a, NULL, id_b, cosine FROM cospairs
+WHERE cosine >= {_CS_TFIDF_MIN}
+UNION ALL
+SELECT 'lmscore', doc_id, NULL, NULL, lp FROM lmsc
+"""
+
+
+@q("corpus_stats_battery", _CORPUS_STATS_SQL)
+def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.dedup import paragraph_dedup
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        build_vocab,
+        lm_doc_score,
+        ngram_counts,
+        sparse_cosine_pairs,
+        tfidf_vectors,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    docs = spread_for_cpu(
+        table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    deduped = paragraph_dedup(
+        docs, "doc_id", "text", sep=_CS_SEP, min_chars=_CS_MINCH
+    )
+    parad = deduped.select(
+        F.lit("paradedup").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.md5("text").alias("s"),
+        F.length("text").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("x"),
+    )
+
+    ng = ngram_counts(docs, "text", n=2, min_count=_CS_NG_MIN)
+    ngtop = (
+        ng.select(F.array_join("gram", " ").alias("s"), F.col("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("s"))
+        .limit(_CS_NG_TOP)
+        .select(
+            F.lit("ngram").alias("component"),
+            F.lit(None).cast("long").alias("k"),
+            "s",
+            "n",
+            F.lit(None).cast("double").alias("x"),
+        )
+    )
+
+    vocab = build_vocab(docs, "text", max_vocab=_CS_VOCAB)
+    vecs = tfidf_vectors(docs, "doc_id", "text", vocab).localCheckpoint()
+    cos = sparse_cosine_pairs(
+        vecs,
+        vecs.filter(F.col("doc_id") < _CS_TFIDF_Q),
+        "doc_id",
+        min_cosine=_CS_TFIDF_MIN,
+    ).select(
+        F.lit("tfidf").alias("component"),
+        F.col("id_a").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("id_b").alias("n"),
+        F.col("cosine").alias("x"),
+    )
+
+    counts = ngram_counts(docs, "text", n=2, min_count=_CS_LM_MIN)
+    lm = lm_doc_score(docs, "doc_id", "text", counts).select(
+        F.lit("lmscore").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("lm_logprob").alias("x"),
+    )
+
+    return parad.unionByName(ngtop).unionByName(cos).unionByName(lm)
+
+
+# -------------------------------------------------- iterative + timeseries
+# PageRank (fixed 5 damped iterations over the customer-nation ->
+# supplier-nation trade graph) and per-key linear resampling of the
+# purchase series — the iterative-algorithm and timeseries surfaces,
+# hash-gated against an UNROLLED fixed-iteration oracle (recursive
+# aggregation over the rank vector is not legal SQL; five chained CTEs
+# are) and a recursive-CTE bucket grid.
+_ITS_ITER = 5
+_ITS_DAMP = 0.85
+_ITS_STEP_S = 21600  # 6 hours
+
+
+def _pagerank_unrolled_sql(n_iter: int, damp: float) -> str:
+    parts = [
+        """
+edges AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+r0 AS (SELECT v, 1.0 / nv.n AS rank FROM verts, nv)"""
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f""",
+i{k} AS (SELECT e.dst AS v, sum(r.rank / dg.deg) AS infl
+         FROM r{k} r JOIN deg dg ON r.v = dg.src JOIN edges e ON e.src = r.v
+         GROUP BY e.dst),
+d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+         FROM r{k} r LEFT JOIN deg dg ON r.v = dg.src WHERE dg.src IS NULL),
+r{k + 1} AS (SELECT vs.v,
+                    (1.0 - {damp}) / nv.n + {damp} * d{k}.dang / nv.n
+                    + {damp} * coalesce(i{k}.infl, 0.0) AS rank
+             FROM verts vs CROSS JOIN nv CROSS JOIN d{k}
+             LEFT JOIN i{k} ON i{k}.v = vs.v)"""
+        )
+    return "".join(parts)
+
+
+# NOTE: no WITH RECURSIVE here — under RECURSIVE, DuckDB treats the
+# chained r0..r5 CTEs as mutually recursive and fixpoint-iterates them
+# (measured: 500 rows, rank sum 2.3e7). The bucket grid therefore uses a
+# scalar-subquery-bounded generate_series + range join, not recursion.
+_ITS_SQL = f"""
+WITH {_pagerank_unrolled_sql(_ITS_ITER, _ITS_DAMP)},
+pr AS (SELECT v AS k, round(rank, 6) AS x FROM r{_ITS_ITER}),
+
+p AS (SELECT user_id AS key, ts, value FROM events
+      WHERE event_type = 'purchase'),
+ob AS (SELECT key,
+              make_timestamp(((epoch_us(ts) // 1000000) // {_ITS_STEP_S})
+                             * {_ITS_STEP_S} * 1000000) AS bt,
+              ts, value
+       FROM p),
+obs AS (SELECT key, bt, max_by(value, ts) AS ov FROM ob GROUP BY key, bt),
+bounds AS (SELECT key, min(epoch_us(bt) // 1000000) // {_ITS_STEP_S} AS lo,
+                  max(epoch_us(bt) // 1000000) // {_ITS_STEP_S} AS hi
+           FROM obs GROUP BY key),
+srs AS (SELECT unnest(generate_series((SELECT min(lo) FROM bounds),
+                                      (SELECT max(hi) FROM bounds))) AS h),
+grid AS (SELECT b.key, make_timestamp(s.h * {_ITS_STEP_S} * 1000000) AS bt
+         FROM bounds b JOIN srs s ON s.h BETWEEN b.lo AND b.hi),
+j AS (SELECT grid.key, grid.bt, obs.ov
+      FROM grid LEFT JOIN obs USING (key, bt)),
+f AS (SELECT key, bt, ov,
+        last_value(ov IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN ov IS NOT NULL THEN bt END IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(ov IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN ov IS NOT NULL THEN bt END IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j),
+rs AS (SELECT key, bt,
+         CASE WHEN ov IS NOT NULL THEN ov
+              WHEN next_v IS NULL THEN prev_v
+              ELSE prev_v + (next_v - prev_v)
+                   * (((epoch_us(bt) // 1000000) - (epoch_us(prev_t) // 1000000))
+                      / (CASE WHEN (epoch_us(next_t) // 1000000)
+                                   - (epoch_us(prev_t) // 1000000) > 0
+                              THEN (epoch_us(next_t) // 1000000)
+                                   - (epoch_us(prev_t) // 1000000)
+                              ELSE 1 END))
+         END AS val,
+         ov IS NOT NULL AS observed
+       FROM f)
+
+SELECT 'pagerank' AS component, k, CAST(NULL AS TIMESTAMP) AS t, x,
+       CAST(NULL AS BOOLEAN) AS b
+FROM pr
+UNION ALL
+SELECT 'resample', key, bt, floor(val * 10000 + 0.5) / 10000, observed
+FROM rs
+"""
+
+
+@q("iterative_ts_battery", _ITS_SQL)
+def iterative_ts_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.graph import pagerank
+    from hrdp_variant_load_pipeline_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    pr = pagerank(edges, n_iter=_ITS_ITER, damping=_ITS_DAMP).select(
+        F.lit("pagerank").alias("component"),
+        F.col("vertex").cast("long").alias("k"),
+        F.lit(None).cast("timestamp").alias("t"),
+        F.round("rank", 6).alias("x"),
+        F.lit(None).cast("boolean").alias("b"),
+    )
+
+    purchases = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    rs = resample_interpolate(
+        purchases, "user_id", "ts", "value", step="6 hours", how="linear"
+    ).select(
+        F.lit("resample").alias("component"),
+        F.col("user_id").cast("long").alias("k"),
+        F.col("bucket_ts").alias("t"),
+        (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000).alias("x"),
+        F.col("observed").alias("b"),
+    )
+    return pr.unionByName(rs)

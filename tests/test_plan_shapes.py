@@ -134,7 +134,11 @@ def test_merge_update_no_forced_broadcast_hint(spark):
 def test_simhash_no_explode_no_shuffle(spark):
     """SimHash is a row-local aggregate/zip_with fold: the plan must
     contain no Generate (explode) and no exchange at all."""
-    plan = _plan(spark, "dedup_simhash")
+    from hrdp_variant_load_pipeline_spark.operators import dedup as DD
+    from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+    df = DD.simhash(table(spark, SF_DIR, "documents"), "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
     assert "Exchange" not in plan
 
