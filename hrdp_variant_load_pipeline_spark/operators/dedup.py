@@ -721,3 +721,101 @@ def paragraph_dedup(
     return df.join(
         rebuilt, df[id_col] == rebuilt["__doc"], "left"
     ).select(*out_cols)
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup, k-gram anchored (the Spark-shaped
+    approximation of Lee et al. 2021's suffix-array span dedup,
+    arXiv:2107.06499): any WORD span repeated >= ``min_count`` times
+    across the corpus — regardless of paragraph/line boundaries — is
+    removed everywhere except its first ``(doc, position)`` occurrence.
+
+    Anchoring: every length-``k`` word window is hashed; windows whose
+    hash repeats are "anchors", and every non-canonical anchor
+    occurrence marks its k token positions covered. A repeated span of
+    length L >= k has all its L−k+1 windows repeated, so the whole span
+    is covered in the duplicate copies; spans shorter than ``k`` are
+    invisible (the knob mirrors the paper's 50-token threshold —
+    boilerplate shorter than that is usually legitimate repetition).
+    Unlike a suffix array, detection is hash-granular: one shared window
+    between two otherwise-different texts removes exactly those k
+    tokens, not a maximal match.
+
+    Scale shape: O(tokens) end-to-end — one explode to (doc, idx, word),
+    one row-local window construction, one hash aggregate on the window
+    hash (min-struct canonical pick, map-side combine; hot boilerplate
+    windows are exactly the skew a partial agg absorbs), one join of
+    window occurrences against the repeated set, an anti-join of tokens
+    vs covered positions, and one doc-keyed reassembly (the
+    ``paragraph_dedup`` shape). Nothing is collected; nothing is
+    quadratic in docs or in occurrence count.
+
+    Output: the input frame with ``text_col`` rewritten (survivor
+    tokens in original order; covered tokens removed). Documents
+    entirely covered keep an empty string.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__idx", "__w"),
+    )
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(words)
+    win = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda s: F.struct(
+                s.alias("start"),
+                F.md5(F.array_join(F.slice(words, s + 1, k), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    grams = df.select(
+        F.col(id_col).alias("__doc"), F.explode(win).alias("__g")
+    ).select("__doc", F.col("__g.start").alias("__start"), F.col("__g.h").alias("__h"))
+    anchors = (
+        grams.groupBy("__h")
+        .agg(
+            F.min(F.struct(F.col("__doc"), F.col("__start"))).alias("__keep"),
+            F.count("*").alias("__c"),
+        )
+        .filter(F.col("__c") >= min_count)
+        .select("__h", "__keep")
+    )
+    dup_occ = grams.join(anchors, "__h").filter(
+        (F.col("__doc") != F.col("__keep.__doc"))
+        | (F.col("__start") != F.col("__keep.__start"))
+    )
+    covered = dup_occ.select(
+        "__doc",
+        F.explode(
+            F.sequence(F.col("__start"), F.col("__start") + (k - 1))
+        ).alias("__idx"),
+    ).distinct()
+    kept = toks.join(covered, ["__doc", "__idx"], "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__w"))),
+                lambda p: p["__w"],
+            ),
+            " ",
+        ).alias("__new_text")
+    )
+    out_cols = [
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(
+        rebuilt, df[id_col] == rebuilt["__doc"], "left"
+    ).select(*out_cols)

@@ -51,15 +51,42 @@ def get_spark(
 
 #: inputs below this are "small": the whole dataset fits a handful of
 #: shuffle partitions and AQE's stage-by-stage re-planning costs more
-#: latency than it saves. Measured crossover on the headline set: at
-#: ~17 MB (sf0.1) AQE-off wins every sub-second row; at ~190 MB (sf1)
-#: AQE-on is already equal-or-better (q3 1.35 vs 1.73 s, doc_profile
-#: 3.6 vs 4.2 s) — so the threshold sits between, not at GB scale.
-SMALL_INPUT_BYTES = 64 * 1024**2
+#: latency than it saves. Round-8 re-measurement at sf1 (190 MB)
+#: revised the r5 crossover: AQE-off/half-cores beats AQE-on/cores on
+#: EVERY headline row there too (q1 0.47→0.19, q3 1.09→0.64,
+#: q5 1.16→0.79, join_semi 0.84→0.60, asof 0.56→0.32), so a MEDIUM
+#: tier now covers tens-of-MB..1 GiB and the AQE cluster profile starts
+#: where runtime re-planning actually amortizes (multi-GiB, many stages
+#: of many tasks each — the regime a real cluster runs in).
+SMALL_INPUT_BYTES = 16 * 1024**2
+#: medium/cluster boundary: below this, per-stage AQE latency (~0.1 s a
+#: stage on local[32]) still dominates sub-second queries
+MEDIUM_INPUT_BYTES = 1024**3
 #: sized so shuffle-expanding operators (shingling, explodes) keep full
 #: core parallelism well before the input reaches SMALL_INPUT_BYTES,
 #: while a tens-of-MB input gets a handful of tasks instead of cores²
 _TARGET_SHUFFLE_PARTITION_BYTES = 4 * 1024**2
+
+
+def _profile_for_size(size: int, default_sp: int) -> dict[str, str]:
+    """Map an input byte count to the runtime profile (see
+    ``tune_for_input`` for the measured rationale)."""
+    if size < SMALL_INPUT_BYTES:
+        return {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(
+                max(4, min(default_sp, size // _TARGET_SHUFFLE_PARTITION_BYTES))
+            ),
+        }
+    if size < MEDIUM_INPUT_BYTES:
+        return {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(max(8, default_sp // 2)),
+        }
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": str(default_sp),
+    }
 
 
 def _dir_bytes(path: str, cap: int) -> int:
@@ -93,6 +120,9 @@ def tune_for_input(spark: SparkSession, input_dir: str) -> dict[str, str]:
       sized at ``_TARGET_SHUFFLE_PARTITION_BYTES`` (4 MiB) each — small so
       shuffle-expanding operators keep parallelism — floored at 4, capped
       at the core count;
+    * medium input (< ``MEDIUM_INPUT_BYTES``): AQE off, half the cores —
+      measured best across the sf1 headline set (full-cores over-schedules
+      sub-second shuffles; AQE's stage barriers add ~0.1 s each);
     * large input: the cluster profile — AQE on (runtime coalescing, skew
       splitting) and cores-sized shuffle partitions — i.e. exactly the
       ``get_spark`` defaults, restored in case a small profile was set
@@ -103,19 +133,8 @@ def tune_for_input(spark: SparkSession, input_dir: str) -> dict[str, str]:
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     default_sp = int(cpus) if cpus.isdigit() else 32
-    size = _dir_bytes(input_dir, cap=SMALL_INPUT_BYTES)
-    if size < SMALL_INPUT_BYTES:
-        conf = {
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": str(
-                max(4, min(default_sp, size // _TARGET_SHUFFLE_PARTITION_BYTES))
-            ),
-        }
-    else:
-        conf = {
-            "spark.sql.adaptive.enabled": "true",
-            "spark.sql.shuffle.partitions": str(default_sp),
-        }
+    size = _dir_bytes(input_dir, cap=MEDIUM_INPUT_BYTES)
+    conf = _profile_for_size(size, default_sp)
     for k, v in conf.items():
         spark.conf.set(k, v)
     return conf
@@ -157,21 +176,10 @@ def tune_for_tables(
                 stacklevel=2,
             )
             return tune_for_input(spark, input_dir)
-        size += _dir_bytes(path, cap=SMALL_INPUT_BYTES)
-        if size >= SMALL_INPUT_BYTES:
+        size += _dir_bytes(path, cap=MEDIUM_INPUT_BYTES)
+        if size >= MEDIUM_INPUT_BYTES:
             break
-    if size < SMALL_INPUT_BYTES:
-        conf = {
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": str(
-                max(4, min(default_sp, size // _TARGET_SHUFFLE_PARTITION_BYTES))
-            ),
-        }
-    else:
-        conf = {
-            "spark.sql.adaptive.enabled": "true",
-            "spark.sql.shuffle.partitions": str(default_sp),
-        }
+    conf = _profile_for_size(size, default_sp)
     for k, v in conf.items():
         spark.conf.set(k, v)
     return conf

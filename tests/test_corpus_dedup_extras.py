@@ -142,3 +142,70 @@ def test_scd2_merge_single_pass_plan(spark):
         merged = scd2_merge(empty, updates, ["k"], ["v"])
         plan = merged._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == 1, plan.count("FileScan parquet")
+
+
+# ------------------------------------------------- repeated_span_dedup
+def _span_corpus(spark):
+    boiler = "all rights reserved contact us at example dot com for more info"
+    return spark.createDataFrame(
+        [
+            (1, f"unique alpha text one {boiler} trailing words here"),
+            (2, f"different beta opening {boiler} other ending tokens"),
+            (3, "totally unrelated document with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repeated_span_dedup_removes_later_copies_only(spark):
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    out = {
+        r.doc_id: r.text
+        for r in repeated_span_dedup(
+            _span_corpus(spark), "doc_id", "text", k=5
+        ).collect()
+    }
+    boiler = "all rights reserved contact us at example dot com for more info"
+    # first occurrence (doc 1) keeps the span; doc 2 loses exactly it
+    assert boiler in out[1]
+    assert "rights reserved" not in out[2]
+    assert out[2].startswith("different beta opening")
+    assert out[2].endswith("other ending tokens")
+    # untouched doc unchanged
+    assert out[3] == "totally unrelated document with no repeats at all"
+
+
+def test_repeated_span_dedup_intra_doc_and_idempotent(spark):
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    span = "q w e r t y u i o p"
+    docs = spark.createDataFrame(
+        [(1, f"{span} middle bit {span}")], "doc_id long, text string"
+    )
+    once = repeated_span_dedup(docs, "doc_id", "text", k=10)
+    got = once.collect()[0].text
+    # the second intra-doc copy is removed, the first kept
+    assert got.startswith(span)
+    assert got.count("q w e") == 1
+    assert "middle bit" in got
+    twice = repeated_span_dedup(once, "doc_id", "text", k=10).collect()[0].text
+    assert twice == got  # idempotent: survivors are unique spans
+
+
+def test_repeated_span_dedup_short_docs_and_sub_k_repeats_survive(spark):
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in repeated_span_dedup(docs, "doc_id", "text", k=5).collect()}
+    # 2-word docs hold no 5-gram window: nothing is removable
+    assert out == {1: "tiny doc", 2: "tiny doc", 3: ""}

@@ -70,15 +70,27 @@ def test_tune_for_tables_per_query_profile(spark, tmp_path):
         tune_for_tables,
     )
 
+    from hrdp_variant_load_pipeline_spark.session import MEDIUM_INPUT_BYTES
+
     small = tmp_path / "tiny.parquet"
     small.mkdir()
     (small / "part-0").write_bytes(b"x" * 1024)
+    medium = tmp_path / "medium.parquet"
+    medium.mkdir()
+    (medium / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
     big = tmp_path / "big.parquet"
     big.mkdir()
-    (big / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
+    with open(big / "part-0", "wb") as f:  # sparse: size without the bytes
+        f.truncate(MEDIUM_INPUT_BYTES + 1)
 
     conf = tune_for_tables(spark, str(tmp_path), ["tiny"])
     assert conf["spark.sql.adaptive.enabled"] == "false"
+    assert int(conf["spark.sql.shuffle.partitions"]) <= 8
+    # medium tier: AQE still off (per-stage re-plan latency dominates
+    # sub-second queries), half-cores shuffle partitions
+    conf = tune_for_tables(spark, str(tmp_path), ["tiny", "medium"])
+    assert conf["spark.sql.adaptive.enabled"] == "false"
+    assert int(conf["spark.sql.shuffle.partitions"]) >= 8
     conf = tune_for_tables(spark, str(tmp_path), ["tiny", "big"])
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert conf["spark.sql.shuffle.partitions"] == os.environ.get(
@@ -97,14 +109,18 @@ def test_tune_for_tables_missing_table_falls_back(spark, tmp_path):
         tune_for_tables,
     )
 
+    from hrdp_variant_load_pipeline_spark.session import MEDIUM_INPUT_BYTES
+
     big = tmp_path / "big.parquet"
     big.mkdir()
-    (big / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
+    with open(big / "part-0", "wb") as f:  # sparse: size without the bytes
+        f.truncate(MEDIUM_INPUT_BYTES + 1)
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         conf = tune_for_tables(spark, str(tmp_path), ["nonexistent"])
     assert any("not found" in str(x.message) for x in w)
-    # the dir holds > SMALL_INPUT_BYTES, so the fallback picks the
+    # the dir holds > MEDIUM_INPUT_BYTES, so the fallback picks the
     # cluster profile — the opposite of the 0-byte small-profile cliff
     assert conf["spark.sql.adaptive.enabled"] == "true"
+    _ = SMALL_INPUT_BYTES
