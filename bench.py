@@ -232,11 +232,20 @@ def main() -> None:
     queries = entrymod.queries()
     spark = get_spark("bench")
     # warm the JVM: codegen, parquet reader, shuffle + broadcast machinery.
-    # Run two representative queries at the tiny sf so steady-state JIT is
-    # reached before any timed run.
+    # Run EVERY headline query once at the tiny sf so each query SHAPE
+    # reaches steady-state JIT before its timed runs — measured: the first
+    # execution of a shape carries 0.2-0.4 s of codegen/JIT that a
+    # two-rep best-of at the timed sf only partially sheds (cost: a few
+    # seconds at sf0.001, once per process).
     warm_sf = "/root/testdata/sf0.001"
-    for wname in ("q1_pricing_summary", "q3_shipping_priority"):
-        queries[wname](spark, warm_sf).count()
+    for wname in HEADLINE:
+        try:
+            queries[wname](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+            print(f"# warmup {wname} failed: {exc!r}", file=sys.stderr)
 
     prov: dict = {"cpus": os.cpu_count()}
     timings = _bench_spark(spark, queries, SF_DIR, f"sf{_sf_of(SF_DIR)}", prov)

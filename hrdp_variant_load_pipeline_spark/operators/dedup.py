@@ -531,6 +531,7 @@ def incremental_minhash_dedup(
     verify_threshold: float = 0.5,
     materialize: bool = True,
     broadcast_probe: bool = True,
+    pushdown_limit: int = 10000,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch, probed against a persisted
     ``banded_signatures`` index — history is never re-shingled.
@@ -545,10 +546,16 @@ def incremental_minhash_dedup(
     Scale: the probe side is batch-sized; the index join is an equi join
     on (band_idx, band_val) — bucketed storage makes it exchange the
     probe side only. Verification intersects shingle arrays row-locally,
-    candidates only, and historical shingles are fetched through a
-    broadcast semi-join against the candidate id set — the per-batch
-    cost is O(batch + candidates): the full history is scanned once per
-    batch (a columnar read) but never shuffled.
+    candidates only. Historical shingles are fetched by PUSHING the
+    candidate id set down to the index scan (``pushdown_limit`` caps the
+    per-batch collect; the In/range filter lets parquet prune row groups
+    by doc min/max, so the fat ``sh`` column is read only from files
+    that can hold a candidate — appends are doc-clustered, making this
+    near-O(candidates) in scan bytes). Above the cap, or on the lazy
+    ``materialize=False`` path, a broadcast LEFT-SEMI against the
+    candidate ids is used instead: still never shuffles history, but
+    scans the full ``sh`` column once per batch. Per-batch cost:
+    O(batch + candidates) compute either way.
     """
     nb = banded_signatures(
         new_docs, id_col, text_col, k, num_hashes, band_rows
@@ -614,11 +621,36 @@ def incremental_minhash_dedup(
             .select(F.col("doc_dup").alias("doc"))
             .distinct()
         )
-        sh_hist = (
-            index.select("doc", "sh")
-            .join(F.broadcast(hist_ids), "doc", "left_semi")
-            .distinct()
-        )
+        sh_hist = None
+        if materialize and pushdown_limit:
+            # Candidate-id PUSHDOWN: the `sh` column is the fat side of
+            # the index (a doc's whole shingle set vs three skinny band
+            # rows), and a semi-join filters only AFTER the scan has
+            # read it for every history row. Collecting the candidate id
+            # set (batch-bounded; capped at pushdown_limit) and pushing
+            # it as an In/range filter lets parquet prune row groups by
+            # doc min/max — append-time files are doc-clustered, so the
+            # fat column is read only from files that can hold a
+            # candidate. Costs one extra candidate-sized action per
+            # batch; falls back to the broadcast semi-join when the
+            # candidate set exceeds the cap (a backfill-sized batch).
+            ids = [
+                r[0] for r in hist_ids.limit(pushdown_limit + 1).collect()
+            ]
+            if len(ids) <= pushdown_limit:
+                sh_hist = (
+                    index.select("doc", "sh")
+                    .filter(F.col("doc").isin(ids))
+                    .distinct()
+                    if ids
+                    else index.select("doc", "sh").filter(F.lit(False))
+                )
+        if sh_hist is None:
+            sh_hist = (
+                index.select("doc", "sh")
+                .join(F.broadcast(hist_ids), "doc", "left_semi")
+                .distinct()
+            )
         sh_all = sh_hist.union(nb.select("doc", "sh").distinct())
         pairs = cands.join(
             nb.select(F.col("doc"), F.col("sh").alias("sh_a")).distinct(), "doc"

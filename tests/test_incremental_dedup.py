@@ -126,3 +126,50 @@ def test_banded_signatures_skip_shingleless_docs(spark):
     rows = banded_signatures(d, "doc_id", "text").collect()
     assert {r.doc for r in rows} == {2}
     assert all(r.band_val is not None for r in rows)
+
+
+def test_pushdown_and_semi_join_paths_agree(spark, tmp_path):
+    """The candidate-id pushdown path (default) and the broadcast
+    semi-join fallback (pushdown_limit=0) must emit identical pairs."""
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(i, f"w{i} " * 3 + "a b c d e f g") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, "w3 w3 w3 a b c d e f g"), (102, "fresh text nothing shared")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    banded_signatures(hist, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    def rows(**kw):
+        return sorted(
+            (r.doc_new, r.doc_dup, r.jaccard, r.source)
+            for r in incremental_minhash_dedup(
+                batch, index, "doc_id", "text", verify_threshold=0.3, **kw
+            ).collect()
+        )
+
+    assert rows() == rows(pushdown_limit=0)
+    assert rows()  # the probe really found something
+
+
+def test_pushdown_filter_reaches_the_parquet_scan(spark, tmp_path):
+    """The shingle fetch built on the pushdown path must show the
+    candidate In filter in PushedFilters — that is what lets parquet
+    prune row groups by doc min/max so the fat sh column is read only
+    from files that can hold a candidate."""
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(5)], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "idx")
+    banded_signatures(hist, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    scan = index.select("doc", "sh").filter(F.col("doc").isin([1, 3]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc" in plan, plan

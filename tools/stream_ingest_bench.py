@@ -9,8 +9,10 @@ trigger latency from the query's own progress events. Run at two history
 sizes (10x apart); a flat curve (±20%) is the pass criterion — an
 O(history) probe would show ~10x.
 
-Usage: python tools/stream_ingest_bench.py [small_history] [large_history]
-Prints one JSON line.
+Usage: python tools/stream_ingest_bench.py [small] [large] [xlarge]
+(histories; default 2000 20000 0 — pass a third 10x point, e.g. 200000,
+to pin the candidate-pushdown scan claim across two decades). Prints one
+JSON line.
 """
 
 from __future__ import annotations
@@ -105,6 +107,7 @@ def run_one(spark, history_n: int) -> dict:
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     large = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    xlarge = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from hrdp_variant_load_pipeline_spark.session import get_spark
 
     spark = get_spark()
@@ -112,17 +115,20 @@ def main() -> None:
     r_small = run_one(spark, small)
     r_large = run_one(spark, large)
     ratio = r_large["median_warm_sec"] / max(r_small["median_warm_sec"], 1e-9)
-    print(
-        json.dumps(
-            {
-                "metric": "stream_ingest_per_batch",
-                "small": r_small,
-                "large": r_large,
-                "large_over_small": round(ratio, 3),
-                "flat_within_20pct": 0.8 <= ratio <= 1.2,
-            }
-        )
-    )
+    out = {
+        "metric": "stream_ingest_per_batch",
+        "small": r_small,
+        "large": r_large,
+        "large_over_small": round(ratio, 3),
+        "flat_within_20pct": 0.8 <= ratio <= 1.2,
+    }
+    if xlarge:
+        r_x = run_one(spark, xlarge)
+        out["xlarge"] = r_x
+        xr = r_x["median_warm_sec"] / max(r_small["median_warm_sec"], 1e-9)
+        out["xlarge_over_small"] = round(xr, 3)
+        out["flat_two_decades_within_50pct"] = xr <= 1.5
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
