@@ -63,6 +63,50 @@ def test_full_corpus_pipeline(spark, tmp_path):
     assert para.count() == n_unique
     assert para.filter(F.col("text") == "").count() == 0
 
+    # 2c. repeated-span (substring-level) dedup: the low-vocabulary
+    # fixture DOES share >= 12-word spans across docs (word-soup texts),
+    # so the operator genuinely fires here — every doc row survives
+    # (empty-text docs included: the caller decides to drop), the corpus
+    # only shrinks, and a second pass removes nothing more (survivor
+    # spans are unique by construction)
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    span = repeated_span_dedup(unique, "doc_id", "text", k=12)
+    assert span.count() == n_unique
+    tokens_before = unique.select(
+        F.sum(F.size(F.split("text", r"\s+")))
+    ).collect()[0][0]
+    tokens_after = span.select(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")))
+    ).collect()[0][0]
+    assert 0 < tokens_after < tokens_before  # it fired, and kept most
+    span2 = repeated_span_dedup(span, "doc_id", "text", k=12)
+    assert (
+        span2.select(F.md5(F.concat_ws("|", "doc_id", "text")).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+        .collect()
+        == span.select(F.md5(F.concat_ws("|", "doc_id", "text")).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+        .collect()
+    )
+
+    # 2d. LM-score gate (the CCNet chain): counts from the surviving
+    # corpus itself; every doc gets a finite score, and the gate keeps a
+    # non-trivial fraction
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    counts = ngram_counts(unique, "text", n=2, min_count=2)
+    lm = lm_doc_score(unique, "doc_id", "text", counts)
+    assert lm.filter(F.col("lm_logprob").isNull()).count() == 0
+    cutoff = lm.approxQuantile("lm_logprob", [0.1], 0.01)[0]
+    lm_kept = lm.filter(F.col("lm_logprob") >= cutoff)
+    assert 0 < lm_kept.count() <= n_unique
+
     # 3. decontaminate against a pseudo eval set (docs 0 mod 10)
     bench = unique.filter(F.col("doc_id") % 10 == 0)
     corpus = decontaminate(
