@@ -209,3 +209,51 @@ def test_repeated_span_dedup_short_docs_and_sub_k_repeats_survive(spark):
     out = {r.doc_id: r.text for r in repeated_span_dedup(docs, "doc_id", "text", k=5).collect()}
     # 2-word docs hold no 5-gram window: nothing is removable
     assert out == {1: "tiny doc", 2: "tiny doc", 3: ""}
+
+
+def test_span_and_paragraph_dedup_plan_shapes(spark):
+    """Scale-contract guards: both corpus-wide dedups are linear chains
+    of hash aggregates/joins — no cartesian product, no broadcast of a
+    corpus-sized side forced by hint, and the sparse-cosine query path
+    (tfidf battery shape) broadcasts only the query side."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+        repeated_span_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i} end") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for out in (
+        paragraph_dedup(docs, "doc_id", "text", sep=" ", min_chars=3),
+        repeated_span_dedup(docs, "doc_id", "text", k=4),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparse_cosine_broadcasts_query_side_only(spark):
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        build_vocab,
+        sparse_cosine_pairs,
+        tfidf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, "text").localCheckpoint()
+    vecs = tfidf_vectors(docs, "doc_id", "text", vocab, n_docs=10).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    pairs = sparse_cosine_pairs(vecs, vecs.filter(F.col("doc_id") < 2), "doc_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the corpus (a) side must not be exchanged: query side rides one
+    # broadcast into a nested-loop (cross) join, dot product is row-local
+    assert "BroadcastExchange" in plan
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
