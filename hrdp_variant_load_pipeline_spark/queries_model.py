@@ -358,6 +358,7 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
 # reassembly, empty-doc coalesce).
 _CS_SEP = " "
 _CS_MINCH = 4
+_CS_SPAN_K = 6
 _CS_VOCAB = 50
 _CS_NG_MIN = 5
 _CS_NG_TOP = 20
@@ -424,6 +425,35 @@ cospairs AS (
   WHERE b.doc_id < {_CS_TFIDF_Q} AND a.doc_id <> b.doc_id
   GROUP BY 1, 2),
 
+sw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), 1) AS idx,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents),
+swv AS (
+  SELECT doc_id, idx,
+         md5(string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY idx
+             ROWS BETWEEN CURRENT ROW AND {_CS_SPAN_K - 1} FOLLOWING)) AS h,
+         n
+  FROM sw QUALIFY idx <= n - {_CS_SPAN_K} + 1),
+sanch AS (SELECT h FROM swv GROUP BY h HAVING count(*) >= 2),
+scanon AS (SELECT doc_id, idx, h,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+           FROM swv),
+sdup AS (SELECT c.doc_id, c.idx FROM scanon c JOIN sanch USING (h) WHERE rn > 1),
+scov AS (SELECT DISTINCT d.doc_id, d.idx + g.i AS idx
+         FROM sdup d, generate_series(0, {_CS_SPAN_K - 1}) g(i)),
+skept AS (SELECT s.doc_id, s.idx, s.word
+          FROM sw s LEFT JOIN scov c ON s.doc_id = c.doc_id AND s.idx = c.idx
+          WHERE c.doc_id IS NULL),
+srebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS new_text
+             FROM skept GROUP BY doc_id),
+spand AS (
+  SELECT d.doc_id AS k, md5(coalesce(r.new_text, '')) AS s,
+         length(coalesce(r.new_text, ''))::BIGINT AS n
+  FROM documents d LEFT JOIN srebuilt r USING (doc_id)),
+
 lmcnt AS (SELECT w1, w2, c FROM ngc WHERE c >= {_CS_LM_MIN}),
 lmctx AS (SELECT w1, sum(c) AS cc FROM lmcnt GROUP BY w1),
 lmv AS (SELECT (count(DISTINCT w2) + 1)::DOUBLE AS v FROM lmcnt),
@@ -438,6 +468,8 @@ lmsc AS (
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
 UNION ALL
+SELECT 'spandedup', k, s, n, NULL FROM spand
+UNION ALL
 SELECT 'ngram', NULL, s, n, NULL FROM ngtop
 UNION ALL
 SELECT 'tfidf', id_a, NULL, id_b, cosine FROM cospairs
@@ -449,7 +481,10 @@ SELECT 'lmscore', doc_id, NULL, NULL, lp FROM lmsc
 
 @q("corpus_stats_battery", _CORPUS_STATS_SQL)
 def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
-    from hrdp_variant_load_pipeline_spark.operators.dedup import paragraph_dedup
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        paragraph_dedup,
+        repeated_span_dedup,
+    )
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
         build_vocab,
         lm_doc_score,
@@ -468,6 +503,15 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
     parad = deduped.select(
         F.lit("paradedup").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.md5("text").alias("s"),
+        F.length("text").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("x"),
+    )
+
+    spanded = repeated_span_dedup(docs, "doc_id", "text", k=_CS_SPAN_K)
+    spand = spanded.select(
+        F.lit("spandedup").alias("component"),
         F.col("doc_id").alias("k"),
         F.md5("text").alias("s"),
         F.length("text").cast("long").alias("n"),
@@ -512,7 +556,12 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lm_logprob").alias("x"),
     )
 
-    return parad.unionByName(ngtop).unionByName(cos).unionByName(lm)
+    return (
+        parad.unionByName(spand)
+        .unionByName(ngtop)
+        .unionByName(cos)
+        .unionByName(lm)
+    )
 
 
 # -------------------------------------------------- iterative + timeseries
