@@ -416,3 +416,41 @@ def lang_predict_trigram(
     # it simple and deterministic: highest score, then lexicographically
     # LARGEST lang. Documented determinism is what matters for replay.
     return F.array_max(F.array(*scored))["lang"]
+
+
+def compression_ratio(df, text_col: str, out_col: str = "compression_ratio"):
+    """zlib compressed-size / raw-size per document — the classic
+    "too repetitive / too random" quality signal (Gopher-family rules):
+    boilerplate and looped spam compress far below normal prose (< ~0.3),
+    while base64/random noise refuses to compress (→ 1.0). Empty docs
+    get null.
+
+    Row-local, data-dependent byte work — the sanctioned Arrow-batched
+    pandas path (a zlib pass cannot be expressed in codegen). The corpus
+    never shuffles; output is the input frame + ``out_col`` (double,
+    4 decimals).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = df.columns
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            vals = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    vals.append(None)
+                else:
+                    vals.append(round(len(zlib.compress(raw, 6)) / len(raw), 4))
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    # fresh StructType: .add mutates the input frame's schema in place
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    return df.mapInPandas(comp, schema)

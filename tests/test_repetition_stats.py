@@ -251,3 +251,39 @@ def test_train_lang_profiles_identical_corpora_yield_empty_profiles(spark):
     prof = train_lang_profiles(d, "text", "lang", top_n=10)
     assert set(prof) == {"aa", "bb"}
     assert prof["aa"] == {} and prof["bb"] == {}
+
+
+def test_compression_ratio_separates_spam_noise_prose(spark):
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        compression_ratio,
+    )
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 200),                       # looped spam
+            (2, noise),                                  # incompressible
+            (3, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet field toward the river " * 4),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.compression_ratio for r in compression_ratio(docs, "text").collect()}
+    assert out[1] < 0.1            # spam compresses to almost nothing
+    assert out[2] > 0.6            # noise barely compresses
+    assert out[1] < out[3] < out[2]  # prose sits between
+    assert out[4] is None
+    # row-local: no exchange in the plan
+    plan = (
+        compression_ratio(docs, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
