@@ -574,6 +574,8 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
 _ITS_ITER = 5
 _ITS_DAMP = 0.85
 _ITS_STEP_S = 21600  # 6 hours
+_ITS_LR = 0.5
+_ITS_LOGREG_ITER = 2
 
 
 def _pagerank_unrolled_sql(n_iter: int, damp: float) -> str:
@@ -612,6 +614,32 @@ r{k + 1} AS (SELECT vs.v,
 _ITS_SQL = f"""
 WITH {_pagerank_unrolled_sql(_ITS_ITER, _ITS_DAMP)},
 pr AS (SELECT v AS k, round(rank, 6) AS x FROM r{_ITS_ITER}),
+
+feat AS (SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 1.0 ELSE 0.0 END AS y,
+                o_totalprice AS f1, (o_orderkey % 7)::DOUBLE AS f2
+         FROM orders),
+st AS (SELECT avg(f1) AS mu1, stddev_pop(f1) AS sd1,
+              avg(f2) AS mu2, stddev_pop(f2) AS sd2,
+              count(*)::DOUBLE AS n
+       FROM feat),
+zz AS (SELECT y, (f1 - mu1) / sd1 AS z1, (f2 - mu2) / sd2 AS z2 FROM feat, st),
+g0 AS (SELECT sum((0.5 - y) * z1) AS g1, sum((0.5 - y) * z2) AS g2,
+              sum(0.5 - y) AS gb
+       FROM zz),
+wt1 AS (SELECT -{_ITS_LR} * g0.g1 / st.n AS w1, -{_ITS_LR} * g0.g2 / st.n AS w2,
+               -{_ITS_LR} * g0.gb / st.n AS b
+        FROM g0, st),
+g1 AS (SELECT sum((1.0 / (1.0 + exp(-(wt1.w1 * z1 + wt1.w2 * z2 + wt1.b))) - y) * z1) AS g1,
+              sum((1.0 / (1.0 + exp(-(wt1.w1 * z1 + wt1.w2 * z2 + wt1.b))) - y) * z2) AS g2,
+              sum(1.0 / (1.0 + exp(-(wt1.w1 * z1 + wt1.w2 * z2 + wt1.b))) - y) AS gb
+       FROM zz, wt1 GROUP BY wt1.w1, wt1.w2, wt1.b),
+wt2 AS (SELECT wt1.w1 - {_ITS_LR} * g1.g1 / st.n AS w1,
+               wt1.w2 - {_ITS_LR} * g1.g2 / st.n AS w2,
+               wt1.b - {_ITS_LR} * g1.gb / st.n AS b
+        FROM wt1, g1, st),
+logreg AS (SELECT 0::BIGINT AS k, round(w1, 6) AS x FROM wt2
+           UNION ALL SELECT 1, round(w2, 6) FROM wt2
+           UNION ALL SELECT 2, round(b, 6) FROM wt2),
 
 p AS (SELECT user_id AS key, ts, value FROM events
       WHERE event_type = 'purchase'),
@@ -664,6 +692,8 @@ FROM pr
 UNION ALL
 SELECT 'resample', key, bt, floor(val * 10000 + 0.5) / 10000, observed
 FROM rs
+UNION ALL
+SELECT 'logreg', k, NULL, x, NULL FROM logreg
 """
 
 
@@ -708,4 +738,34 @@ def iterative_ts_battery(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000).alias("x"),
         F.col("observed").alias("b"),
     )
-    return pr.unionByName(rs)
+    # third component: 2-iteration unrolled logistic regression (the
+    # distributed trainer vs the oracle's hand-unrolled gradient steps —
+    # full-batch GD is exactly reproducible at fixed iteration count)
+    from hrdp_variant_load_pipeline_spark.operators.classifier import train_logreg
+
+    o = table(spark, sf, "orders")
+    feat = o.select(
+        F.when(F.col("o_orderpriority").startswith("1-"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        F.col("o_totalprice").alias("f1"),
+        (F.col("o_orderkey") % 7).cast("double").alias("f2"),
+    )
+    model = train_logreg(
+        feat, ["f1", "f2"], "y", n_iter=_ITS_LOGREG_ITER, lr=_ITS_LR
+    )
+    lr_rows = spark.createDataFrame(
+        [
+            (0, round(model["weights"]["f1"], 6)),
+            (1, round(model["weights"]["f2"], 6)),
+            (2, round(model["bias"], 6)),
+        ],
+        "k long, x double",
+    ).select(
+        F.lit("logreg").alias("component"),
+        "k",
+        F.lit(None).cast("timestamp").alias("t"),
+        "x",
+        F.lit(None).cast("boolean").alias("b"),
+    )
+    return pr.unionByName(rs).unionByName(lr_rows)
