@@ -37,6 +37,18 @@ def normalize_url(url: Column) -> Column:
     """
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = url_host(url)
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:(\d+)", 1
+    )
+    # non-default ports are a DIFFERENT endpoint and must survive; only
+    # the scheme default collapses into the canonical form
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    hostport = F.when(
+        keep_port, F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
     rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/?#]*([^#]*)", 1)
     # split path?query, scrub tracking params, reassemble
     path = F.when(
@@ -55,7 +67,7 @@ def normalize_url(url: Column) -> Column:
     out = F.concat(
         scheme,
         F.lit("://"),
-        host,
+        hostport,
         path_norm,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )

@@ -555,7 +555,10 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
            round(ln(p_partkey + 1)::DOUBLE, 4) AS ln_key,
            sign(p_size - 25)::INT AS sgn,
            greatest(p_partkey % 5, p_partkey % 3) AS gmax,
-           least(p_partkey % 5, p_partkey % 3) AS lmin
+           least(p_partkey % 5, p_partkey % 3) AS lmin,
+           'https://www.site' || (p_partkey % 5) || '.co.uk/p/' || p_partkey
+             || '?ref=' || (p_partkey % 3) AS url_norm,
+           'site' || (p_partkey % 5) || '.co.uk' AS url_domain
     FROM part
     ),
     d AS (
@@ -574,6 +577,19 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.functions import url as _url_fns
+
+    def _messy_url(key):
+        return F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (key % 5).cast("string"),
+            F.lit(".CO.UK:443/p/"),
+            key.cast("string"),
+            F.lit("?utm_campaign=x&ref="),
+            (key % 3).cast("string"),
+            F.lit("&utm_id=1"),
+        )
+
     p = table(spark, sf, "part")
     k = F.col("p_partkey")
     price = F.col("p_retailprice")
@@ -597,6 +613,13 @@ def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.signum(F.col("p_size") - 25).cast("int").alias("sgn"),
         F.greatest(k % 5, k % 3).alias("gmax"),
         F.least(k % 5, k % 3).alias("lmin"),
+        # URL canonicalization rows: the raw url is deliberately messy
+        # (upper-case scheme/host, default port, interleaved tracking
+        # params) and the ORACLE writes the EXPECTED canonical string in
+        # closed form — an independent expectation, not a port of the
+        # implementation
+        _url_fns.normalize_url(_messy_url(k)).alias("url_norm"),
+        _url_fns.registered_domain(_messy_url(k)).alias("url_domain"),
     )
     li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
     d = li.select(

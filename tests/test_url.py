@@ -34,6 +34,23 @@ def test_normalize_url_canonicalizes(spark):
     assert got[3] is None and got[4] is None
 
 
+def test_normalize_url_port_handling(spark):
+    got = _apply(
+        spark,
+        normalize_url,
+        [
+            "https://Ex.com:443/a",   # scheme default: stripped
+            "http://ex.com:80/a",
+            "https://ex.com:8443/a",  # non-default: a DIFFERENT endpoint
+        ],
+    )
+    assert got == [
+        "https://ex.com/a",
+        "http://ex.com/a",
+        "https://ex.com:8443/a",
+    ]
+
+
 def test_host_strips_credentials_and_port(spark):
     got = _apply(
         spark,
