@@ -432,7 +432,11 @@ def compression_ratio(df, text_col: str, out_col: str = "compression_ratio"):
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    cols = df.columns
+    if out_col in df.columns:
+        raise ValueError(
+            f"compression_ratio: output column {out_col!r} already exists "
+            "on the input — pass a different out_col"
+        )
 
     def comp(batches):
         import zlib

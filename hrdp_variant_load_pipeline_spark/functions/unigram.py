@@ -143,24 +143,22 @@ def learn_unigram(
                 )
             ).alias("piece"),
         )
-        seed = (
-            subs.groupBy("piece")
-            .agg(F.sum("freq").alias("w"))
-            .orderBy(F.desc("w"), F.asc("piece"))
-            .limit(seed_size)
-        )
-        chars = (
-            subs.filter(F.length("piece") == 1)
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("w"))
-        )
-        seeded = (
-            seed.unionByName(chars)
-            .groupBy("piece")
-            .agg(F.max("w").alias("w"))
-        )
-        # model-sized collect: <= seed_size + alphabet rows
-        rows = seeded.collect()
+        # ONE aggregate over the substring explosion feeds both the top-k
+        # seed and the always-kept single characters (a second pass would
+        # re-run the dominant O(word_len × max_piece_len) explode)
+        allp = subs.groupBy("piece").agg(F.sum("freq").alias("w")).persist()
+        try:
+            seed = allp.orderBy(F.desc("w"), F.asc("piece")).limit(seed_size)
+            chars = allp.filter(F.length("piece") == 1)
+            seeded = (
+                seed.unionByName(chars)
+                .groupBy("piece")
+                .agg(F.max("w").alias("w"))
+            )
+            # model-sized collect: <= seed_size + alphabet rows
+            rows = seeded.collect()
+        finally:
+            allp.unpersist()
         total = sum(r["w"] for r in rows)
         logp = {r["piece"]: math.log(r["w"] / total) for r in rows}
 
@@ -231,12 +229,16 @@ def unigram_tokenize(
     word's pieces reproduces the word — tested)."""
     import pandas as pd  # noqa: F401
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"unigram_tokenize: output column {out_col!r} already exists "
+            "on the input — pass a different out_col"
+        )
     spark = df.sparkSession
     logp = {
         r["piece"]: r["logprob"] for r in pieces.select("piece", "logprob").collect()
     }
     b_logp = spark.sparkContext.broadcast(logp)
-    cols = df.columns
 
     def tok(batches):
         import pandas as _pd

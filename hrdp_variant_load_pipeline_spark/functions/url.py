@@ -50,11 +50,12 @@ def normalize_url(url: Column) -> Column:
         keep_port, F.concat(host, F.lit(":"), port)
     ).otherwise(host)
     rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/?#]*([^#]*)", 1)
-    # split path?query, scrub tracking params, reassemble
-    path = F.when(
-        F.instr(rest, "?") > 0, F.substring_index(rest, "?", 1)
-    ).otherwise(rest)
-    query = F.when(F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)).otherwise(
+    # split path?query at the FIRST '?', scrub tracking params,
+    # reassemble (substring_index with -1 would split at the LAST '?'
+    # and silently drop everything between two question marks)
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0, F.substr(rest, F.lit(1), qpos - 1)).otherwise(rest)
+    query = F.when(qpos > 0, F.substr(rest, qpos + 1, F.length(rest))).otherwise(
         F.lit("")
     )
     kept_params = F.filter(

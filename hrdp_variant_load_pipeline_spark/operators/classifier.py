@@ -108,5 +108,10 @@ def quality_classifier_score(
 ) -> tuple[DataFrame, dict]:
     """Convenience composition: train on ``labeled``, score ``df``;
     returns (scored frame, model)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"quality_classifier_score: output column {out_col!r} already "
+            "exists on the input — pass a different out_col"
+        )
     model = train_logreg(labeled, feature_cols, label_col, **train_kw)
     return df.withColumn(out_col, apply_logreg(model)), model

@@ -296,6 +296,12 @@ def lm_doc_score(
     Output: input columns + ``out_col`` (double, rounded to 6; null only
     for null text).
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"lm_doc_score: output column {out_col!r} already exists on "
+            "the input — pass a different out_col (duplicate names are "
+            "ambiguous downstream)"
+        )
     ctx = counts.groupBy(F.slice("gram", 1, n - 1).alias("__ctx")).agg(
         F.sum("count").alias("__ctx_count")
     )

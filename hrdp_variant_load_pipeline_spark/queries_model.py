@@ -518,7 +518,12 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("x"),
     )
 
-    ng = ngram_counts(docs, "text", n=2, min_count=_CS_NG_MIN)
+    # ONE bigram explode+aggregate feeds both the LM counts and (via a
+    # filter — _CS_NG_MIN >= _CS_LM_MIN) the top-rows component; two
+    # ngram_counts calls would pay the corpus-wide Generate+HashAggregate
+    # twice in the same action
+    counts = ngram_counts(docs, "text", n=2, min_count=_CS_LM_MIN)
+    ng = counts.filter(F.col("count") >= _CS_NG_MIN)
     ngtop = (
         ng.select(F.array_join("gram", " ").alias("s"), F.col("count").alias("n"))
         .orderBy(F.desc("n"), F.asc("s"))
@@ -547,7 +552,6 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cosine").alias("x"),
     )
 
-    counts = ngram_counts(docs, "text", n=2, min_count=_CS_LM_MIN)
     lm = lm_doc_score(docs, "doc_id", "text", counts).select(
         F.lit("lmscore").alias("component"),
         F.col("doc_id").alias("k"),

@@ -145,16 +145,34 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     to an RDD (`df.rdd` forces a full plan-to-RDD translation per call —
     cheap, but measurable on sub-second headline queries).
 
-    Replicates Spark's FilePartition packing arithmetic: each file is
-    charged ``openCostInBytes``, the split size is
-    ``min(maxPartitionBytes, max(openCost, totalBytes/parallelism))``,
-    and partitions ≈ ceil(total/splitSize). Only local ``file:`` paths
-    can be stat'ed; any other scheme (or a non-file source, e.g.
-    ``spark.range``/in-memory) returns None and the caller falls back to
-    the RDD probe. Accurate for scan-stage frames (scan + narrow
-    projections/filters) — a frame that already contains an exchange
-    reflects that exchange's count only via the fallback path.
+    Approximates Spark's FilePartition packing arithmetic: each file is
+    charged ``size + openCostInBytes`` (Spark's totalBytes), the split
+    size is ``min(maxPartitionBytes, max(openCost,
+    totalBytes/parallelism))``, and partitions ≈ ceil(total/splitSize).
+    Only SCAN-STAGE frames qualify — ``inputFiles()`` returns the leaf
+    files of EVERY plan input, so a frame containing a join, aggregate,
+    window, or explicit repartition would mis-estimate (e.g. a
+    batch ⋈ history anti-join would count the whole history store);
+    those plans, non-``file:`` schemes, and non-file sources all return
+    None and the caller falls back to the RDD probe.
     """
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    if any(
+        tok in analyzed
+        for tok in (
+            "Join",
+            "Aggregate",
+            "Repartition",
+            "Window",
+            "Sort",
+            "Deduplicate",
+            "Union",
+        )
+    ):
+        return None
     try:
         files = df.inputFiles()
     except Exception:
@@ -168,6 +186,7 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     open_cost = _parse_byte_conf(
         conf.get("spark.sql.files.openCostInBytes", "4m"), 4 << 20
     )
+    sizes = []
     total = 0
     for f in files:
         if not f.startswith("file:"):
@@ -176,12 +195,32 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         while p.startswith("//"):
             p = p[1:]
         try:
-            total += max(os.path.getsize(p), open_cost)
+            sz = os.path.getsize(p)
         except OSError:
             return None
+        sizes.append(sz)
+        total += sz + open_cost
     par = max(1, df.sparkSession.sparkContext.defaultParallelism)
     split = min(max_pb, max(open_cost, total // par + 1))
-    return max(1, -(-total // split))
+    # mirror FilePartition.getFilePartitions: cut each file into
+    # <=split-sized pieces, then greedily pack pieces (desc) into bins,
+    # charging openCost per piece and closing a bin when the next piece
+    # alone would overflow it
+    pieces = []
+    for sz in sizes:
+        while sz > split:
+            pieces.append(split)
+            sz -= split
+        pieces.append(sz)
+    pieces.sort(reverse=True)
+    bins = 0
+    cur = split + 1  # forces the first piece to open a bin
+    for sz in pieces:
+        if cur + sz > split:
+            bins += 1
+            cur = 0
+        cur += sz + open_cost
+    return max(1, bins)
 
 
 def spread_for_cpu(df: DataFrame, parts: int | None = None) -> DataFrame:

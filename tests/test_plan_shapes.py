@@ -277,14 +277,29 @@ def test_spread_for_cpu_file_scan_estimate_matches_rdd(spark):
         table,
     )
 
+    import os as _os
+
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
     est = _estimated_scan_partitions(docs)
     assert est is not None
     assert est == docs.rdd.getNumPartitions()
+    # multi-file staging, if present on this host: estimate must still
+    # agree with the RDD probe (packing arithmetic, not file count)
+    sf1_li = "/root/repo/benchdata/sf1/lineitem.parquet"
+    if _os.path.isdir(sf1_li):
+        li = spark.read.parquet(sf1_li).select("l_orderkey")
+        assert _estimated_scan_partitions(li) == li.rdd.getNumPartitions()
     spreaded = spread_for_cpu(docs, parts=8)
     assert spreaded is not docs  # single row-group file -> repaired
     # non-file frames fall back to the RDD probe, never crash
     assert _estimated_scan_partitions(spark.range(10)) is None
+    # join-containing frames must NOT use the leaf-file estimate (it
+    # would count every input's files — e.g. a batch anti-joined against
+    # a big store would look wide); they fall back to the RDD probe
+    joined = docs.join(
+        table(spark, SF_DIR, "documents").select("doc_id"), "doc_id", "left_anti"
+    )
+    assert _estimated_scan_partitions(joined) is None
 
 
 def test_events_user_trend_is_pure_aggregate(spark):
