@@ -49,35 +49,26 @@ def get_spark(
     return spark
 
 
-#: inputs below this are "small": the whole dataset fits a handful of
-#: shuffle partitions and AQE's stage-by-stage re-planning costs more
-#: latency than it saves. Round-8 re-measurement at sf1 (190 MB)
-#: revised the r5 crossover: AQE-off/half-cores beats AQE-on/cores on
-#: EVERY headline row there too (q1 0.47→0.19, q3 1.09→0.64,
-#: q5 1.16→0.79, join_semi 0.84→0.60, asof 0.56→0.32), so a MEDIUM
-#: tier now covers tens-of-MB..1 GiB and the AQE cluster profile starts
-#: where runtime re-planning actually amortizes (multi-GiB, many stages
-#: of many tasks each — the regime a real cluster runs in).
+#: retained for callers/tests that reason about "tiny" inputs; the
+#: profile itself no longer special-cases them (see below)
 SMALL_INPUT_BYTES = 16 * 1024**2
-#: medium/cluster boundary: below this, per-stage AQE latency (~0.1 s a
-#: stage on local[32]) still dominates sub-second queries
+#: local/cluster boundary. Round-8 re-measurement with FULL-shape JIT
+#: warmup revised both earlier crossovers: AQE-off/half-cores beats
+#: AQE-on/cores at sf1 (q1 0.47→0.19, q3 1.09→0.64, q5 1.16→0.79,
+#: join_semi 0.84→0.60, asof 0.56→0.32) AND beats the old 4 MiB-target
+#: few-partition profile at sf0.1 on every row measured — including
+#: 2 MB events inputs (tumbling 0.161→0.140, insert 0.60→0.48,
+#: agg_distinct 0.66→0.53, minhash 1.03→0.81). The r5 "tiny inputs want
+#: ~4 partitions" result was confounded with cold-JIT first executions;
+#: warmed, more parallelism wins at every local size. The AQE cluster
+#: profile starts where runtime re-planning amortizes (multi-GiB, many
+#: stages of many tasks each — the regime a real cluster runs in).
 MEDIUM_INPUT_BYTES = 1024**3
-#: sized so shuffle-expanding operators (shingling, explodes) keep full
-#: core parallelism well before the input reaches SMALL_INPUT_BYTES,
-#: while a tens-of-MB input gets a handful of tasks instead of cores²
-_TARGET_SHUFFLE_PARTITION_BYTES = 4 * 1024**2
 
 
 def _profile_for_size(size: int, default_sp: int) -> dict[str, str]:
     """Map an input byte count to the runtime profile (see
     ``tune_for_input`` for the measured rationale)."""
-    if size < SMALL_INPUT_BYTES:
-        return {
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": str(
-                max(4, min(default_sp, size // _TARGET_SHUFFLE_PARTITION_BYTES))
-            ),
-        }
     if size < MEDIUM_INPUT_BYTES:
         return {
             "spark.sql.adaptive.enabled": "false",
@@ -116,13 +107,11 @@ def tune_for_input(spark: SparkSession, input_dir: str) -> dict[str, str]:
     more tasks than there are bytes. A cost-based engine picks these per
     plan; this is the same decision made once per input dataset:
 
-    * small input (< ``SMALL_INPUT_BYTES``): AQE off, shuffle partitions
-      sized at ``_TARGET_SHUFFLE_PARTITION_BYTES`` (4 MiB) each — small so
-      shuffle-expanding operators keep parallelism — floored at 4, capped
-      at the core count;
-    * medium input (< ``MEDIUM_INPUT_BYTES``): AQE off, half the cores —
-      measured best across the sf1 headline set (full-cores over-schedules
-      sub-second shuffles; AQE's stage barriers add ~0.1 s each);
+    * local input (< ``MEDIUM_INPUT_BYTES``): AQE off, half the cores —
+      measured best at BOTH sf0.1 and sf1 once every query shape is
+      JIT-warm (full-cores over-schedules sub-second shuffles; AQE's
+      stage barriers add ~0.1 s each; fewer-than-8 partitions starves
+      shuffle-expanding operators);
     * large input: the cluster profile — AQE on (runtime coalescing, skew
       splitting) and cores-sized shuffle partitions — i.e. exactly the
       ``get_spark`` defaults, restored in case a small profile was set
