@@ -300,3 +300,77 @@ def test_sample_n_per_group_invariants_bulk(spark):
     b = {(r.grp, r.id) for r in sample_n_per_group(df, "grp", 3, "id", salt="s2").collect()}
     assert Counter(g for g, _ in a) == Counter(g for g, _ in b)
     assert a != b
+
+
+def test_repeated_span_dedup_invariants_bulk(spark):
+    """Random low-alphabet corpora through the REAL operator, one Spark
+    job: (a) each output text is a SUBSEQUENCE of its input tokens (only
+    removal, order preserved); (b) a corpus with no repeated k-window is
+    returned verbatim; (c) deterministic across runs."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    corpora = []
+
+    @settings(max_examples=40, derandomize=True, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcdef"), min_size=0, max_size=24),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def gen(docs):
+        corpora.append([" ".join(w) for w in docs])
+
+    gen()
+
+    k = 3
+    rows = [
+        (ci * 1000 + di, ci, text)
+        for ci, corpus in enumerate(corpora)
+        for di, text in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, corpus int, text string")
+    # per-corpus dedup in ONE frame: corpus id rides inside doc ordering,
+    # but windows must not match ACROSS corpora — salt each corpus's
+    # tokens so cross-corpus collisions are impossible
+    salted = df.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\S+)", F.concat(F.lit("c"), F.col("corpus"), F.lit("$1"))
+        ),
+    )
+    out1 = {
+        r.doc_id: r.text
+        for r in repeated_span_dedup(salted, "doc_id", "text", k=k).collect()
+    }
+    out2 = {
+        r.doc_id: r.text
+        for r in repeated_span_dedup(salted, "doc_id", "text", k=k).collect()
+    }
+    assert out1 == out2  # (c) determinism
+
+    inputs = {r.doc_id: r.text for r in salted.collect()}
+    from collections import Counter
+
+    for ci, corpus in enumerate(corpora):
+        # all k-windows of the salted corpus
+        wins = Counter()
+        for di, _ in enumerate(corpus):
+            toks = inputs[ci * 1000 + di].split()
+            for s in range(0, max(0, len(toks) - k + 1)):
+                wins[tuple(toks[s : s + k])] += 1
+        for di, _ in enumerate(corpus):
+            doc_id = ci * 1000 + di
+            in_toks = inputs[doc_id].split()
+            out_toks = [t for t in out1[doc_id].split(" ") if t != ""]
+            # (a) subsequence
+            it = iter(in_toks)
+            assert all(t in it for t in out_toks), (doc_id, in_toks, out_toks)
+        if all(c < 2 for c in wins.values()):
+            # (b) nothing repeated -> identity on every doc of the corpus
+            for di, _ in enumerate(corpus):
+                doc_id = ci * 1000 + di
+                assert out1[doc_id] == inputs[doc_id]
