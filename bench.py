@@ -117,12 +117,8 @@ assert set(QUERY_TABLES) == set(HEADLINE), (
     "QUERY_TABLES out of sync with HEADLINE: "
     f"{set(QUERY_TABLES) ^ set(HEADLINE)}"
 )
-_KNOWN_TABLES = {
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-}
 assert all(
-    t in _KNOWN_TABLES for ts in QUERY_TABLES.values() for t in ts
+    t in set(_ALL_TABLES) for ts in QUERY_TABLES.values() for t in ts
 ), "QUERY_TABLES references an unknown table name"
 
 

@@ -70,12 +70,13 @@ def _viterbi_segment(word: str, logp: dict, max_len: int) -> list[str]:
     return out[::-1]
 
 
-def _segment_words(words: DataFrame, logp: dict, max_len: int) -> DataFrame:
-    """(word, freq) → (piece, freq) rows via Viterbi, Arrow-batched."""
+def _segment_words(words: DataFrame, b_logp, max_len: int) -> DataFrame:
+    """(word, freq) → (piece, freq) rows via Viterbi, Arrow-batched.
+    ``b_logp`` is a caller-owned broadcast of the piece log-prob dict —
+    the caller destroys it once the segmentation job has run (a
+    per-iteration broadcast left alive would accumulate a model-sized
+    copy on the driver and every executor for the session lifetime)."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
-
-    spark = words.sparkSession
-    b_logp = spark.sparkContext.broadcast(logp)
 
     def seg(batches):
         lp = b_logp.value
@@ -163,12 +164,18 @@ def learn_unigram(
         logp = {r["piece"]: math.log(r["w"] / total) for r in rows}
 
         for _ in range(n_iter):
-            counts = (
-                _segment_words(words, logp, max_piece_len)
-                .groupBy("piece")
-                .agg(F.sum("freq").alias("w"))
-                .collect()
-            )
+            b_logp = df.sparkSession.sparkContext.broadcast(logp)
+            try:
+                counts = (
+                    _segment_words(words, b_logp, max_piece_len)
+                    .groupBy("piece")
+                    .agg(F.sum("freq").alias("w"))
+                    .collect()
+                )
+            finally:
+                # the collect materialized the job; the per-iteration
+                # broadcast must not outlive it
+                b_logp.destroy()
             total = sum(r["w"] for r in counts)
             new_logp = {r["piece"]: math.log(r["w"] / total) for r in counts}
             # unused seed pieces die; single chars always survive with a
@@ -218,12 +225,15 @@ def unigram_tokenize(
     text_col: str,
     pieces: DataFrame,
     out_col: str = "pieces",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Viterbi-segment every document's words under a trained
     ``learn_unigram`` table. The piece table is model-sized and rides a
-    broadcast variable; segmentation is Arrow-batched row-local work —
-    the corpus never shuffles.
+    broadcast variable (alive as long as the returned frame — the apply
+    side cannot release it); segmentation is Arrow-batched row-local
+    work — the corpus never shuffles. ``max_piece_len`` defaults to the
+    longest piece IN the table — a fixed default shorter than the vocab
+    would silently ignore its longer pieces.
 
     Output: input columns + ``out_col`` (array<string>; concatenating a
     word's pieces reproduces the word — tested)."""
@@ -238,6 +248,8 @@ def unigram_tokenize(
     logp = {
         r["piece"]: r["logprob"] for r in pieces.select("piece", "logprob").collect()
     }
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in logp), default=1)
     b_logp = spark.sparkContext.broadcast(logp)
 
     def tok(batches):

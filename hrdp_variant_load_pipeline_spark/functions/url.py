@@ -23,9 +23,11 @@ _MULTI_TLDS = (
 
 
 def url_host(url: Column) -> Column:
-    """Lower-cased host (authority minus credentials and port)."""
+    """Lower-cased host (authority minus credentials and port); a
+    trailing-dot FQDN ('example.com.') canonicalizes to the dotless
+    form so both spellings share one key."""
     host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
-    return F.when(host != "", F.lower(host))
+    return F.when(host != "", F.regexp_replace(F.lower(host), r"\.$", ""))
 
 
 def normalize_url(url: Column) -> Column:
@@ -60,8 +62,10 @@ def normalize_url(url: Column) -> Column:
     )
     kept_params = F.filter(
         F.split(query, "&"),
+        # (=|$): link shorteners emit VALUELESS trackers ('?fbclid');
+        # requiring '=' would let those split the canonical key
         lambda p: (p != "")
-        & ~p.rlike(r"^(utm_[a-zA-Z0-9_]*|fbclid|gclid)="),
+        & ~p.rlike(r"^(utm_[a-zA-Z0-9_]*|fbclid|gclid)(=|$)"),
     )
     qs = F.array_join(kept_params, "&")
     path_norm = F.when(path == "", F.lit("/")).otherwise(path)

@@ -687,6 +687,38 @@ def incremental_minhash_dedup(
                 cands.unpersist()
 
 
+def _rebuild_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    kept: DataFrame,
+    piece_col: str,
+    sep: str,
+) -> DataFrame:
+    """Shared reassembly tail for the corpus-wide dedups: group the
+    surviving ``(__doc, __idx, piece)`` rows back into in-order text,
+    left-join onto the original frame (a doc whose every piece was
+    removed keeps an empty string), preserving all other columns."""
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", piece_col))),
+                lambda p: p[piece_col],
+            ),
+            sep,
+        ).alias("__new_text")
+    )
+    out_cols = [
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(
+        rebuilt, df[id_col] == rebuilt["__doc"], "left"
+    ).select(*out_cols)
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
@@ -730,29 +762,7 @@ def paragraph_dedup(
     tagged = paras.join(
         keepers, ["__doc", "__idx"], "left"
     ).filter(~eligible | F.col("__keeper").isNotNull())
-    rebuilt = (
-        tagged.groupBy("__doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__idx", "__para"))
-                    ),
-                    lambda p: p["__para"],
-                ),
-                sep,
-            ).alias("__new_text")
-        )
-    )
-    out_cols = [
-        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
-        if c == text_col
-        else F.col(c)
-        for c in df.columns
-    ]
-    return df.join(
-        rebuilt, df[id_col] == rebuilt["__doc"], "left"
-    ).select(*out_cols)
+    return _rebuild_text(df, id_col, text_col, tagged, "__para", sep)
 
 
 def repeated_span_dedup(
@@ -833,21 +843,4 @@ def repeated_span_dedup(
         ).alias("__idx"),
     ).distinct()
     kept = toks.join(covered, ["__doc", "__idx"], "left_anti")
-    rebuilt = kept.groupBy("__doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__w"))),
-                lambda p: p["__w"],
-            ),
-            " ",
-        ).alias("__new_text")
-    )
-    out_cols = [
-        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
-        if c == text_col
-        else F.col(c)
-        for c in df.columns
-    ]
-    return df.join(
-        rebuilt, df[id_col] == rebuilt["__doc"], "left"
-    ).select(*out_cols)
+    return _rebuild_text(df, id_col, text_col, kept, "__w", " ")

@@ -49,9 +49,6 @@ def get_spark(
     return spark
 
 
-#: retained for callers/tests that reason about "tiny" inputs; the
-#: profile itself no longer special-cases them (see below)
-SMALL_INPUT_BYTES = 16 * 1024**2
 #: local/cluster boundary. Round-8 re-measurement with FULL-shape JIT
 #: warmup revised both earlier crossovers: AQE-off/half-cores beats
 #: AQE-on/cores at sf1 (q1 0.47→0.19, q3 1.09→0.64, q5 1.16→0.79,

@@ -170,6 +170,9 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
             "Sort",
             "Deduplicate",
             "Union",
+            "Limit",  # limit collapses to 1 partition at execution
+            "Intersect",
+            "Except",
         )
     ):
         return None

@@ -66,18 +66,16 @@ def test_tune_for_tables_per_query_profile(spark, tmp_path):
     import os
 
     from hrdp_variant_load_pipeline_spark.session import (
-        SMALL_INPUT_BYTES,
+        MEDIUM_INPUT_BYTES,
         tune_for_tables,
     )
-
-    from hrdp_variant_load_pipeline_spark.session import MEDIUM_INPUT_BYTES
 
     small = tmp_path / "tiny.parquet"
     small.mkdir()
     (small / "part-0").write_bytes(b"x" * 1024)
     medium = tmp_path / "medium.parquet"
     medium.mkdir()
-    (medium / "part-0").write_bytes(b"x" * (SMALL_INPUT_BYTES + 1))
+    (medium / "part-0").write_bytes(b"x" * (16 * 1024**2 + 1))
     big = tmp_path / "big.parquet"
     big.mkdir()
     with open(big / "part-0", "wb") as f:  # sparse: size without the bytes
@@ -106,11 +104,9 @@ def test_tune_for_tables_missing_table_falls_back(spark, tmp_path):
     import warnings
 
     from hrdp_variant_load_pipeline_spark.session import (
-        SMALL_INPUT_BYTES,
+        MEDIUM_INPUT_BYTES,
         tune_for_tables,
     )
-
-    from hrdp_variant_load_pipeline_spark.session import MEDIUM_INPUT_BYTES
 
     big = tmp_path / "big.parquet"
     big.mkdir()
@@ -124,4 +120,3 @@ def test_tune_for_tables_missing_table_falls_back(spark, tmp_path):
     # the dir holds > MEDIUM_INPUT_BYTES, so the fallback picks the
     # cluster profile — the opposite of the 0-byte small-profile cliff
     assert conf["spark.sql.adaptive.enabled"] == "true"
-    _ = SMALL_INPUT_BYTES
