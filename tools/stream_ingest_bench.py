@@ -120,7 +120,9 @@ def main() -> None:
         "small": r_small,
         "large": r_large,
         "large_over_small": round(ratio, 3),
-        "flat_within_20pct": 0.8 <= ratio <= 1.2,
+        # one-sided: a LARGER history running faster is host-load
+        # noise, not an O(history) signal — only growth fails
+        "flat_within_20pct": ratio <= 1.2,
     }
     if xlarge:
         r_x = run_one(spark, xlarge)
