@@ -10,6 +10,8 @@ and `https://ex.com/a`). All functions here are pure Column expressions
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass, field
 from typing import Iterable, Mapping
 
@@ -28,11 +30,19 @@ _MULTI_TLDS = (
 def url_host(url: Column) -> Column:
     """Lower-cased host (authority minus credentials and port); a
     trailing-dot FQDN ('example.com.') canonicalizes to the dotless
-    form so both spellings share one key."""
+    form so both spellings share one key. Bracketed IPv6 literals
+    (`http://[2001:db8::1]/x`) are accepted and keyed with their
+    brackets (lower-cased hex, the RFC 5952 canonical case)."""
     # userinfo must stop at the first of /?#@ (RFC 3986): with the looser
     # [^/@]* a path-less URL carrying '@' in its QUERY ('http://ex.com?a=@b')
-    # would greedily swallow 'ex.com?a=' as credentials and mis-extract 'b'
-    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)
+    # would greedily swallow 'ex.com?a=' as credentials and mis-extract 'b'.
+    # The bracketed alternative must come FIRST: an IPv6 authority contains
+    # ':' so the reg-name branch [^/:?#]+ would truncate it at '[2001'.
+    host = F.regexp_extract(
+        url,
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/:?#]+)",
+        1,
+    )
     return F.when(host != "", F.regexp_replace(F.lower(host), r"\.$", ""))
 
 
@@ -46,7 +56,9 @@ def normalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = url_host(url)
     port = F.regexp_extract(
-        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:(\d+)", 1
+        url,
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(?:\[[^\]/?#]*\]|[^/:?#]+):(\d+)",
+        1,
     )
     # non-default ports are a DIFFERENT endpoint and must survive; only
     # the scheme default collapses into the canonical form
@@ -140,6 +152,22 @@ def load_public_suffixes(source) -> PublicSuffixes:
     )
 
 
+#: bundled snapshot subset (see the file header for provenance + the
+#: drop-in-a-full-snapshot upgrade path)
+_SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "psl_snapshot.dat")
+
+
+@functools.lru_cache(maxsize=1)
+def default_psl() -> PublicSuffixes:
+    """The bundled ``psl_snapshot.dat`` rule set, parsed once per
+    process. This is what ``url_curation_keys`` (operators/corpus.py)
+    uses when no ``psl_file`` is supplied — full PSL semantics
+    (wildcards, exceptions, multi-label suffixes) out of the box, with
+    a curated high-traffic subset standing in for the ~10k-line
+    production snapshot a deployment ships."""
+    return load_public_suffixes(_SNAPSHOT_PATH)
+
+
 def _last_k(labels: Column, n: Column, k: int) -> Column:
     """Dot-joined last k host labels; null when the host has fewer than
     k labels (concat_ws would silently skip the null element_at's and
@@ -164,7 +192,10 @@ def registered_domain(url: Column, psl: PublicSuffixes | None = None) -> Column:
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    # dotted-quad IPv4 or a bracketed IPv6 literal: no registrable domain
+    # structure — the whole address is the key (bracketed form kept, so
+    # the key round-trips into normalize_url's authority unambiguously)
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.startswith("[")
     if psl is None:
         last2 = _last_k(labels, n, 2)
         last3 = _last_k(labels, n, 3)

@@ -325,6 +325,34 @@ def apply_mixture(
     )
 
 
+def url_curation_keys(
+    df: DataFrame,
+    url_col: str = "url",
+    psl_file: str | None = None,
+    url_out: str = "url_norm",
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Attach the two web-curation grouping keys to a crawled frame:
+    ``url_out`` = canonical URL (``functions.url.normalize_url`` — the
+    exact-dedup key) and ``domain_out`` = registered domain / eTLD+1
+    (``registered_domain`` — the per-site cap / blocklist key, fed to
+    ``sample_n_per_group``).
+
+    ``psl_file`` points at a publicsuffix.org snapshot (full list,
+    ~10k rules — wildcards/exceptions handled); without it the bundled
+    ``psl_snapshot.dat`` subset applies. Either way the rules compile
+    to driver-side InSet literals — the added columns are pure Column
+    expressions (whole-stage codegen, zero UDFs, zero shuffles), so
+    this composes into any scan at 100 TB for free.
+    """
+    from hrdp_variant_load_pipeline_spark.functions import url as U
+
+    psl = U.load_public_suffixes(psl_file) if psl_file else U.default_psl()
+    return df.withColumn(url_out, U.normalize_url(F.col(url_col))).withColumn(
+        domain_out, U.registered_domain(F.col(url_col), psl=psl)
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     group_col: str,

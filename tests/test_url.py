@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.functions.url import (
+    default_psl,
+    load_public_suffixes,
     normalize_url,
     registered_domain,
     url_host,
@@ -79,6 +81,203 @@ def test_registered_domain_heuristic(spark):
         "10.1.2.3",
         "localhost",
     ]
+
+
+def test_url_host_at_sign_in_query(spark):
+    """Regression: '@' in the QUERY must not be read as a userinfo
+    delimiter — with a greedy userinfo group 'http://ex.com?a=@b'
+    mis-extracted host 'b'."""
+    got = _apply(
+        spark,
+        url_host,
+        [
+            "http://ex.com?a=@b",
+            "http://ex.com/p?a=@b",
+            "http://ex.com#f@g",
+            "http://user@ex.com?a=@b",
+        ],
+    )
+    assert got == ["ex.com", "ex.com", "ex.com", "ex.com"]
+
+
+def test_ipv6_hosts_key_whole(spark):
+    """Bracketed IPv6 literals are real hosts, not dropped rows: the
+    whole (lower-cased) bracketed address is the curation key."""
+    got = _apply(
+        spark,
+        url_host,
+        ["http://[2001:DB8::1]/x", "https://[::1]:8443/y", "http://[fe80::a%25eth0]/z"],
+    )
+    assert got == ["[2001:db8::1]", "[::1]", "[fe80::a%25eth0]"]
+    assert _apply(
+        spark, registered_domain, ["http://[2001:db8::1]:8080/x"]
+    ) == ["[2001:db8::1]"]
+    # normalize: default port collapses, non-default survives, bracketed
+    # authority reassembles unambiguously
+    got3 = _apply(
+        spark,
+        normalize_url,
+        ["HTTP://[2001:DB8::1]:8080/A?utm_source=t", "http://[::1]:80/a"],
+    )
+    assert got3 == ["http://[2001:db8::1]:8080/A", "http://[::1]/a"]
+
+
+#: literal rule set exercising every PSL rule kind (the fixture the
+#: round-8/9 directives asked for): multi-label exacts, wildcard,
+#: exception, an exact rule tied with a wildcard at equal effective
+#: length (op.ck vs *.ck), and deep exception bases (*.kobe.jp).
+_PSL_FIXTURE = [
+    "// fixture snapshot",
+    "com",
+    "pl",
+    "com.pl   // trailing comment per spec: text after whitespace ignored",
+    "za",
+    "co.za",
+    "uk",
+    "co.uk",
+    "ck",
+    "*.ck",
+    "!www.ck",
+    "op.ck",
+    "jp",
+    "kobe.jp",
+    "*.kobe.jp",
+    "!city.kobe.jp",
+    "io",
+    "github.io",
+    "",
+]
+
+
+def _psl_fn(c):
+    return registered_domain(c, psl=load_public_suffixes(iter(_PSL_FIXTURE)))
+
+
+def test_psl_exact_multilabel_suffixes(spark):
+    got = _apply(
+        spark,
+        _psl_fn,
+        [
+            "https://shop.example.com.pl/a",  # com.pl, 2-label heuristic would say example... wrong split
+            "https://www.gov-site.co.za/x",
+            "https://deep.sub.example.co.uk/",
+            "https://example.com/",
+            "https://sub.example.com/",
+            "https://example.pl/",
+        ],
+    )
+    assert got == [
+        "example.com.pl",
+        "gov-site.co.za",
+        "example.co.uk",
+        "example.com",
+        "example.com",
+        "example.pl",
+    ]
+
+
+def test_psl_wildcard_and_exception(spark):
+    got = _apply(
+        spark,
+        _psl_fn,
+        [
+            "https://foo.bar.ck/",        # *.ck: suffix bar.ck → foo.bar.ck
+            "https://a.foo.bar.ck/",      # still foo.bar.ck
+            "https://www.ck/",            # !www.ck: registrable itself
+            "https://sub.www.ck/",        # exception names the domain
+            "https://a.b.city.kobe.jp/",  # !city.kobe.jp beats *.kobe.jp
+            "https://city.kobe.jp/",
+            "https://x.other.kobe.jp/",   # *.kobe.jp: suffix other.kobe.jp
+            "https://deep.x.other.kobe.jp/",
+        ],
+    )
+    assert got == [
+        "foo.bar.ck",
+        "foo.bar.ck",
+        "www.ck",
+        "www.ck",
+        "city.kobe.jp",
+        "city.kobe.jp",
+        "x.other.kobe.jp",
+        "x.other.kobe.jp",
+    ]
+
+
+def test_psl_exact_wildcard_tie_and_default_rule(spark):
+    got = _apply(
+        spark,
+        _psl_fn,
+        [
+            # op.ck matches BOTH the exact rule 'op.ck' and '*.ck' at
+            # effective length 2 — either way the registrable domain is
+            # suffix + 1 label
+            "https://x.op.ck/",
+            # no rule matches 'zz': the PSL default rule '*' applies
+            # (suffix = last label, registrable = last two)
+            "https://a.b.example.zz/",
+            "https://example.zz/",
+        ],
+    )
+    assert got == ["x.op.ck", "example.zz", "example.zz"]
+
+
+def test_psl_suffix_passthrough_pinned(spark):
+    """A host that IS a public suffix keys to itself, whole — NOT null
+    (tldextract-style) and NOT last-2-labels. Deliberate: bare-suffix
+    pages then share one cap/dedup key distinct from every subdomain
+    key. Pinned so an edit can't silently flip the choice."""
+    got = _apply(
+        spark,
+        _psl_fn,
+        ["https://github.io/", "https://bar.ck/", "https://co.uk/", "https://ck/"],
+    )
+    assert got == ["github.io", "bar.ck", "co.uk", "ck"]
+    # ...and one label deeper is registrable as usual
+    assert _apply(spark, _psl_fn, ["https://user.github.io/p"]) == [
+        "user.github.io"
+    ]
+
+
+def test_default_psl_snapshot_loads_and_applies(spark):
+    psl = default_psl()
+    assert "co.uk" in psl.exact[2] and "com.pl" in psl.exact[2]
+    assert "ck" in psl.wildcard_bases[1]
+    assert "www.ck" in psl.exceptions[2]
+    got = _apply(
+        spark,
+        lambda c: registered_domain(c, psl=psl),
+        ["https://www.bbc.co.uk/news", "https://me.github.io/", "https://x.com.pl/"],
+    )
+    assert got == ["bbc.co.uk", "me.github.io", "x.com.pl"]
+
+
+def test_url_curation_keys_wiring(spark, tmp_path):
+    """The non-test call site: url_curation_keys wires psl_file /
+    default_psl into the curation frame, UDF-free."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        url_curation_keys,
+    )
+
+    rows = [
+        (1, "HTTPS://Blog.Example.COM.PL:443/a?utm_source=x&id=2"),
+        (2, "https://me.github.io/p"),
+        (3, "http://10.0.0.1/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: (r.url_norm, r.domain) for r in url_curation_keys(df).collect()}
+    assert out[1] == ("https://blog.example.com.pl/a?id=2", "example.com.pl")
+    assert out[2] == ("https://me.github.io/p", "me.github.io")
+    assert out[3] == ("http://10.0.0.1/x", "10.0.0.1")
+
+    # a deployment-supplied snapshot overrides the bundled subset
+    snap = tmp_path / "psl.dat"
+    snap.write_text("// tiny\nzz\nzip.zz\n")
+    got = url_curation_keys(df, psl_file=str(snap)).collect()
+    # under the tiny list 'com.pl' is no rule: default rule '*' → last 2
+    assert {r.doc_id: r.domain for r in got}[1] == "com.pl"
+
+    plan = url_curation_keys(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_per_domain_cap_composition(spark):
