@@ -145,6 +145,31 @@ _BPE_TOK = (
     " - (len(w) - len(replace(w, 'the', ''))) // 3"
 )
 
+#: fixed unigram-LM piece table for the Viterbi-apply driver gate
+#: (functions/unigram.py:unigram_tokenize): every single char plus
+#: 'th'/'the', with log-probs chosen so the OPTIMAL segmentation has a
+#: closed form the oracle can state independently. Because 'the' beats
+#: th+e (-2.5 > -6) and 'th' beats t+h (-2 > -8), and neither 'th' nor
+#: 'the' can overlap itself or each other except as prefix ('the'
+#: contains exactly one 'th'), the Viterbi optimum takes EVERY 'the'
+#: occurrence plus every remaining 'th':
+#:   pieces(w) = len(w) - c_the - c_th
+#:   score(w)  = -4*len(w) + 3.5*c_the + 6*c_th
+#: where c_the / c_th are total occurrence counts (replace-delta
+#: countable in SQL). The score pins piece IDENTITIES, not just counts:
+#: it is re-derived Spark-side from the emitted pieces via a literal
+#: log-prob map, so a wrong-but-same-length segmentation would diverge.
+_UNI_CHAR_LP = -4.0
+_UNI_PIECES = {
+    **{c: _UNI_CHAR_LP for c in "abcdefghijklmnopqrstuvwxyz"},
+    "th": -2.0,
+    "the": -2.5,
+}
+_UNI_CTHE = "((len(w) - len(replace(w, 'the', ''))) // 3)"
+_UNI_CTH = "((len(w) - len(replace(w, 'th', ''))) // 2)"
+_UNI_NP = f"len(w) - {_UNI_CTHE} - {_UNI_CTH}"
+_UNI_SC = f"-4.0*len(w) + 3.5*{_UNI_CTHE} + 6.0*{_UNI_CTH}"
+
 
 def _pq_dists(vals: list[float], j: int) -> list[str]:
     sl = f"embedding[{j * _PQ_DSUB + 1}:{(j + 1) * _PQ_DSUB}]"
@@ -226,6 +251,13 @@ WITH bpe AS (
          coalesce(sum(coalesce(
            list_sum(list_transform({_TOKS}, w -> {_BPE_TOK})), 0)), 0) AS toks
   FROM documents GROUP BY lang),
+uni AS (
+  SELECT lang, count(*) AS n_docs,
+         coalesce(sum(coalesce(
+           list_sum(list_transform({_TOKS}, w -> {_UNI_NP})), 0)), 0) AS np,
+         coalesce(sum(coalesce(
+           list_sum(list_transform({_TOKS}, w -> {_UNI_SC})), 0.0)), 0.0) AS sc
+  FROM documents GROUP BY lang),
 tok AS (
   SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
 vstats AS (
@@ -238,6 +270,10 @@ vocab AS (
 {_QUALITY_SQL},
 {_pq_sql()}
 SELECT 'bpe' AS component, n_docs AS k, lang AS v, toks::DOUBLE AS x FROM bpe
+UNION ALL
+SELECT 'uni_pieces', n_docs, lang, np::DOUBLE FROM uni
+UNION ALL
+SELECT 'uni_score', n_docs, lang, round(sc::DOUBLE, 6) FROM uni
 UNION ALL
 SELECT 'vocab_tf', rank, token, tf::DOUBLE FROM vocab
 UNION ALL
@@ -273,6 +309,58 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             F.lit("bpe").alias("component"), "k", F.col("lang").alias("v"), "x"
+        )
+    )
+
+    # unigram Viterbi apply (functions/unigram.py) under the fixed
+    # _UNI_PIECES table; the per-doc score re-derives each emitted
+    # piece's log-prob from a literal map, so the battery pins the
+    # actual segmentation, not just token counts
+    from hrdp_variant_load_pipeline_spark.functions.unigram import (
+        unigram_tokenize,
+    )
+
+    uni_pieces = spark.createDataFrame(
+        sorted(_UNI_PIECES.items()), "piece string, logprob double"
+    )
+    lp_map = F.create_map(
+        *[F.lit(v) for kv in sorted(_UNI_PIECES.items()) for v in kv]
+    )
+    toked = unigram_tokenize(d.select("lang", "text"), "text", uni_pieces)
+    per_doc = toked.select(
+        "lang",
+        F.size("pieces").alias("np"),
+        F.aggregate(
+            F.transform(
+                "pieces",
+                lambda p: F.coalesce(F.try_element_at(lp_map, p), F.lit(-100.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sc"),
+    )
+    # 5 rows, consumed by two component branches: checkpoint so the
+    # Arrow-batched tokenize pass over the corpus runs once
+    uni_agg = (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("np").cast("double").alias("xp"),
+            F.round(F.sum("sc"), 6).alias("xs"),
+        )
+        .localCheckpoint()
+    )
+    uni = uni_agg.select(
+        F.lit("uni_pieces").alias("component"),
+        "k",
+        F.col("lang").alias("v"),
+        F.col("xp").alias("x"),
+    ).unionByName(
+        uni_agg.select(
+            F.lit("uni_score").alias("component"),
+            "k",
+            F.col("lang").alias("v"),
+            F.col("xs").alias("x"),
         )
     )
 
@@ -338,7 +426,8 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return (
-        bpe.unionByName(vocab_tf)
+        bpe.unionByName(uni)
+        .unionByName(vocab_tf)
         .unionByName(vocab_df)
         .unionByName(quality)
         .unionByName(pq_rows)
