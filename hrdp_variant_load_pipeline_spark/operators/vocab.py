@@ -270,10 +270,14 @@ def lm_doc_score(
     bos: str = "<s>",
     eos: str = "</s>",
     out_col: str = "lm_logprob",
+    smoothing: str = "add_k",
+    alpha: float = 0.4,
 ) -> DataFrame:
     """N-gram LM document scoring over an ``ngram_counts`` table — the
     step that completes the CCNet chain (counts ≙ the KenLM seed; this is
-    the perplexity filter those counts power). Add-k smoothed:
+    the perplexity filter those counts power).
+
+    ``smoothing="add_k"`` (default):
 
         logprob(doc) = mean over doc n-grams g of
                        ln((count(g) + k) / (count(ctx(g)) + k·V))
@@ -282,19 +286,37 @@ def lm_doc_score(
     aggregated FROM the (pruned) counts table itself, and ``V`` is the
     table's distinct-continuation count + 1 (the +1 is the shared OOV
     bucket; grams pruned by the table's ``min_count`` smooth like unseen
-    ones). Higher = more ordinary language; the production filter drops
-    the low tail. Documents shorter than one n-gram window still score
-    (their single padded gram).
+    ones).
 
-    Scale shape (100 TB): the counts table and its two derived frames
-    (context counts, the 1-row V) are model-sized by construction
-    (``min_count`` pruning) and BROADCAST; the corpus pays one row-local
-    gram construction + explode and ONE doc-keyed hash aggregate with
-    map-side partial (a doc's grams are partition-local after the
-    explode). The corpus text itself never shuffles.
+    ``smoothing="stupid_backoff"`` (Brants et al. 2007, the scheme web-
+    scale LM filters actually run): a SEEN gram scores its raw relative
+    frequency; an unseen one backs off to the continuation word's
+    unigram frequency, discounted by ``alpha``:
 
-    Output: input columns + ``out_col`` (double, rounded to 6; null only
-    for null text).
+        S(g) = count(g) / count(ctx(g))          if count(g) > 0
+             = α · (count(w) + k) / (N + k·V)    otherwise
+
+    with ``count(w)`` the continuation word's total count, ``N`` the
+    table's count mass (both derived from the counts table — one extra
+    broadcast lookup level), and the add-k form on the unigram backstop
+    keeping ln finite for fully-OOV words. Unlike add-k, frequent-word
+    held-out bigrams are not flattened to the OOV floor — the classic
+    add-k failure mode on large vocabularies (pinned in tests).
+
+    Higher = more ordinary language; the production filter drops the low
+    tail. Documents shorter than one n-gram window still score (their
+    single padded gram).
+
+    Scale shape (100 TB): the counts table and its derived frames
+    (context counts, unigram counts, the 1-row V/N) are model-sized by
+    construction (``min_count`` pruning) and BROADCAST; the corpus pays
+    one row-local gram construction + explode and ONE doc-keyed hash
+    aggregate with map-side partial (a doc's grams are partition-local
+    after the explode). The corpus text itself never shuffles.
+
+    Output: input columns + ``out_col`` (double, rounded to 6; null ONLY
+    for null text — a contract downstream filters rely on: a null score
+    means "no text", never "text we failed to score").
     """
     if out_col in df.columns:
         raise ValueError(
@@ -302,13 +324,21 @@ def lm_doc_score(
             "the input — pass a different out_col (duplicate names are "
             "ambiguous downstream)"
         )
+    if smoothing not in ("add_k", "stupid_backoff"):
+        raise ValueError(
+            f"lm_doc_score: unknown smoothing {smoothing!r} "
+            "(expected 'add_k' or 'stupid_backoff')"
+        )
     ctx = counts.groupBy(F.slice("gram", 1, n - 1).alias("__ctx")).agg(
         F.sum("count").alias("__ctx_count")
     )
     vrow = (
-        counts.select(F.element_at("gram", n).alias("__w"))
-        .distinct()
-        .agg((F.count("*") + 1).cast("double").alias("__V"))
+        counts.select(F.element_at("gram", n).alias("__w"), "count")
+        .groupBy()
+        .agg(
+            (F.count_distinct("__w") + 1).cast("double").alias("__V"),
+            F.sum("count").cast("double").alias("__N"),
+        )
     )
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     padded = F.concat(
@@ -332,10 +362,32 @@ def lm_doc_score(
         )
         .crossJoin(F.broadcast(vrow))
     )
-    logp = F.log(
-        (F.coalesce(F.col("count"), F.lit(0)) + F.lit(add_k))
-        / (F.coalesce(F.col("__ctx_count"), F.lit(0)) + F.lit(add_k) * F.col("__V"))
-    )
+    if smoothing == "stupid_backoff":
+        uni = counts.groupBy(F.element_at("gram", n).alias("__w")).agg(
+            F.sum("count").alias("__w_count")
+        )
+        joined = joined.join(
+            F.broadcast(uni), F.element_at("gram", n) == F.col("__w"), "left"
+        )
+        backstop = (
+            F.lit(alpha)
+            * (F.coalesce(F.col("__w_count"), F.lit(0)) + F.lit(add_k))
+            / (F.coalesce(F.col("__N"), F.lit(0.0)) + F.lit(add_k) * F.col("__V"))
+        )
+        logp = F.log(
+            F.when(
+                F.col("count").isNotNull(),
+                F.col("count") / F.col("__ctx_count"),
+            ).otherwise(backstop)
+        )
+    else:
+        logp = F.log(
+            (F.coalesce(F.col("count"), F.lit(0)) + F.lit(add_k))
+            / (
+                F.coalesce(F.col("__ctx_count"), F.lit(0))
+                + F.lit(add_k) * F.col("__V")
+            )
+        )
     scored = joined.groupBy(id_col).agg(
         F.round(F.avg(logp), 6).alias(out_col)
     )

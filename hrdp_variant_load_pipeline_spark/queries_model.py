@@ -437,8 +437,9 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
 # ----------------------------------------------------- corpus stats battery
 # Driver-gates four r7/r8 operator families in one window slot:
 # corpus-wide paragraph dedup (exact reassembly pinned via md5), n-gram
-# count tables, sparse TF-IDF + broadcast sparse cosine, and add-k n-gram
-# LM document scoring (the CCNet perplexity-filter chain end-to-end).
+# count tables, sparse TF-IDF + broadcast sparse cosine, and
+# stupid-backoff n-gram LM document scoring (the CCNet perplexity-filter
+# chain end-to-end, with the Brants-2007 smoothing web-scale filters use).
 # The documents texts are single-line word soup, so the "paragraph"
 # separator is the word boundary (sep=' ', min_chars=4): every token of
 # >= 4 chars is deduped corpus-wide to its first (doc, position)
@@ -545,14 +546,22 @@ spand AS (
 
 lmcnt AS (SELECT w1, w2, c FROM ngc WHERE c >= {_CS_LM_MIN}),
 lmctx AS (SELECT w1, sum(c) AS cc FROM lmcnt GROUP BY w1),
-lmv AS (SELECT (count(DISTINCT w2) + 1)::DOUBLE AS v FROM lmcnt),
+lmuni AS (SELECT w2, sum(c) AS wc FROM lmcnt GROUP BY w2),
+lmv AS (SELECT (count(DISTINCT w2) + 1)::DOUBLE AS v,
+               coalesce(sum(c), 0)::DOUBLE AS nn FROM lmcnt),
+-- stupid backoff (alpha = 0.4): seen grams score raw relative
+-- frequency; unseen ones back off to the continuation word's add-1
+-- smoothed unigram frequency
 lmsc AS (
   SELECT g.doc_id,
-         round(avg(ln((coalesce(cnt.c, 0) + 1.0)
-                      / (coalesce(ctx.cc, 0) + lmv.v))), 6) AS lp
+         round(avg(ln(CASE WHEN cnt.c IS NOT NULL
+                           THEN cnt.c / ctx.cc::DOUBLE
+                           ELSE 0.4 * (coalesce(uni.wc, 0) + 1.0)
+                                / (lmv.nn + lmv.v) END)), 6) AS lp
   FROM grams g
   LEFT JOIN lmcnt cnt ON g.w1 = cnt.w1 AND g.w2 = cnt.w2
-  LEFT JOIN lmctx ctx ON g.w1 = ctx.w1, lmv
+  LEFT JOIN lmctx ctx ON g.w1 = ctx.w1
+  LEFT JOIN lmuni uni ON g.w2 = uni.w2, lmv
   GROUP BY g.doc_id)
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
@@ -641,7 +650,9 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cosine").alias("x"),
     )
 
-    lm = lm_doc_score(docs, "doc_id", "text", counts).select(
+    lm = lm_doc_score(
+        docs, "doc_id", "text", counts, smoothing="stupid_backoff"
+    ).select(
         F.lit("lmscore").alias("component"),
         F.col("doc_id").alias("k"),
         F.lit(None).cast("string").alias("s"),

@@ -199,3 +199,127 @@ def test_lm_doc_score_corpus_side_has_no_token_shuffle(spark):
         .toString()
     )
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_lm_stupid_backoff_matches_manual(spark):
+    """Stupid-backoff scoring against a hand-computed oracle: seen grams
+    score c/ctx, unseen ones 0.4 * add-1 unigram frequency."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = _corpus(spark)
+    counts = ngram_counts(docs, "text", n=2)
+    crows = {tuple(r.gram): r["count"] for r in counts.collect()}
+    ctx, uni = {}, {}
+    for g, c in crows.items():
+        ctx[g[0]] = ctx.get(g[0], 0) + c
+        uni[g[1]] = uni.get(g[1], 0) + c
+    vocab_v = len(uni) + 1
+    total_n = sum(crows.values())
+    out = {
+        r.doc_id: r.lm_logprob
+        for r in lm_doc_score(
+            docs, "doc_id", "text", counts, smoothing="stupid_backoff"
+        ).collect()
+    }
+
+    def score(text):
+        ws = ["<s>"] + [w for w in text.split(" ") if w] + ["</s>"]
+        lps = []
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in crows:
+                s = crows[(a, b)] / ctx[a]
+            else:
+                s = 0.4 * (uni.get(b, 0) + 1.0) / (total_n + vocab_v)
+            lps.append(math.log(s))
+        return round(sum(lps) / len(lps), 6)
+
+    for did, text in [
+        (1, "the cat sat on the mat"),
+        (2, "the dog  sat"),
+        (3, "cat cat cat"),
+        (4, ""),
+    ]:
+        assert abs(out[did] - score(text)) < 1e-9, did
+
+
+def test_lm_stupid_backoff_beats_add_k_on_held_out_bigrams(spark):
+    """The upgrade's point, pinned: a HELD-OUT bigram made of frequent
+    words (seen in training, never adjacent) is flattened to near the
+    OOV floor by add-k, while backoff credits the continuation word's
+    unigram frequency — so the held-out doc scores strictly higher under
+    backoff, and by a wide margin relative to a junk-word doc."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                ["the cat sat on the mat"] * 5
+                + ["the dog ran to the mat"] * 5
+                + ["a cat and a dog"] * 5
+            )
+        ],
+        "doc_id long, text string",
+    )
+    counts = ngram_counts(train, "text", n=2).localCheckpoint()
+    # 'mat cat': both words frequent; the bigram itself never occurs
+    held_out = spark.createDataFrame(
+        [(100, "mat cat"), (101, "qq zz")], "doc_id long, text string"
+    )
+
+    def scores(sm):
+        return {
+            r.doc_id: r.lm_logprob
+            for r in lm_doc_score(
+                held_out, "doc_id", "text", counts, smoothing=sm
+            ).collect()
+        }
+
+    addk, backoff = scores("add_k"), scores("stupid_backoff")
+    # held-out-frequent-words doc: backoff strictly better than add-k
+    assert backoff[100] > addk[100]
+    # and backoff separates real-word docs from junk more sharply
+    assert (backoff[100] - backoff[101]) > (addk[100] - addk[101])
+
+
+def test_lm_doc_score_null_text_contract(spark):
+    """Pinned contract (both smoothings): score is null ONLY for null
+    text — empty text still scores (its single padded gram)."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    counts = ngram_counts(_corpus(spark), "text", n=2).localCheckpoint()
+    for sm in ("add_k", "stupid_backoff"):
+        got = {
+            r.doc_id: r.lm_logprob
+            for r in lm_doc_score(
+                docs, "doc_id", "text", counts, smoothing=sm
+            ).collect()
+        }
+        assert got[1] is not None and got[2] is not None, sm
+        assert got[3] is None, sm
+
+
+def test_lm_doc_score_rejects_unknown_smoothing(spark):
+    import pytest
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        lm_doc_score,
+        ngram_counts,
+    )
+
+    docs = _corpus(spark)
+    counts = ngram_counts(docs, "text", n=2)
+    with pytest.raises(ValueError, match="smoothing"):
+        lm_doc_score(docs, "doc_id", "text", counts, smoothing="kneser_ney")
