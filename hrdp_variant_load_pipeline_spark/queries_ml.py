@@ -886,7 +886,8 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     s AS (SELECT user_id, count(*) AS n, sum(xc * yc) AS sxy, sum(xc * xc) AS sxx
           FROM c GROUP BY user_id)
     SELECT user_id, n,
-           floor(sxy / sxx * 10000 + 0.5) / 10000 AS slope
+           floor(floor(sxy / sxx * 1e10 + 0.5) / 1e10 * 10000 + 0.5) / 10000
+             AS slope
     FROM s WHERE n >= 3 AND sxx > 0
     """,
 )
@@ -905,12 +906,17 @@ def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
         F.covar_pop("x", "y").alias("__cxy"),
         F.var_pop("x").alias("__vx"),
     )
+    # TWO-STAGE floor-round (identical in the oracle): the raw slopes
+    # differ between engines in the last bits (summation order), so a
+    # single floor(x*1e4+0.5) could land the two values on opposite
+    # sides of a .5 boundary. Snapping to 1e-10 first makes both engines
+    # bit-identical before the 1e-4 round unless the raw values straddle
+    # a 1e-10 boundary — shrinking the mismatch window by ~1e6.
+    pre = F.floor(F.col("__cxy") / F.col("__vx") * 1e10 + F.lit(0.5)) / 1e10
     return g.filter((F.col("n") >= 3) & (F.col("__vx") > 0)).select(
         "user_id",
         "n",
-        (F.floor(F.col("__cxy") / F.col("__vx") * 10000 + F.lit(0.5)) / 10000).alias(
-            "slope"
-        ),
+        (F.floor(pre * 10000 + F.lit(0.5)) / 10000).alias("slope"),
     )
 
 

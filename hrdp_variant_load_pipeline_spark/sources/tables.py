@@ -155,26 +155,27 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     batch ⋈ history anti-join would count the whole history store);
     those plans, non-``file:`` schemes, and non-file sources all return
     None and the caller falls back to the RDD probe.
+
+    Qualification is an ALLOWLIST over a walk of the analyzed logical
+    tree: every node must be Project / Filter / SubqueryAlias / View /
+    LogicalRelation. Anything else — Join, Aggregate, Window, Sort,
+    Limit (collapses to 1 partition at execution), set ops, Generate,
+    future operators — fails closed to the exact RDD probe. (The earlier
+    substring blocklist over ``analyzed.toString()`` both missed
+    unlisted operators AND false-positived on matching column/relation
+    names.)
     """
+    allowed = {"Project", "Filter", "SubqueryAlias", "View", "LogicalRelation"}
     try:
-        analyzed = df._jdf.queryExecution().analyzed().toString()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in allowed:
+                return None
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
     except Exception:
-        return None
-    if any(
-        tok in analyzed
-        for tok in (
-            "Join",
-            "Aggregate",
-            "Repartition",
-            "Window",
-            "Sort",
-            "Deduplicate",
-            "Union",
-            "Limit",  # limit collapses to 1 partition at execution
-            "Intersect",
-            "Except",
-        )
-    ):
         return None
     try:
         files = df.inputFiles()

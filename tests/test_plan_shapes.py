@@ -302,6 +302,46 @@ def test_spread_for_cpu_file_scan_estimate_matches_rdd(spark):
     assert _estimated_scan_partitions(joined) is None
 
 
+def test_scan_estimate_allowlist_fails_closed(spark):
+    """The estimator qualifies plans by an allowlisted tree walk
+    (Project/Filter/SubqueryAlias/View/LogicalRelation): every
+    non-scan-stage operator — aggregate, window, sort, limit, union,
+    distinct, repartition, generate — must fall back to the RDD probe
+    (None), and a column NAMED like an operator must not scare a pure
+    scan away (the old substring blocklist did both wrong)."""
+    from pyspark.sql import Window, functions as F
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import (
+        _estimated_scan_partitions,
+        table,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    non_scan = [
+        docs.groupBy("doc_id").count(),
+        docs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("text"))
+        ),
+        docs.orderBy("doc_id"),
+        docs.limit(5),
+        docs.union(docs),
+        docs.distinct(),
+        docs.repartition(4),
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")),
+    ]
+    for frame in non_scan:
+        assert _estimated_scan_partitions(frame) is None, (
+            frame._jdf.queryExecution().analyzed().toString().splitlines()[0]
+        )
+    # operator-looking NAMES must not disqualify a pure scan
+    named = docs.select(
+        F.col("doc_id").alias("Join"),
+        F.col("text").alias("WindowSortLimit"),
+    ).filter(F.col("Join") >= 0)
+    est = _estimated_scan_partitions(named)
+    assert est is not None and est == named.rdd.getNumPartitions()
+
+
 def test_events_user_trend_is_pure_aggregate(spark):
     """The per-user OLS slope is covar_pop/var_pop — ONE map-side
     combinable hash aggregate. A FlatMapGroupsInPandas here would force

@@ -6,8 +6,10 @@ Evidence for the O(batch + candidates) per-batch contract
 stores with H historical documents, stream a few fixed-size JSONL
 batches through the REAL `stream_corpus_ingest`, and report the median
 trigger latency from the query's own progress events. Run at two history
-sizes (10x apart); a flat curve (±20%) is the pass criterion — an
-O(history) probe would show ~10x.
+sizes (10x apart); the pass criterion is ONE-SIDED no-growth (large ≤
+1.2× small; ≤1.5× across two decades for the optional xlarge point) — an
+O(history) probe would show ~10x, while a larger history running FASTER
+is host-load noise and passes.
 
 Usage: python tools/stream_ingest_bench.py [small] [large] [xlarge]
 (histories; default 2000 20000 0 — pass a third 10x point, e.g. 200000,
@@ -120,16 +122,18 @@ def main() -> None:
         "small": r_small,
         "large": r_large,
         "large_over_small": round(ratio, 3),
-        # one-sided: a LARGER history running faster is host-load
-        # noise, not an O(history) signal — only growth fails
-        "flat_within_20pct": ratio <= 1.2,
+        # ONE-SIDED criterion (the key name says exactly what is tested):
+        # only GROWTH with history size fails — a larger history running
+        # faster is host-load noise, not an O(history) signal, so there
+        # is deliberately no lower bound
+        "no_growth_within_20pct": ratio <= 1.2,
     }
     if xlarge:
         r_x = run_one(spark, xlarge)
         out["xlarge"] = r_x
         xr = r_x["median_warm_sec"] / max(r_small["median_warm_sec"], 1e-9)
         out["xlarge_over_small"] = round(xr, 3)
-        out["flat_two_decades_within_50pct"] = xr <= 1.5
+        out["no_growth_two_decades_within_50pct"] = xr <= 1.5
     print(json.dumps(out))
 
 
