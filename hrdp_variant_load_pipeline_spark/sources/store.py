@@ -259,12 +259,27 @@ def compact_store(
 
 
 def append_to_store(
-    df: DataFrame, root: str, allow_schema_drift: bool = False
+    df: DataFrame,
+    root: str,
+    allow_schema_drift: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """Append rows to the CURRENT store location (version dir when the
     store is versioned, the root for legacy/new flat stores). Appends are
     file-granular like the reference's batched inserts; use
     ``commit_store_version`` when replace-visibility is required.
+
+    ``cluster_by`` enforces KEY-RANGE CLUSTERING on the appended file
+    set: the batch is range-repartitioned then sorted within partitions
+    on the keys, so each written file covers a narrow, disjoint key
+    range and its parquet footer min/max actually prunes. This is the
+    contract the incremental-dedup candidate pushdown relies on
+    (``operators/dedup.py``: an In/range filter over candidate ids skips
+    files whose stats cannot hold one) — without it a multi-partition
+    batch hash-scatters ids so every file spans the whole batch range
+    and no file is ever skipped. Cost: one batch-sized range shuffle
+    (micro-batch appends are bounded by construction; the file count is
+    kept at the batch's own partition count).
 
     Appending a DIFFERENT schema into an existing location is refused:
     Spark's default parquet read infers from one footer, so a drifted
@@ -273,6 +288,11 @@ def append_to_store(
     a loud ALTER-or-fail. Pass ``allow_schema_drift=True`` for deliberate
     widening, and read with ``read_store(..., merge_schema=True)``."""
     spark = df.sparkSession
+    if cluster_by:
+        nparts = max(1, df.rdd.getNumPartitions())
+        df = df.repartitionByRange(nparts, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     target = resolve_store(spark, root) or root.rstrip("/")
     fs, jvm = _fs(spark, target)
     if not allow_schema_drift and fs.exists(_jpath(jvm, target)):

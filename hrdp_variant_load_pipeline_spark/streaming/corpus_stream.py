@@ -160,11 +160,16 @@ def stream_corpus_ingest(
                 # The reverse order left a PERMANENT index gap: replayed
                 # ids were dropped by the exact-id probe before their
                 # signatures were ever written.
+                # cluster_by: each appended file covers a narrow,
+                # disjoint id range, making the probe's candidate-id
+                # pushdown actually skip files via footer min/max — the
+                # store-level contract tests/test_corpus_stream.py pins
                 append_to_store(
                     banded_signatures(accepted, id_col, text_col),
                     index_store_dir,
+                    cluster_by=["doc"],
                 )
-                append_to_store(accepted, docs_store_dir)
+                append_to_store(accepted, docs_store_dir, cluster_by=[id_col])
             fresh.unpersist()
             if on_batch is not None:
                 on_batch(

@@ -355,3 +355,57 @@ def test_z_order_key_rejects_bit_budget_overflow(spark):
     df = spark.createDataFrame([(1, 2, 3, 4, 5, 6)], "a long, b long, c long, d long, e long, f long")
     with pytest.raises(ValueError, match="63-bit"):
         z_order_key(df, ["a", "b", "c", "d", "e", "f"], bits=12)
+
+
+def _file_ranges(spark, path, key):
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .collect()
+    )
+    return sorted([(r.lo, r.hi) for r in rows])
+
+
+def test_append_cluster_by_writes_disjoint_key_ranges(spark, tmp_path):
+    """The cluster_by append contract (the one the incremental-dedup
+    candidate pushdown relies on): a hash-scattered multi-partition
+    batch must land as files covering DISJOINT key ranges, so parquet
+    footer min/max can prune a candidate-id probe. Without cluster_by
+    the same batch overlaps on every file — asserted too, so the test
+    cannot pass vacuously."""
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("doc"), (F.col("id") % 7).alias("v"))
+        .repartition(8, "v")  # hash scatter: every partition spans 0..399
+    )
+    clustered = str(tmp_path / "clustered")
+    append_to_store(df, clustered, cluster_by=["doc"])
+    ranges = _file_ranges(spark, clustered, "doc")
+    assert len(ranges) >= 2  # non-vacuous: multiple files written
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, ranges
+
+    loose = str(tmp_path / "loose")
+    append_to_store(df, loose, cluster_by=None)
+    lranges = _file_ranges(spark, loose, "doc")
+    assert len(lranges) >= 2
+    assert any(
+        prev_hi >= lo for (_, prev_hi), (lo, _) in zip(lranges, lranges[1:])
+    ), lranges
+
+
+def test_append_cluster_by_stacks_disjoint_per_batch(spark, tmp_path):
+    """Two clustered appends: each batch's own files stay disjoint
+    (ranges across batches may interleave — pruning needs narrow files,
+    not global order)."""
+    store = str(tmp_path / "store")
+    b1 = spark.range(0, 200).select(F.col("id").alias("doc")).repartition(4)
+    b2 = spark.range(1000, 1200).select(F.col("id").alias("doc")).repartition(4)
+    append_to_store(b1, store, cluster_by=["doc"])
+    append_to_store(b2, store, cluster_by=["doc"])
+    ranges = _file_ranges(spark, store, "doc")
+    assert len(ranges) >= 4
+    # monotonic batches here, so global disjointness must hold as well
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < lo, ranges

@@ -110,3 +110,38 @@ def test_ingest_replay_appends_nothing(spark, tmp_path):
     # quarantine replay is idempotent too: same batch's lines never double
     assert read_store(spark, dirs["quarantine"]).count() == n_quar
     assert all(s["accepted"] == 0 for s in stats2.values())
+
+
+def test_ingest_stores_are_doc_range_clustered(spark, tmp_path):
+    """Store-level clustering contract: files appended by the ingest
+    cover disjoint doc-id ranges (docs AND index stores), which is what
+    lets the incremental-dedup candidate pushdown skip files via footer
+    min/max instead of scanning the whole fat shingle column."""
+    src, dirs, stats, q = _run(spark, tmp_path, "clu")
+    # two batches of mutually-distinct word-soup docs (no shingle
+    # overlap -> everything is accepted), monotone ids across batches
+    b1 = [
+        {"doc_id": i, "text": " ".join(f"b1d{i}w{j}" for j in range(12)), "lang": "en"}
+        for i in range(100, 220)
+    ]
+    b2 = [
+        {"doc_id": i, "text": " ".join(f"b2d{i}w{j}" for j in range(12)), "lang": "en"}
+        for i in range(1000, 1120)
+    ]
+    _write_batch(src, "b1.jsonl", b1)
+    _write_batch(src, "b2.jsonl", b2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(s["accepted"] for s in stats.values()) == len(b1) + len(b2)
+    for store, key in ((dirs["docs"], "doc_id"), (dirs["index"], "doc")):
+        rows = (
+            spark.read.parquet(store)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .collect()
+        )
+        ranges = sorted([(r.lo, r.hi) for r in rows])
+        for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert prev_hi < lo, (store, ranges)
