@@ -127,21 +127,47 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q5_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # Join order for scale: collapse the dimension chain region→nation→
+    # supplier FIRST (broadcast, zero shuffle) into a (s_suppkey, n_name)
+    # map, reduce lineitem through it (the region predicate drops ~60% of
+    # fact rows), and only THEN join orders — so the one fact-fact join
+    # sees the reduced side, with its payload pre-projected to
+    # (l_orderkey, n_name, rev). The orders side is pruned to its join
+    # key. shuffle_hash on the fact join: measured at sf1 under the
+    # bench profile it beats both the r9 fact-shuffle-first shape (1.01s)
+    # and a broadcast of o_orderkey (0.88s — the 1.5M-key broadcast
+    # build is driver-serial) at ~0.66-0.85s, and it is the only shape
+    # that holds at 100 TB, where orders cannot broadcast and sort-merge
+    # would pay two sorts. Floor note (BENCH_NOTES.md): the bare
+    # l_orderkey⋈o_orderkey key join alone costs ~0.60s at sf1 — ~4× the
+    # entire DuckDB query — so q5 is join-floor-bound, not plan-bound.
     r = table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     n = table(spark, sf, "nation")
     s = table(spark, sf, "supplier")
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    sred = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    lred = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(F.broadcast(sred), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "n_name", "rev")
+    )
+    # hint on the ORDERS side so the per-partition hash build is the
+    # skinny key column (BuildRight), not the wide reduced fact side
+    oh = o.select("o_orderkey").hint("shuffle_hash")
+    return (
+        lred.join(oh, lred.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
