@@ -42,11 +42,13 @@ def test_star_joins_broadcast(spark, name):
     assert not re.search(r"BroadcastExchange[\s\S]{0,1200}?lineitem", plan)
 
 
-def test_q3_fact_join_is_partitioned_hash(spark):
-    """q3 reduces orders through the broadcast customer filter FIRST, then
-    probes the fact join as a partitioned (shuffled) hash join — the shape
-    that survives 100 TB where a fact-side broadcast cannot."""
-    plan = _plan(spark, "q3_shipping_priority")
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_nation_volume"])
+def test_fact_join_is_partitioned_hash(spark, name):
+    """q3 reduces orders through the broadcast customer filter FIRST (and
+    q5 collapses the region→nation→supplier chain into lineitem first),
+    then probes the fact join as a partitioned (shuffled) hash join — the
+    shape that survives 100 TB where a fact-side broadcast cannot."""
+    plan = _plan(spark, name)
     assert "ShuffledHashJoin" in plan
 
 
