@@ -645,7 +645,13 @@ def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
         # closed form — an independent expectation, not a port of the
         # implementation
         _url_fns.normalize_url(_messy_url(k)).alias("url_norm"),
-        _url_fns.registered_domain(_messy_url(k)).alias("url_domain"),
+        # PSL path, not the builtin heuristic: this drives the bundled
+        # snapshot's rule-probe expression through the driver gate (the
+        # expected value is the same closed-form 'site<N>.co.uk' — co.uk
+        # is an exact 2-label rule — so the oracle stays independent)
+        _url_fns.registered_domain(
+            _messy_url(k), psl=_url_fns.default_psl()
+        ).alias("url_domain"),
     )
     li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
     d = li.select(

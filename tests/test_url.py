@@ -302,3 +302,79 @@ def test_per_domain_cap_composition(spark):
     # plan is UDF-free: canonicalization stays in codegen
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- property: PSL semantics vs an independent spec implementation ----
+
+def _ref_etld1(host: str, raw_rules: list[str]) -> str:
+    """Independent reference implementation of the publicsuffix.org
+    algorithm (labels compared right-to-left, '*' matches any single
+    label, exception rules prevail and name a suffix one label shorter),
+    written from the spec — NOT from functions/url.py — plus this
+    engine's documented deviation: a host at/below its public suffix
+    passes through whole instead of returning null."""
+    labels = host.split(".")
+    matches = []
+    for rule in raw_rules:
+        rule = rule.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        neg = rule.startswith("!")
+        rl = (rule[1:] if neg else rule).split(".")
+        if len(rl) > len(labels):
+            continue
+        if all(a == "*" or a == b for a, b in zip(rl, labels[-len(rl):])):
+            matches.append((neg, rl))
+    exc = [rl for neg, rl in matches if neg]
+    if exc:
+        suf_len = max(len(rl) for rl in exc) - 1
+    elif matches:
+        suf_len = max(len(rl) for _, rl in matches)
+    else:
+        suf_len = 1  # the implicit default rule '*'
+    if len(labels) <= suf_len:
+        return host
+    if exc:
+        # exception: the registrable domain is exactly the rule's labels
+        rl = max(exc, key=len)
+        return ".".join(labels[-len(rl):])
+    return ".".join(labels[-(suf_len + 1):])
+
+
+def test_psl_property_vs_spec_reference(spark):
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    base_labels = ["aa", "bb", "cc", "www", "city", "xn--p1ai"]
+    tlds = ["ck", "jp", "zz", "io"]
+    for trial in range(8):
+        # random rule set: exacts at depth 1-3, one wildcard, one
+        # exception under the wildcard
+        rules = list({rng.choice(tlds) for _ in range(3)})
+        for _ in range(4):
+            depth = rng.randint(2, 3)
+            rules.append(
+                ".".join(rng.sample(base_labels, depth - 1) + [rng.choice(tlds)])
+            )
+        wild_base = rng.choice([r for r in rules if "." not in r])
+        rules.append(f"*.{wild_base}")
+        rules.append(f"!{rng.choice(base_labels)}.{wild_base}")
+        # hosts: every suffix of a few random deep names, plus each
+        # rule's own name and one-label-deeper variants
+        hosts = set()
+        for _ in range(10):
+            name = rng.sample(base_labels, rng.randint(1, 4)) + [rng.choice(tlds)]
+            for i in range(len(name)):
+                hosts.add(".".join(name[i:]))
+        for r in rules:
+            bare = r.lstrip("!").replace("*.", "aa.")
+            hosts.add(bare)
+            hosts.add("deep." + bare)
+        hosts = sorted(hosts)
+        psl = load_public_suffixes(iter(rules))
+        urls = [f"https://{h}/x" for h in hosts]
+        got = _apply(spark, lambda c: registered_domain(c, psl=psl), urls)
+        want = [_ref_etld1(h, rules) for h in hosts]
+        assert got == want, (trial, rules,
+                             [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w])
