@@ -458,3 +458,39 @@ def compression_ratio(df, text_col: str, out_col: str = "compression_ratio"):
         list(df.schema.fields) + [StructField(out_col, DoubleType())]
     )
     return df.mapInPandas(comp, schema)
+
+
+#: PII redaction rules, applied IN THIS ORDER (order is semantic:
+#: emails first — their local parts contain digits a later rule could
+#: shred; card numbers before phones — a 4-4-4-4 grouped card would
+#: otherwise part-match the phone shape; IPs last — their 1-3 digit
+#: octet groups cannot satisfy the earlier digit-run patterns). All
+#: patterns are RE2-compatible (no lookaround), so the same literals
+#: run on Spark (Java regex) and any RE2 engine used for verification.
+_PII_RULES: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{2,4}\b", "<CC>"),
+    ("phone", r"(\+\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column, kinds: tuple | None = None) -> Column:
+    """Replace personally-identifying spans with typed placeholder
+    tokens — the standard pre-release scrub stage of a training-data
+    pipeline (emails → ``<EMAIL>``, card-shaped digit runs → ``<CC>``,
+    NANP-ish phone numbers → ``<PHONE>``, dotted-quad IPs → ``<IP>``).
+    ``kinds`` restricts which rules run (default: all), but the applied
+    rules always keep the canonical _PII_RULES order — see the order
+    note there; redaction is deliberately recall-leaning (better to
+    scrub a fake card number than leak a real one).
+
+    Pure chained ``regexp_replace`` Column expression: whole-stage
+    codegen, zero UDFs, composes into any scan for free at 100 TB.
+    Null text stays null.
+    """
+    out = text
+    for name, pat, repl in _PII_RULES:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out

@@ -584,7 +584,9 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
            least(p_partkey % 5, p_partkey % 3) AS lmin,
            'https://www.site' || (p_partkey % 5) || '.co.uk/p/' || p_partkey
              || '?ref=' || (p_partkey % 3) AS url_norm,
-           'site' || (p_partkey % 5) || '.co.uk' AS url_domain
+           'site' || (p_partkey % 5) || '.co.uk' AS url_domain,
+           'reach <EMAIL> or call <PHONE> from <IP> ref ' || p_partkey
+             AS pii_scrubbed
     FROM part
     ),
     d AS (
@@ -603,6 +605,7 @@ def explode_words(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.functions import text as _txt_fns
     from hrdp_variant_load_pipeline_spark.functions import url as _url_fns
 
     def _messy_url(key):
@@ -652,6 +655,26 @@ def scalar_funcs_battery(spark: SparkSession, sf: str) -> DataFrame:
         _url_fns.registered_domain(
             _messy_url(k), psl=_url_fns.default_psl()
         ).alias("url_domain"),
+        # PII redaction row: the raw text embeds a per-key email, phone,
+        # and IP; the oracle writes the EXPECTED scrubbed string in
+        # closed form — only the redactor working on per-row-varying
+        # spans produces it
+        _txt_fns.redact_pii(
+            F.concat(
+                F.lit("reach p"),
+                k.cast("string"),
+                F.lit("@site"),
+                (k % 5).cast("string"),
+                F.lit(".co.uk or call 555-"),
+                (100 + k % 900).cast("string"),
+                F.lit("-"),
+                (1000 + k % 9000).cast("string"),
+                F.lit(" from 10.0."),
+                (k % 256).cast("string"),
+                F.lit(".7 ref "),
+                k.cast("string"),
+            )
+        ).alias("pii_scrubbed"),
     )
     li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
     d = li.select(

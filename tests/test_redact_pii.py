@@ -1,0 +1,71 @@
+"""PII redaction (functions/text.py:redact_pii)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.functions.text import redact_pii
+
+
+def _apply(spark, texts, kinds=None):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        r.out
+        for r in df.select(redact_pii(F.col("text"), kinds).alias("out")).collect()
+    ]
+
+
+def test_redacts_each_kind(spark):
+    got = _apply(
+        spark,
+        [
+            "mail me at jane.doe+spam@sub.example.co.uk today",
+            "card 4111 1111 1111 1111 exp 09/28",
+            "call (414) 555-2368 or +1 414-555-2368",
+            "host 192.168.0.1 responded",
+            "no pii here at all",
+            None,
+        ],
+    )
+    assert got == [
+        "mail me at <EMAIL> today",
+        "card <CC> exp 09/28",
+        "call <PHONE> or <PHONE>",
+        "host <IP> responded",
+        "no pii here at all",
+        None,
+    ]
+
+
+def test_rule_order_card_before_phone_email_first(spark):
+    # a 4-4-4-4 card must become <CC>, not a mangled <PHONE> prefix;
+    # an email whose local part is digit-heavy must survive as <EMAIL>
+    got = _apply(
+        spark,
+        [
+            "pay 4111-1111-1111-1111 now",
+            "write 4145552368@txt.example.com please",
+        ],
+    )
+    assert got == ["pay <CC> now", "write <EMAIL> please"]
+
+
+def test_kinds_subset_and_ip_vs_phone(spark):
+    got = _apply(
+        spark,
+        ["ip 10.1.2.3 tel 555-123-4567"],
+        kinds=("ipv4",),
+    )
+    assert got == ["ip <IP> tel 555-123-4567"]
+    got = _apply(spark, ["ip 10.1.2.3 tel 555.123.4567"])
+    # dotted phone is NOT an IP (only two dots); IP is not a phone
+    # (octets are 1-3 digits, the phone shape needs a 4-digit run)
+    assert got == ["ip <IP> tel <PHONE>"]
+
+
+def test_redaction_is_codegen_only(spark):
+    df = spark.createDataFrame([("a@b.co x",)], "text string").select(
+        redact_pii(F.col("text")).alias("out")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
