@@ -92,20 +92,60 @@ def test_full_corpus_pipeline(spark, tmp_path):
         .collect()
     )
 
-    # 2d. LM-score gate (the CCNet chain): counts from the surviving
-    # corpus itself; every doc gets a finite score, and the gate keeps a
-    # non-trivial fraction
+    # 2d. LM-score gate (the CCNet chain, stupid-backoff smoothing):
+    # counts from the surviving corpus itself; every doc gets a finite
+    # score, and the gate keeps a non-trivial fraction
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
         lm_doc_score,
         ngram_counts,
     )
 
     counts = ngram_counts(unique, "text", n=2, min_count=2)
-    lm = lm_doc_score(unique, "doc_id", "text", counts)
+    lm = lm_doc_score(
+        unique, "doc_id", "text", counts, smoothing="stupid_backoff"
+    )
     assert lm.filter(F.col("lm_logprob").isNull()).count() == 0
     cutoff = lm.approxQuantile("lm_logprob", [0.1], 0.01)[0]
     lm_kept = lm.filter(F.col("lm_logprob") >= cutoff)
     assert 0 < lm_kept.count() <= n_unique
+
+    # 2e. web-curation keys + per-domain cap + PII scrub: synthesize a
+    # crawl url per doc (deterministic eTLD+1 skew), key it through the
+    # bundled-PSL curation helper, cap pages per registered domain, and
+    # scrub the synthetic contact line — the README cookbook's gate
+    # column stages, composed on the real fixture
+    from hrdp_variant_load_pipeline_spark.functions.text import redact_pii
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        sample_n_per_group,
+        url_curation_keys,
+    )
+
+    crawl = unique.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://Sub"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".host"),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit(".CO.UK:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=e2e"),
+        ),
+    )
+    keyed = url_curation_keys(crawl)
+    assert keyed.filter(F.col("domain").isNull()).count() == 0
+    assert (
+        keyed.filter(~F.col("domain").rlike(r"^host[01]\.co\.uk$")).count() == 0
+    )
+    capped = sample_n_per_group(keyed, "domain", n=5, id_col="doc_id")
+    assert (
+        capped.groupBy("domain").count().filter(F.col("count") > 5).count() == 0
+    )
+    scrubbed = capped.withColumn(
+        "text",
+        redact_pii(F.concat(F.col("text"), F.lit(" contact x@pii.example.com"))),
+    )
+    assert scrubbed.filter(~F.col("text").endswith("contact <EMAIL>")).count() == 0
 
     # 3. decontaminate against a pseudo eval set (docs 0 mod 10)
     bench = unique.filter(F.col("doc_id") % 10 == 0)
