@@ -225,6 +225,45 @@ def stratified_sample(
     return df.filter(_stratum_hash_unit(F.col(id_col), salt) < frac)
 
 
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    alpha: float = 0.3,
+) -> dict[str, float]:
+    """Temperature-rebalanced mixture weights from the corpus's own
+    per-source token mass — the multilingual-balancing rule of
+    XLM-R / mC4 (Conneau et al. 2020 §3.1; Xue et al. 2021 §3.2):
+
+        w_s ∝ (n_s / N) ** alpha,   normalized to sum 1
+
+    ``alpha=1`` reproduces the natural distribution; lowering alpha
+    flattens it toward uniform, up-weighting low-resource sources
+    without ever reordering them. Feed the result straight into
+    ``plan_mixture`` as its ``weights``.
+
+    Scale: ONE sources-sized aggregate on the cluster; the power/
+    normalize arithmetic is driver-side over len(sources) floats.
+    Sources with zero/null token mass are omitted (they cannot
+    contribute rows; plan_mixture would report a full shortfall).
+    """
+    if alpha <= 0:
+        raise ValueError("temperature_weights: alpha must be > 0")
+    avail = {
+        r["src"]: r["tok"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(token_count_col).cast("long").alias("tok"))
+        .collect()
+    }
+    mass = {s: float(t) for s, t in avail.items() if s is not None and t}
+    total = sum(mass.values())
+    if not total:
+        return {}
+    powed = {s: (t / total) ** alpha for s, t in mass.items()}
+    z = sum(powed.values())
+    return {s: w / z for s, w in sorted(powed.items())}
+
+
 def plan_mixture(
     df: DataFrame,
     source_col: str,

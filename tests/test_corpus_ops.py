@@ -426,3 +426,50 @@ def test_plan_mixture_all_null_counts_treated_as_empty(spark):
     assert plan["web"]["fraction"] == 0.0
     assert plan["web"]["shortfall_tokens"] == 50.0
     assert plan["books"]["fraction"] == 0.5
+
+
+def test_temperature_weights_closed_form_and_composition(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        plan_mixture,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "en", 80) for i in range(10)]     # 800 tokens
+        + [(100 + i, "de", 15) for i in range(10)]  # 150 tokens
+        + [(200 + i, "sw", 5) for i in range(10)]   # 50 tokens
+        + [(300, None, 40), (301, "xx", None)]      # null source / null mass
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+
+    # alpha=1: natural shares, null source and null-mass sources omitted
+    w1 = temperature_weights(df, "lang", "n_tok", alpha=1.0)
+    assert set(w1) == {"en", "de", "sw"}
+    assert abs(w1["en"] - 0.8) < 1e-12 and abs(w1["sw"] - 0.05) < 1e-12
+
+    # alpha=0.5: closed form (share**0.5, renormalized); ordering kept
+    # but flattened — sw gains, en loses, nothing overtakes
+    import math
+
+    shares = {"en": 0.8, "de": 0.15, "sw": 0.05}
+    z = sum(v**0.5 for v in shares.values())
+    w5 = temperature_weights(df, "lang", "n_tok", alpha=0.5)
+    for s in shares:
+        assert abs(w5[s] - shares[s] ** 0.5 / z) < 1e-12
+    assert w5["sw"] > w1["sw"] and w5["en"] < w1["en"]
+    assert w5["en"] > w5["de"] > w5["sw"]
+    assert abs(sum(w5.values()) - 1.0) < 1e-12
+
+    # composes with plan_mixture: targets proportional to the weights
+    plan = plan_mixture(df, "lang", "n_tok", weights=w5, total_tokens=500)
+    assert abs(plan["en"]["target_tokens"] - 500 * w5["en"]) < 1e-9
+    # sw's flattened share may exceed its 50 available tokens -> honest
+    # fraction cap + shortfall
+    assert plan["sw"]["fraction"] <= 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "lang", "n_tok", alpha=0.0)
+    empty = spark.createDataFrame([], "doc_id long, lang string, n_tok long")
+    assert temperature_weights(empty, "lang", "n_tok") == {}
