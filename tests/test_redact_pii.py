@@ -69,3 +69,23 @@ def test_redaction_is_codegen_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redaction_idempotent(spark):
+    """Placeholders contain no digits or '@', so a second pass must be a
+    no-op — redaction is a fixed point (re-scrubbing an already-scrubbed
+    corpus cannot mangle it)."""
+    texts = [
+        "mail jane.doe@x.co card 4111-1111-1111-1111 tel (414) 555-2368 ip 8.8.8.8",
+        "<EMAIL> then 4111 1111 1111 1111 and text",
+        "nested a@b.io inside a@b.io twice",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        redact_pii(F.col("text")).alias("r1"),
+        redact_pii(redact_pii(F.col("text"))).alias("r2"),
+    ).collect()
+    for t, r in zip(texts, rows):
+        assert r.r2 == r.r1, (t, r.r1, r.r2)
+        assert "@" not in r.r1.replace("<EMAIL>", ""), r.r1

@@ -378,3 +378,44 @@ def test_psl_property_vs_spec_reference(spark):
         want = [_ref_etld1(h, rules) for h in hosts]
         assert got == want, (trial, rules,
                              [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w])
+
+
+def test_normalize_url_idempotent_property(spark):
+    """A canonical form must be a fixed point: normalize(normalize(x))
+    == normalize(x), and the host key must survive normalization.
+    Generated over the messy-URL lattice (case, default/odd ports,
+    userinfo, tracking params, fragments, trailing dots, IPv6)."""
+    import random
+
+    rng = random.Random(20260814)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = [
+        "Ex.COM", "www.Example.co.uk", "a.b.c.d.example.com.",
+        "10.1.2.3", "[2001:DB8::1]", "localhost",
+    ]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p%20q"]
+    queries = [
+        "", "?utm_source=x", "?id=1&utm_medium=m&b=2", "?fbclid", "?a=@b",
+        "?utm_campaign=c&gclid=1",
+    ]
+    frags = ["", "#frag", "#f@g"]
+    urls = []
+    for _ in range(80):
+        urls.append(
+            rng.choice(schemes) + "://"
+            + rng.choice(["", "user:pw@"])
+            + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        normalize_url(F.col("url")).alias("n1"),
+        normalize_url(normalize_url(F.col("url"))).alias("n2"),
+        url_host(F.col("url")).alias("h0"),
+        url_host(normalize_url(F.col("url"))).alias("h1"),
+    ).collect()
+    for u, r in zip(urls, rows):
+        assert r.n1 is not None, u
+        assert r.n2 == r.n1, (u, r.n1, r.n2)
+        assert r.h1 == r.h0, (u, r.h0, r.h1)
