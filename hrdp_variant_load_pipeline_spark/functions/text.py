@@ -469,8 +469,15 @@ def compression_ratio(df, text_col: str, out_col: str = "compression_ratio"):
 #: run on Spark (Java regex) and any RE2 engine used for verification.
 _PII_RULES: tuple = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("cc", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{2,4}\b", "<CC>"),
-    ("phone", r"(\+\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    # 13-19 digits with optional single separators: the full PAN length
+    # range (13-digit legacy Visa through 19-digit UnionPay). Recall-
+    # leaning by design: any bare 13-19 digit run (e.g. an epoch-millis
+    # timestamp) is scrubbed too — a false <CC> beats a leaked prefix.
+    ("cc", r"\b\d(?:[- ]?\d){12,18}\b", "<CC>"),
+    # optional 1-2 digit country code (with or without '+') so an
+    # 11-12 digit number redacts WHOLE — a 10-digit-only core match
+    # would leave the leading country digits in the "scrubbed" text
+    ("phone", r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 
@@ -485,10 +492,22 @@ def redact_pii(text: Column, kinds: tuple | None = None) -> Column:
     note there; redaction is deliberately recall-leaning (better to
     scrub a fake card number than leak a real one).
 
+    Unknown names in ``kinds`` raise: a typo ("ip" for "ipv4") that
+    silently applied zero rules would SHIP UNSCRUBBED DATA — the one
+    failure mode a scrub stage must make loud.
+
     Pure chained ``regexp_replace`` Column expression: whole-stage
     codegen, zero UDFs, composes into any scan for free at 100 TB.
     Null text stays null.
     """
+    if kinds is not None:
+        known = {name for name, _, _ in _PII_RULES}
+        unknown = set(kinds) - known
+        if unknown:
+            raise ValueError(
+                f"redact_pii: unknown kinds {sorted(unknown)} "
+                f"(expected a subset of {sorted(known)})"
+            )
     out = text
     for name, pat, repl in _PII_RULES:
         if kinds is None or name in kinds:

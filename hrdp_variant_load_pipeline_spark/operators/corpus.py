@@ -386,6 +386,13 @@ def url_curation_keys(
     """
     from hrdp_variant_load_pipeline_spark.functions import url as U
 
+    clobbered = {url_out, domain_out} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"url_curation_keys: output column(s) {sorted(clobbered)} "
+            "already exist on the input — pass different url_out/"
+            "domain_out (silent overwrite is ambiguous downstream)"
+        )
     psl = U.load_public_suffixes(psl_file) if psl_file else U.default_psl()
     return df.withColumn(url_out, U.normalize_url(F.col(url_col))).withColumn(
         domain_out, U.registered_domain(F.col(url_col), psl=psl)

@@ -263,6 +263,7 @@ def append_to_store(
     root: str,
     allow_schema_drift: bool = False,
     cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> str:
     """Append rows to the CURRENT store location (version dir when the
     store is versioned, the root for legacy/new flat stores). Appends are
@@ -278,8 +279,13 @@ def append_to_store(
     files whose stats cannot hold one) — without it a multi-partition
     batch hash-scatters ids so every file spans the whole batch range
     and no file is ever skipped. Cost: one batch-sized range shuffle
-    (micro-batch appends are bounded by construction; the file count is
-    kept at the batch's own partition count).
+    (micro-batch appends are bounded by construction).
+    ``cluster_partitions`` pins the written file count; left None, the
+    range shuffle takes the session default and AQE right-sizes it per
+    batch. Deliberately NOT derived from ``df.rdd.getNumPartitions()``:
+    under AQE, touching ``.rdd`` finalizes the plan by RUNNING its
+    shuffle map stages, so a derived batch (e.g. the ingest's
+    shingle/minhash index rows) would execute twice per append.
 
     Appending a DIFFERENT schema into an existing location is refused:
     Spark's default parquet read infers from one footer, so a drifted
@@ -289,10 +295,11 @@ def append_to_store(
     widening, and read with ``read_store(..., merge_schema=True)``."""
     spark = df.sparkSession
     if cluster_by:
-        nparts = max(1, df.rdd.getNumPartitions())
-        df = df.repartitionByRange(nparts, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        if cluster_partitions:
+            df = df.repartitionByRange(cluster_partitions, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     target = resolve_store(spark, root) or root.rstrip("/")
     fs, jvm = _fs(spark, target)
     if not allow_schema_drift and fs.exists(_jpath(jvm, target)):

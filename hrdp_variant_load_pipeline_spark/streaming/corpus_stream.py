@@ -163,7 +163,11 @@ def stream_corpus_ingest(
                 # cluster_by: each appended file covers a narrow,
                 # disjoint id range, making the probe's candidate-id
                 # pushdown actually skip files via footer min/max — the
-                # store-level contract tests/test_corpus_stream.py pins
+                # store-level contract tests/test_corpus_stream.py pins.
+                # The docs store gets the same treatment: today's replay
+                # probe only semi-joins the id column, but compaction
+                # locality and any id-ranged reader get the narrow files
+                # for the price of one batch-bounded range shuffle
                 append_to_store(
                     banded_signatures(accepted, id_col, text_col),
                     index_store_dir,

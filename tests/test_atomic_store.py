@@ -380,7 +380,9 @@ def test_append_cluster_by_writes_disjoint_key_ranges(spark, tmp_path):
         .repartition(8, "v")  # hash scatter: every partition spans 0..399
     )
     clustered = str(tmp_path / "clustered")
-    append_to_store(df, clustered, cluster_by=["doc"])
+    # explicit cluster_partitions: AQE would rightly coalesce this tiny
+    # batch to one file, which passes disjointness vacuously
+    append_to_store(df, clustered, cluster_by=["doc"], cluster_partitions=4)
     ranges = _file_ranges(spark, clustered, "doc")
     assert len(ranges) >= 2  # non-vacuous: multiple files written
     for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
@@ -402,8 +404,8 @@ def test_append_cluster_by_stacks_disjoint_per_batch(spark, tmp_path):
     store = str(tmp_path / "store")
     b1 = spark.range(0, 200).select(F.col("id").alias("doc")).repartition(4)
     b2 = spark.range(1000, 1200).select(F.col("id").alias("doc")).repartition(4)
-    append_to_store(b1, store, cluster_by=["doc"])
-    append_to_store(b2, store, cluster_by=["doc"])
+    append_to_store(b1, store, cluster_by=["doc"], cluster_partitions=2)
+    append_to_store(b2, store, cluster_by=["doc"], cluster_partitions=2)
     ranges = _file_ranges(spark, store, "doc")
     assert len(ranges) >= 4
     # monotonic batches here, so global disjointness must hold as well

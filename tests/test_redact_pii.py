@@ -89,3 +89,35 @@ def test_redaction_idempotent(spark):
     for t, r in zip(texts, rows):
         assert r.r2 == r.r1, (t, r.r1, r.r2)
         assert "@" not in r.r1.replace("<EMAIL>", ""), r.r1
+
+
+def test_cc_full_pan_length_range_no_prefix_leak(spark):
+    """13-digit (legacy Visa) and 19-digit (UnionPay) PANs must redact
+    WHOLE — the round-10 review found the 14-16-only rule let the phone
+    pattern part-match a 13-digit PAN and leak its issuer prefix."""
+    got = _apply(
+        spark,
+        [
+            "card 4222222222222 ok",            # 13-digit test PAN
+            "card 6212345678901234567 ok",      # 19-digit
+            "card 4111111111111111 ok",         # 16 plain
+            "num 123456789012 ok",              # 12 digits: NOT a PAN
+        ],
+    )
+    assert got[:3] == ["card <CC> ok", "card <CC> ok", "card <CC> ok"]
+    # 12 digits falls to the phone rule (country-code form) — still
+    # fully scrubbed, no digit prefix survives
+    assert got[3] == "num <PHONE> ok"
+    for g in got:
+        assert not any(ch.isdigit() for ch in g), g
+
+
+def test_unknown_kind_raises(spark):
+    """A typo'd kind must fail loud — silently applying zero rules would
+    ship unscrubbed data."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown kinds.*ip"):
+        _apply(spark, ["x"], kinds=("ip",))
+    with pytest.raises(ValueError, match="unknown kinds"):
+        _apply(spark, ["x"], kinds=("credit_card", "email"))

@@ -419,3 +419,19 @@ def test_normalize_url_idempotent_property(spark):
         assert r.n1 is not None, u
         assert r.n2 == r.n1, (u, r.n1, r.n2)
         assert r.h1 == r.h0, (u, r.h0, r.h1)
+
+
+def test_url_curation_keys_refuses_column_clobber(spark):
+    import pytest
+
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        url_curation_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.co/x", "labeled")], "doc_id long, url string, domain string"
+    )
+    with pytest.raises(ValueError, match="domain"):
+        url_curation_keys(df)
+    out = url_curation_keys(df, domain_out="etld1")
+    assert {"domain", "etld1"} <= set(out.columns)

@@ -74,8 +74,16 @@ def run_one(spark, history_n: int) -> dict:
             F.udf(_text, "string")(F.col("id").cast("int")).alias("text"),
             F.lit("en").alias("lang"),
         ).repartition(8).localCheckpoint()
-        append_to_store(banded_signatures(hist, "doc_id", "text"), dirs["index"])
-        append_to_store(hist, dirs["docs"])
+        # cluster the seeded history exactly like the real ingest's
+        # appends: without doc-range-disjoint files, the candidate-id
+        # pushdown the bench exists to evidence cannot prune a single
+        # history file and the measured curve stops being the contract's
+        append_to_store(
+            banded_signatures(hist, "doc_id", "text"),
+            dirs["index"],
+            cluster_by=["doc"],
+        )
+        append_to_store(hist, dirs["docs"], cluster_by=["doc_id"])
         for b in range(N_BATCHES):
             lo = 1_000_000 + b * BATCH_DOCS
             with open(os.path.join(dirs["in"], f"b{b}.jsonl"), "w") as f:
