@@ -19,7 +19,11 @@ Config (JSON; see sources/config.py):
 
 ``catalogs`` (optional) registers stores as external tables under named
 catalog databases — the reference's dual RGD / "CarpeNovo" datasources
-(``DAO.java:34-36``) as Spark namespaces.
+(``DAO.java:34-36``) as Spark namespaces. ``append_cluster_by``
+(optional, ``{store_key: [cols]}``) range-clusters each load batch's
+appended files so range-scoped readers (genic QC) footer-prune them
+immediately; ``compact_sort_by`` applies the same clustering store-wide
+at ``--compactStores`` time.
 
 Stores are partitioned Parquet directories (created on first load); genes
 is any Parquet with the GENE schema (or loaded via JDBC upstream).
@@ -137,8 +141,21 @@ def cmd_run_load(spark: SparkSession, cfg: dict) -> dict[str, int]:
                 "load refused (constraints=strict): "
                 + ", ".join(f"{r['rule']}={r['violations']}" for r in bad)
             )
-    append_to_store(res.new_variants, cfg["variant_store"])
-    append_to_store(res.new_sample_details, cfg["detail_store"])
+    # optional per-store append clustering, e.g. {"append_cluster_by":
+    # {"variant_store": ["chromosome", "start_pos"]}} — each batch's
+    # files then cover disjoint key ranges and genic-QC's range-scoped
+    # probes prune them via footer stats WITHOUT waiting for the next
+    # --compactStores pass (which applies the same clustering store-wide
+    # via compact_sort_by). Costs one batch-bounded range shuffle.
+    clu = cfg.get("append_cluster_by") or {}
+    append_to_store(
+        res.new_variants, cfg["variant_store"], cluster_by=clu.get("variant_store")
+    )
+    append_to_store(
+        res.new_sample_details,
+        cfg["detail_store"],
+        cluster_by=clu.get("detail_store"),
+    )
     out.update(load_metrics(res))
     return out
 

@@ -260,3 +260,48 @@ def test_cli_strict_constraints_refuse_bad_batch(spark, tmp_path):
     report = check_constraints(bad, _LOAD_CONSTRAINTS).collect()
     viol = {r["rule"]: r["violations"] for r in report if not r["ok"]}
     assert viol == {"unique(rgd_id)": 1}
+
+
+def test_cli_load_append_cluster_by(spark, tmp_path):
+    """config append_cluster_by: the load's appended variant files cover
+    disjoint (chromosome, start_pos) ranges, so genic-QC's range-scoped
+    probes can footer-prune fresh batches without waiting for
+    --compactStores; load semantics (counts, idempotence) unchanged."""
+    vdir = tmp_path / "vcfs"
+    vdir.mkdir()
+    with gzip.open(vdir / "BN_X_2020_v1_PASS.vcf.gz", "wt") as f:
+        f.write(VCF)
+    genes_path = str(tmp_path / "genes")
+    spark.createDataFrame(
+        [(1, "1", 50, 150, "ACTIVE", 372)], schemas.GENE
+    ).write.parquet(genes_path)
+    cfg = {
+        "map_key": 372,
+        "input_dir": str(vdir),
+        "samples": {"S1": 1},
+        "genes_path": genes_path,
+        "variant_store": str(tmp_path / "variants"),
+        "detail_store": str(tmp_path / "details"),
+        "append_cluster_by": {
+            "variant_store": ["chromosome", "start_pos"],
+            "detail_store": ["rgd_id"],
+        },
+    }
+    m = cmd_run_load(spark, cfg)
+    assert m["variants_entered"] == 2 and m["sample_details_entered"] == 2
+    assert cmd_run_load(spark, cfg)["variants_entered"] == 0  # idempotent
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(cfg["variant_store"])
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(F.struct("chromosome", "start_pos")).alias("lo"),
+            F.max(F.struct("chromosome", "start_pos")).alias("hi"),
+        )
+        .collect()
+    )
+    ranges = sorted([((r.lo[0], r.lo[1]), (r.hi[0], r.hi[1])) for r in rows])
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo, ranges
