@@ -2,18 +2,23 @@
 
 Media are opaque ``binary`` columns with typed metadata alongside. The
 Spark-side machinery — schema, partition-friendly batch iteration, Arrow
-batch shapes — is real and tested; the actual codec work is stubbed because
-media libraries are not in this environment (BASELINE.json north-star
-allows a deterministic fake / NotImplementedError stub).
+batch shapes — is real and tested. Header-level metadata extraction is
+REAL for the container formats parseable with the stdlib alone (PNG,
+JPEG, GIF, BMP, PPM/PGM images; RIFF/WAV audio — `_header_decode` /
+`_wav_probe`); anything unrecognized falls back to the deterministic
+fake the driver battery pins (full pixel/sample decode would need
+PIL/ffmpeg, absent in this environment — BASELINE.json north-star
+allows the stub there).
 
 ``decode_image_features`` runs through ``mapInPandas``: the production
 shape for per-batch Python decode (Arrow transfer, bounded batch memory,
-no per-row overhead). Swap ``_fake_decode`` with a real PIL/ffmpeg call to
+no per-row overhead). Swap the fallback with a real PIL/ffmpeg call to
 productionize; everything around it stays.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,12 +37,68 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder (no media libs here).
-
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload)).
-    """
+    """Deterministic stand-in for unrecognized payloads (the driver
+    battery feeds text bytes, which hit exactly this path — its oracle
+    states the same closed form)."""
     n = len(payload)
     return (n % 640, (n * 7) % 480, 3)
+
+
+#: PNG color type → channel count
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _header_decode(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL (width, height, channels) from the container header for the
+    stdlib-parseable image formats; None for anything else (caller falls
+    back to the deterministic fake). Header probing — not pixel decode —
+    is exactly what curation needs for resolution/aspect filters, and it
+    reads O(header) bytes however large the blob is."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return w, h, _PNG_CHANNELS.get(payload[25], 3)
+        if payload[:2] == b"\xff\xd8":  # JPEG: scan to a SOF marker
+            i = 2
+            while i + 9 < len(payload) and payload[i] == 0xFF:
+                marker = payload[i + 1]
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return w, h, payload[i + 9]
+                i += 2 + seglen
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return w, h, 3
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            w, h = struct.unpack("<ii", payload[18:26])
+            bpp = struct.unpack("<H", payload[28:30])[0]
+            # negative height = top-down row order, same pixel count
+            return w, abs(h), max(1, bpp // 8)
+        if payload[:2] in (b"P6", b"P5"):  # PPM / PGM (ASCII header)
+            fields: list[int] = []
+            i = 2
+            while len(fields) < 2 and i < len(payload):
+                c = payload[i : i + 1]
+                if c == b"#":
+                    i = payload.index(b"\n", i) + 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(payload) and not payload[j : j + 1].isspace():
+                        j += 1
+                    fields.append(int(payload[i:j]))
+                    i = j
+            if len(fields) == 2:
+                return fields[0], fields[1], 3 if payload[:2] == b"P6" else 1
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None
 
 
 def decode_image_features(df: DataFrame) -> DataFrame:
@@ -50,7 +111,9 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            decoded = [_fake_decode(p) for p in payloads]
+            decoded = [
+                _header_decode(bytes(p)) or _fake_decode(p) for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -70,13 +133,39 @@ AUDIO_SCHEMA = (
 )
 
 
+def _wav_probe(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL (sample_rate, n_samples, duration_ms) from a RIFF/WAVE
+    header: walk the chunk list for ``fmt `` (rate, block align) and
+    ``data`` (byte length). None for non-WAV payloads — compressed
+    containers (mp3/flac/ogg) need real codec libs and fall back."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        rate = block_align = data_size = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                _fmt, _ch, rate, _br, block_align, _bits = struct.unpack(
+                    "<HHIIHH", payload[i + 8 : i + 24]
+                )
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if not rate or not block_align or data_size is None:
+            return None
+        n_samples = data_size // block_align
+        return rate, n_samples, n_samples * 1000 // rate
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
 def decode_audio_features(df: DataFrame) -> DataFrame:
     """Audio-path twin of ``decode_image_features``: mapInPandas over
-    (doc_id, payload binary) → deterministic fake header fields.
-
-    Real implementation would parse the container header (e.g. soundfile /
-    ffprobe); the Arrow batch plumbing and output schema are the
-    production shape.
+    (doc_id, payload binary). RIFF/WAV headers are probed for REAL
+    rate/sample/duration fields (``_wav_probe``); unrecognized payloads
+    fall back to the deterministic fake the driver battery pins.
     """
 
     def _fake_probe(payload: bytes) -> tuple[int, int, int]:
@@ -87,7 +176,9 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            probed = [_fake_probe(p) for p in pdf["payload"]]
+            probed = [
+                _wav_probe(bytes(p)) or _fake_probe(p) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
