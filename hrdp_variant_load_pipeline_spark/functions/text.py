@@ -513,3 +513,90 @@ def redact_pii(text: Column, kinds: tuple | None = None) -> Column:
         if kinds is None or name in kinds:
             out = F.regexp_replace(out, pat, repl)
     return out
+
+
+#: Gopher-rule stopword list (Rae et al. 2021 §A1.1 use a small "must
+#: contain N of these" English function-word set; this is that idea with
+#: the battery's cross-engine-stable spellings)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    repetition-free subset — repetition signals live in
+    ``repetition_flags``; C4's terminal-punctuation line rules are folded
+    into the line-shape checks). One struct column of per-rule booleans
+    (True = rule PASSES) plus the word count:
+
+      words_ok      min_words <= n_words <= max_words
+      avg_len_ok    mean word length in [min_avg_word_len, max_avg_word_len]
+      symbol_ok     (# + ellipsis occurrences) / n_words <= max_symbol_word_ratio
+      bullet_ok     fraction of lines starting with a bullet <= max_bullet_line_frac
+      ellipsis_ok   fraction of lines ending in an ellipsis <= max_ellipsis_line_frac
+      alpha_ok      fraction of words containing a letter >= min_alpha_word_frac
+      stopword_ok   >= min_stopword_hits Gopher stopword occurrences
+      passes        AND of all of the above
+      n_words       the whitespace-token count (long)
+
+    Word-denominated rules FAIL on empty/whitespace-only docs (an empty
+    doc is never keepable under Gopher); the line-shape rules pass
+    vacuously there. Everything is one row-local codegen'd expression
+    tree — no shuffle, no UDF; filtering 100 TB with this composes into
+    the scan.
+    """
+    w = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n = F.size(w)
+    # guarded denominator: AND is not guaranteed to short-circuit in
+    # Spark, and ANSI mode turns 0/0 into a runtime error — with n=0 the
+    # numerators are all 0, so /1 yields 0 ratios and the has_words
+    # conjunct still fails the word rules
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    has_words = n > 0
+    avg_len = F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nd
+    symbol_ratio = F.regexp_count(text, F.lit(r"#|\.\.\.|…")).cast("double") / nd
+    lines = F.split(text, r"\r\n|\r|\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+        .cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        .cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nd
+    )
+    stop_hits = _word_count(text, GOPHER_STOPWORDS)
+    return F.struct(
+        ((n >= min_words) & (n <= max_words)).alias("words_ok"),
+        (has_words & (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)).alias("avg_len_ok"),
+        (has_words & (symbol_ratio <= max_symbol_word_ratio)).alias("symbol_ok"),
+        (bullet_frac <= max_bullet_line_frac).alias("bullet_ok"),
+        (ellipsis_frac <= max_ellipsis_line_frac).alias("ellipsis_ok"),
+        (has_words & (alpha_frac >= min_alpha_word_frac)).alias("alpha_ok"),
+        (stop_hits >= min_stopword_hits).alias("stopword_ok"),
+        (
+            (n >= min_words) & (n <= max_words)
+            & (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)
+            & (symbol_ratio <= max_symbol_word_ratio)
+            & (bullet_frac <= max_bullet_line_frac)
+            & (ellipsis_frac <= max_ellipsis_line_frac)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (stop_hits >= min_stopword_hits)
+        ).alias("passes"),
+        n.cast("long").alias("n_words"),
+    )

@@ -1,0 +1,217 @@
+"""DSIR-style importance resampling for training-data selection
+(Xie et al., NeurIPS 2023 — "Data Selection for Language Models via
+Importance Resampling"), re-expressed as Spark DataFrame operators.
+
+The method: featurize every document as a bag of hashed word n-grams
+(unigrams + bigrams hashed into ``n_buckets`` feature buckets), fit two
+smoothed bag-of-buckets models — one on a small TARGET corpus (the
+distribution you want, e.g. curated text) and one on the RAW pool — and
+score each raw document by its log importance weight
+
+    log w(d) = sum over d's hashed n-grams g of
+               [ log p_target(bucket(g)) - log p_raw(bucket(g)) ]
+
+then sample without replacement proportionally to the weights via the
+Gumbel top-k trick. Documents whose features look more target-like than
+pool-like are preferentially kept.
+
+Scale shape (100 TB pool, model-sized feature space):
+
+* featurization is ROW-LOCAL — the bucket array is a ``transform`` over
+  the doc's own n-grams, no explode of the corpus;
+* the two bucket-count tables are map-side-combined aggregates whose
+  result is at most ``n_buckets`` rows (the one shuffle in the whole
+  pipeline, and its payload is <= 2 * n_buckets rows per partition);
+* the log-ratio table is ``n_buckets`` doubles — model-sized. It is
+  collected once and inlined as a SINGLE array literal, so scoring is a
+  row-local ``aggregate`` over each doc's bucket array: the corpus is
+  never shuffled, exploded, or joined to score it;
+* selection is TakeOrderedAndProject (per-partition top-k, then a
+  k-sized merge on the driver) — never a global sort.
+
+Determinism: the bucket hash and the Gumbel noise both derive from md5,
+so features, weights, and the resampled set are pure functions of
+(text, salt) — reproducible across runs, partitionings, and engines
+(the DuckDB oracle in queries_model.py recomputes them bit-for-bit).
+
+No Python UDFs anywhere; everything is built-in column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hashed_ngram_buckets(
+    text: Column, n_buckets: int, salt: str = "dsir"
+) -> Column:
+    """Hashed feature-bucket ids (WITH multiplicity — bag, not set) for a
+    doc's word unigrams + bigrams, as an ``array<long>``.
+
+    bucket(g) = first-8-hex-chars(md5(salt || g)) mod n_buckets — the
+    same md5-prefix hash family every cross-engine operator here uses,
+    so an ANSI-SQL oracle reproduces it exactly.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n = F.size(words)
+    # sequence(1, 0) would infer step -1 and DESCEND (see shingle_array's
+    # guard in operators/dedup.py) — docs of < 2 words have no bigrams
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(words, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets,
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """(bucket, c) hashed-n-gram counts — the corpus's only shuffle, and
+    it carries at most ``n_buckets`` rows per partition after the
+    map-side partial aggregate."""
+    return (
+        df.select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bucket_logratio(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-bucket log importance ratio
+    ``ln p_target(b) - ln p_raw(b)`` over the FULL bucket domain
+    (add-1 smoothing, so unseen buckets still carry the ratio of the
+    two smoothing floors). Output: (bucket, logratio), n_buckets rows.
+    """
+    dom = target.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    t = _bucket_counts(target, text_col, n_buckets, salt)
+    r = _bucket_counts(raw, text_col, n_buckets, salt)
+    tt = t.agg(F.sum("c").alias("t_total"))
+    rt = r.agg(F.sum("c").alias("r_total"))
+    b = float(n_buckets)
+    return (
+        dom.join(t.withColumnRenamed("c", "tc"), "bucket", "left")
+        .join(r.withColumnRenamed("c", "rc"), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1)
+                    / (F.coalesce("t_total", F.lit(0)) + b)
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + 1)
+                    / (F.coalesce("r_total", F.lit(0)) + b)
+                )
+            ).alias("logratio"),
+        )
+    )
+
+
+def dsir_log_weight(
+    docs: DataFrame,
+    logratio: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str = "dsir",
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Score every doc with its log importance weight — ROW-LOCAL.
+
+    The (bucket, logratio) table is model-sized (``n_buckets`` doubles),
+    so it is collected ONCE into a single array literal indexed by
+    bucket id and each doc folds its own bucket array through it with
+    ``aggregate`` — zero shuffle, zero explode, zero join on the corpus
+    side. Docs with no n-grams (empty text) score 0.0.
+    """
+    rows = logratio.collect()  # model-sized: n_buckets rows
+    table = [0.0] * n_buckets
+    for row in rows:
+        table[row["bucket"]] = float(row["logratio"])
+    lut = F.lit(table)
+    buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    score = F.aggregate(
+        buckets,
+        F.lit(0.0),
+        lambda acc, bkt: acc + F.element_at(lut, (bkt + 1).cast("int")),
+    )
+    return docs.withColumn(out_col, score)
+
+
+def gumbel_key(
+    id_col: Column, logw_col: Column, salt: str = "dsirpick"
+) -> Column:
+    """Gumbel-perturbed key ``logw + Gumbel(0,1)`` for weighted sampling
+    WITHOUT replacement (top-k of these keys is an exact sample
+    proportional to the softmax of the weights — the Gumbel top-k
+    trick). The noise is deterministic: u = (md5-prefix + 0.5) / 2^32
+    (never exactly 0 or 1), g = -ln(-ln(u)).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(float(2**32))
+    return logw_col + -F.log(-F.log(u))
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    logw_col: str = "dsir_logw",
+    salt: str = "dsirpick",
+    key_col: str = "dsir_key",
+) -> DataFrame:
+    """Select ``k`` docs by Gumbel top-k over the log weights — the DSIR
+    resampling step, deterministic in (salt, id). The plan is
+    TakeOrderedAndProject: each partition keeps its local top-k and the
+    driver merges k-sized heads — no global sort, no full-data shuffle.
+    Ties (already measure-zero given the noise) break on id.
+    """
+    key = gumbel_key(F.col(id_col), F.col(logw_col), salt)
+    return (
+        scored.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_select_topk(
+    scored: DataFrame, k: int, id_col: str, logw_col: str = "dsir_logw"
+) -> DataFrame:
+    """Deterministic hard top-k by weight (the no-noise variant some
+    pipelines use). Same TakeOrderedAndProject shape as dsir_resample.
+
+    At petabyte scale prefer a threshold cut: take tau =
+    ``approxQuantile(logw, 1 - k/n)`` and filter ``logw >= tau`` — one
+    pass, no ordered merge; this helper keeps the exact form since k is
+    typically corpus-fraction-sized only in tests.
+    """
+    return scored.orderBy(F.col(logw_col).desc(), F.col(id_col)).limit(k)

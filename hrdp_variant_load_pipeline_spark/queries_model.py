@@ -455,6 +455,27 @@ _CS_NG_TOP = 20
 _CS_LM_MIN = 2
 _CS_TFIDF_Q = 3
 _CS_TFIDF_MIN = 0.5
+# gopher-rule thresholds, tuned to the synthetic word-soup so each
+# word-denominated rule actually splits the corpus (words 20-80 passes
+# 358/500, stopwords >= 2 passes 224/500, avg-len [4.0, 4.75] brackets
+# the distribution's center) — the line-shape and symbol rules pass
+# vacuously on single-line symbol-free soup but stay in the battery so
+# the cross-engine mirror pins their expressions too
+_CS_GOPH_MINW = 20
+_CS_GOPH_MAXW = 80
+_CS_GOPH_MINAVG = 4.0
+_CS_GOPH_MAXAVG = 4.75
+_CS_GOPH_SYMR = 0.05
+_CS_GOPH_BULLET = 0.9
+_CS_GOPH_ELLIPSIS = 0.3
+_CS_GOPH_ALPHA = 0.8
+_CS_GOPH_STOPS = 2
+# DSIR: 64 hashed uni+bigram buckets, target = the 'en' slice of the
+# pool, Gumbel top-25 resample
+_CS_DSIR_B = 64
+_CS_DSIR_K = 25
+_CS_DSIR_SALT = "dsir"
+_CS_DSIR_PICK_SALT = "dsirpick"
 
 _CORPUS_STATS_SQL = rf"""
 WITH paras AS (
@@ -562,7 +583,73 @@ lmsc AS (
   LEFT JOIN lmcnt cnt ON g.w1 = cnt.w1 AND g.w2 = cnt.w2
   LEFT JOIN lmctx ctx ON g.w1 = ctx.w1
   LEFT JOIN lmuni uni ON g.w2 = uni.w2, lmv
-  GROUP BY g.doc_id)
+  GROUP BY g.doc_id),
+
+gw AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+gstat AS (
+  SELECT doc_id, len(w) AS n,
+         length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+           / greatest(len(w), 1) AS avglen,
+         len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE
+           / greatest(len(w), 1) AS symr,
+         len(list_filter(string_split_regex(text, '\r\n|\r|\n'),
+             l -> regexp_matches(l, '^\s*[-*•‣▪]')))::DOUBLE
+           / len(string_split_regex(text, '\r\n|\r|\n')) AS bulletf,
+         len(list_filter(string_split_regex(text, '\r\n|\r|\n'),
+             l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+           / len(string_split_regex(text, '\r\n|\r|\n')) AS ellipsisf,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / greatest(len(w), 1) AS alphaf,
+         len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stops
+  FROM gw),
+gbits AS (
+  SELECT doc_id,
+     (CASE WHEN NOT (n BETWEEN {_CS_GOPH_MINW} AND {_CS_GOPH_MAXW}) THEN 1 ELSE 0 END)
+   + (CASE WHEN NOT (n > 0 AND avglen >= {_CS_GOPH_MINAVG} AND avglen <= {_CS_GOPH_MAXAVG}) THEN 2 ELSE 0 END)
+   + (CASE WHEN NOT (n > 0 AND symr <= {_CS_GOPH_SYMR}) THEN 4 ELSE 0 END)
+   + (CASE WHEN NOT (bulletf <= {_CS_GOPH_BULLET}) THEN 8 ELSE 0 END)
+   + (CASE WHEN NOT (ellipsisf <= {_CS_GOPH_ELLIPSIS}) THEN 16 ELSE 0 END)
+   + (CASE WHEN NOT (n > 0 AND alphaf >= {_CS_GOPH_ALPHA}) THEN 32 ELSE 0 END)
+   + (CASE WHEN NOT (stops >= {_CS_GOPH_STOPS}) THEN 64 ELSE 0 END) AS bits
+  FROM gstat),
+
+dtok AS (SELECT doc_id, lang, unnest(w) AS t, generate_subscripts(w, 1) AS i FROM gw),
+dgrams AS (
+  SELECT doc_id, lang, t AS g FROM dtok
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.t || ' ' || b.t
+  FROM dtok a JOIN dtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+dbuck AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('{_CS_DSIR_SALT}' || g), 1, 8))::BIGINT % {_CS_DSIR_B} AS b
+  FROM dgrams),
+dtcnt AS (SELECT b, count(*) AS c FROM dbuck WHERE lang = 'en' GROUP BY b),
+drcnt AS (SELECT b, count(*) AS c FROM dbuck GROUP BY b),
+dttot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM dtcnt),
+drtot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM drcnt),
+ddom AS (SELECT unnest(range(0, {_CS_DSIR_B})) AS b),
+dlr AS (
+  SELECT ddom.b,
+         ln((coalesce(tc.c, 0) + 1) / (dttot.t + {_CS_DSIR_B}))
+       - ln((coalesce(rc.c, 0) + 1) / (drtot.t + {_CS_DSIR_B})) AS logratio
+  FROM ddom LEFT JOIN dtcnt tc USING (b) LEFT JOIN drcnt rc USING (b),
+       dttot, drtot),
+dscore AS (
+  SELECT d.doc_id, coalesce(sum(lr.logratio), 0.0) AS logw
+  FROM documents d
+  LEFT JOIN dbuck db ON d.doc_id = db.doc_id
+  LEFT JOIN dlr lr ON db.b = lr.b
+  GROUP BY d.doc_id),
+dpick AS (
+  SELECT doc_id,
+         logw + -ln(-ln(
+           (('0x' || substr(md5('{_CS_DSIR_PICK_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0)) AS key
+  FROM dscore
+  ORDER BY key DESC, doc_id LIMIT {_CS_DSIR_K})
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
 UNION ALL
@@ -574,14 +661,26 @@ SELECT 'tfidf', id_a, NULL, id_b, cosine FROM cospairs
 WHERE cosine >= {_CS_TFIDF_MIN}
 UNION ALL
 SELECT 'lmscore', doc_id, NULL, NULL, lp FROM lmsc
+UNION ALL
+SELECT 'gopher', doc_id, NULL, bits::BIGINT, NULL FROM gbits
+UNION ALL
+SELECT 'dsir', doc_id, NULL, NULL, round(logw, 6) FROM dscore
+UNION ALL
+SELECT 'dsirpick', doc_id, NULL, NULL, round(key, 6) FROM dpick
 """
 
 
 @q("corpus_stats_battery", _CORPUS_STATS_SQL)
 def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
     from hrdp_variant_load_pipeline_spark.operators.dedup import (
         paragraph_dedup,
         repeated_span_dedup,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.dsir import (
+        bucket_logratio,
+        dsir_log_weight,
+        dsir_resample,
     )
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
         build_vocab,
@@ -660,11 +759,77 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lm_logprob").alias("x"),
     )
 
+    # gopher quality rules: per-doc bitmask of FAILED rules (bit order =
+    # struct field order), row-local over the same scan
+    gr = gopher_rules(
+        F.col("text"),
+        min_words=_CS_GOPH_MINW,
+        max_words=_CS_GOPH_MAXW,
+        min_avg_word_len=_CS_GOPH_MINAVG,
+        max_avg_word_len=_CS_GOPH_MAXAVG,
+        max_symbol_word_ratio=_CS_GOPH_SYMR,
+        max_bullet_line_frac=_CS_GOPH_BULLET,
+        max_ellipsis_line_frac=_CS_GOPH_ELLIPSIS,
+        min_alpha_word_frac=_CS_GOPH_ALPHA,
+        min_stopword_hits=_CS_GOPH_STOPS,
+    )
+    bit_fields = (
+        ("words_ok", 1), ("avg_len_ok", 2), ("symbol_ok", 4),
+        ("bullet_ok", 8), ("ellipsis_ok", 16), ("alpha_ok", 32),
+        ("stopword_ok", 64),
+    )
+    bits = None
+    for field, bit in bit_fields:
+        term = F.when(~gr[field], F.lit(bit)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    goph = docs.select(
+        F.lit("gopher").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        bits.cast("long").alias("n"),
+        F.lit(None).cast("double").alias("x"),
+    )
+
+    # DSIR importance weights: target = the 'en' slice, raw = whole pool;
+    # scoring is row-local against the collected (model-sized) log-ratio
+    # LUT, the Gumbel top-k is TakeOrderedAndProject
+    dl = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    lr = bucket_logratio(
+        dl.filter(F.col("lang") == "en"), dl, "text",
+        n_buckets=_CS_DSIR_B, salt=_CS_DSIR_SALT,
+    )
+    # drop the text before checkpointing — both consumers need only
+    # (doc_id, logw), so the materialized reuse point stays id-sized
+    scored = (
+        dsir_log_weight(dl, lr, "text", _CS_DSIR_B, salt=_CS_DSIR_SALT)
+        .select("doc_id", "dsir_logw")
+        .localCheckpoint()
+    )
+    dsir = scored.select(
+        F.lit("dsir").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("dsir_logw", 6).alias("x"),
+    )
+    pick = dsir_resample(
+        scored, _CS_DSIR_K, "doc_id", salt=_CS_DSIR_PICK_SALT
+    ).select(
+        F.lit("dsirpick").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("dsir_key", 6).alias("x"),
+    )
+
     return (
         parad.unionByName(spand)
         .unionByName(ngtop)
         .unionByName(cos)
         .unionByName(lm)
+        .unionByName(goph)
+        .unionByName(dsir)
+        .unionByName(pick)
     )
 
 

@@ -1,0 +1,225 @@
+"""DSIR importance resampling (operators/dsir.py) + gopher_rules
+(functions/text.py): exact recompute against a pure-Python model, scale
+shape (zero corpus shuffle), determinism, and per-rule unit cases."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
+from hrdp_variant_load_pipeline_spark.operators.dsir import (
+    bucket_logratio,
+    dsir_log_weight,
+    dsir_resample,
+    dsir_select_topk,
+    hashed_ngram_buckets,
+)
+
+B = 16
+TARGET = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the brown dog sleeps in the quick shade"),
+]
+RAW = TARGET + [
+    (2, "zzz qqq xxx vvv kkk www"),
+    (3, "numeric 111 222 333 filler noise tokens"),
+    (4, "the quick brown fox naps near the lazy dog"),
+    (5, ""),
+]
+
+
+def _py_buckets(text: str, salt: str = "dsir", b: int = B) -> list[int]:
+    words = [w for w in text.split() if w]
+    grams = words + [f"{a} {c}" for a, c in zip(words, words[1:])]
+    return [
+        int(hashlib.md5((salt + g).encode()).hexdigest()[:8], 16) % b
+        for g in grams
+    ]
+
+
+def _py_model(docs):
+    counts = {}
+    total = 0
+    for _, text in docs:
+        for bkt in _py_buckets(text):
+            counts[bkt] = counts.get(bkt, 0) + 1
+            total += 1
+    return counts, total
+
+
+def _py_logratio():
+    tc, tt = _py_model(TARGET)
+    rc, rt = _py_model(RAW)
+    return [
+        math.log((tc.get(b, 0) + 1) / (tt + B))
+        - math.log((rc.get(b, 0) + 1) / (rt + B))
+        for b in range(B)
+    ]
+
+
+def _py_weights():
+    lut = _py_logratio()
+    return {
+        doc_id: sum(lut[b] for b in _py_buckets(text))
+        for doc_id, text in RAW
+    }
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = raw.filter(F.col("doc_id") < 2)
+    return target, raw
+
+
+def test_buckets_match_python_model(spark, frames):
+    _, raw = frames
+    rows = raw.select(
+        "doc_id", hashed_ngram_buckets(F.col("text"), B).alias("b")
+    ).collect()
+    for r in rows:
+        expect = _py_buckets(dict(RAW)[r["doc_id"]])
+        assert r["b"] == expect, r["doc_id"]
+        assert all(0 <= x < B for x in r["b"])
+
+
+def test_log_weights_match_python_model(spark, frames):
+    target, raw = frames
+    lr = bucket_logratio(target, raw, "text", n_buckets=B)
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weight(raw, lr, "text", B).collect()
+    }
+    want = _py_weights()
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+    # target-like docs outscore the junk docs; empty text scores exactly 0
+    assert min(got[0], got[1], got[4]) > max(got[2], got[3])
+    assert got[5] == 0.0
+
+
+def test_scoring_plan_never_shuffles_the_corpus(spark, frames):
+    target, raw = frames
+    lr = bucket_logratio(target, raw, "text", n_buckets=B)
+    plan = (
+        dsir_log_weight(raw, lr, "text", B)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the LUT is inlined as a literal, so scoring is scan -> project:
+    # no Exchange, no Generate (explode), no Join in the scored plan
+    for op in ("Exchange", "Generate", "Join"):
+        assert op not in plan, plan
+
+
+def test_topk_and_resample_are_deterministic_and_weight_driven(spark, frames):
+    target, raw = frames
+    lr = bucket_logratio(target, raw, "text", n_buckets=B)
+    scored = dsir_log_weight(raw, lr, "text", B)
+    want = _py_weights()
+
+    top3 = [r["doc_id"] for r in dsir_select_topk(scored, 3, "doc_id").collect()]
+    expect_order = sorted(want, key=lambda k: (-want[k], k))[:3]
+    assert top3 == expect_order
+
+    def py_key(doc_id):
+        h = int(
+            hashlib.md5(f"dsirpick{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 2**32
+        return want[doc_id] + -math.log(-math.log(u))
+
+    picked = dsir_resample(scored, 3, "doc_id")
+    got = [(r["doc_id"], r["dsir_key"]) for r in picked.collect()]
+    expect = sorted(want, key=lambda k: (-py_key(k), k))[:3]
+    assert [d for d, _ in got] == expect
+    for d, key in got:
+        assert key == pytest.approx(py_key(d), abs=1e-9)
+    # an independent salt draws an independent sample — same size, and
+    # keys change even where membership overlaps
+    other = dsir_resample(scored, 3, "doc_id", salt="other")
+    keys = {r["doc_id"]: r["dsir_key"] for r in other.collect()}
+    assert len(keys) == 3
+    assert all(keys[d] != dict(got).get(d) for d in keys if d in dict(got))
+
+
+GOPHER_CASES = [
+    # (text, expected FAILED rule names)
+    ("the dog and the cat have been to the park with all of that gear "
+     "and they be very happy about the trip that day so it all went well "
+     "and the crew came home to rest with the gang for the long evening",
+     set()),
+    ("too short", {"words_ok", "stopword_ok"}),
+    ("a " * 60, {"avg_len_ok", "stopword_ok"}),  # avg word length 1
+    ("the # tag # and # more # of # the # usual # hash # spam # with "
+     "# extra # tags # that # have # run # long # enough # to # pass "
+     "# the # word # count # rule # here # now # ok # fine # done #",
+     # every other token is a bare '#': symbol ratio ~1.0 and only half
+     # the words contain a letter
+     {"symbol_ok", "alpha_ok"}),
+    ("1234 5678 " * 15 + "the end of and that have with be to the stuff",
+     {"alpha_ok"}),
+    ("zzzz yyyy xxxx wwww " * 8,
+     {"stopword_ok"}),
+]
+
+
+@pytest.mark.parametrize("text,expect_failed", GOPHER_CASES)
+def test_gopher_rules_per_rule(spark, text, expect_failed):
+    row = (
+        spark.range(1)
+        .select(
+            gopher_rules(
+                F.lit(text),
+                min_words=20,
+                max_words=200,
+                min_avg_word_len=2.0,
+                max_avg_word_len=8.0,
+                max_symbol_word_ratio=0.1,
+                min_alpha_word_frac=0.8,
+                min_stopword_hits=2,
+            ).alias("g")
+        )
+        .collect()[0]["g"]
+        .asDict()
+    )
+    failed = {
+        k for k, v in row.items()
+        if k not in ("passes", "n_words") and v is False
+    }
+    assert failed == expect_failed, (failed, row)
+    assert row["passes"] is (not expect_failed)
+    assert row["n_words"] == len(text.split())
+
+
+def test_gopher_line_rules_and_empty_doc(spark):
+    bullet_doc = "\n".join(["- item one", "- item two", "* item three"])
+    ellipsis_doc = "\n".join(["to be continued...", "and more…", "done."])
+    rows = spark.createDataFrame(
+        [(1, bullet_doc), (2, ellipsis_doc), (3, ""), (4, "   ")],
+        "id long, text string",
+    ).select(
+        "id",
+        gopher_rules(
+            F.col("text"),
+            min_words=1,
+            max_bullet_line_frac=0.5,
+            max_ellipsis_line_frac=0.5,
+            min_stopword_hits=0,
+        ).alias("g"),
+    ).collect()
+    g = {r["id"]: r["g"].asDict() for r in rows}
+    assert g[1]["bullet_ok"] is False and g[1]["ellipsis_ok"] is True
+    assert g[2]["ellipsis_ok"] is False and g[2]["bullet_ok"] is True
+    # empty/whitespace docs: word rules fail, line rules pass vacuously,
+    # and nothing errors under ANSI division semantics
+    for i in (3, 4):
+        assert g[i]["words_ok"] is False
+        assert g[i]["avg_len_ok"] is False
+        assert g[i]["alpha_ok"] is False
+        assert g[i]["bullet_ok"] is True and g[i]["ellipsis_ok"] is True
+        assert g[i]["passes"] is False and g[i]["n_words"] == 0
