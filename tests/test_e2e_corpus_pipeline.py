@@ -147,6 +147,58 @@ def test_full_corpus_pipeline(spark, tmp_path):
     )
     assert scrubbed.filter(~F.col("text").endswith("contact <EMAIL>")).count() == 0
 
+    # 2f. gopher rule gate: thresholds that bracket the fixture's word
+    # soup — the gate fires on some docs but keeps a working majority,
+    # and the struct exposes per-rule attribution for the dropped ones
+    from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
+
+    flagged = unique.withColumn(
+        "g",
+        gopher_rules(
+            F.col("text"),
+            min_words=20,
+            max_words=80,
+            min_avg_word_len=3.0,
+            max_avg_word_len=6.0,
+            min_stopword_hits=0,
+        ),
+    )
+    n_gopher = flagged.filter(F.col("g.passes")).count()
+    assert 0 < n_gopher < n_unique
+    dropped = flagged.filter(~F.col("g.passes"))
+    # every dropped doc has at least one concrete failing rule
+    assert (
+        dropped.filter(
+            F.col("g.words_ok")
+            & F.col("g.avg_len_ok")
+            & F.col("g.symbol_ok")
+            & F.col("g.bullet_ok")
+            & F.col("g.ellipsis_ok")
+            & F.col("g.alpha_ok")
+            & F.col("g.stopword_ok")
+        ).count()
+        == 0
+    )
+
+    # 2g. DSIR selection toward the 'en' slice: english docs must be
+    # overrepresented among the resampled set relative to the pool
+    from hrdp_variant_load_pipeline_spark.operators.dsir import (
+        bucket_logratio,
+        dsir_log_weight,
+        dsir_resample,
+    )
+
+    pool = unique.select("doc_id", "text", "lang")
+    lr = bucket_logratio(
+        pool.filter(F.col("lang") == "en"), pool, "text", n_buckets=64
+    )
+    dsir_scored = dsir_log_weight(pool, lr, "text", 64)
+    picked = dsir_resample(dsir_scored, 50, "doc_id")
+    assert picked.count() == 50
+    en_pool = pool.filter(F.col("lang") == "en").count() / pool.count()
+    en_pick = picked.filter(F.col("lang") == "en").count() / 50
+    assert en_pick > en_pool
+
     # 3. decontaminate against a pseudo eval set (docs 0 mod 10)
     bench = unique.filter(F.col("doc_id") % 10 == 0)
     corpus = decontaminate(

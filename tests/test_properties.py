@@ -374,3 +374,94 @@ def test_repeated_span_dedup_invariants_bulk(spark):
             for di, _ in enumerate(corpus):
                 doc_id = ci * 1000 + di
                 assert out1[doc_id] == inputs[doc_id]
+
+
+def _collect_text_cases(n=150):
+    cases = []
+
+    @settings(max_examples=n, derandomize=True, deadline=None)
+    @given(
+        text=st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S", "Zs")
+            ),
+            max_size=120,
+        )
+    )
+    def gen(text):
+        cases.append(text)
+
+    gen()
+    return cases
+
+
+def test_gopher_rules_invariants_bulk(spark):
+    """gopher_rules over adversarial random text (unicode letters,
+    punctuation incl. regex metacharacters, symbols): no field is ever
+    null (ANSI division safety), ``passes`` is exactly the conjunction
+    of the seven rules, and ``n_words`` equals the whitespace token
+    count — all cases in ONE Spark job."""
+    from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
+
+    rows = [(i, t) for i, t in enumerate(_collect_text_cases())]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id", "text", gopher_rules(F.col("text"), min_words=2).alias("g")
+    )
+    fields = [
+        "words_ok", "avg_len_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stopword_ok", "passes", "n_words",
+    ]
+    nulls = out.filter(
+        F.greatest(*[F.col(f"g.{f}").isNull() for f in fields])
+    )
+    assert nulls.count() == 0
+    conj = (
+        F.col("g.words_ok") & F.col("g.avg_len_ok") & F.col("g.symbol_ok")
+        & F.col("g.bullet_ok") & F.col("g.ellipsis_ok")
+        & F.col("g.alpha_ok") & F.col("g.stopword_ok")
+    )
+    assert out.filter(F.col("g.passes") != conj).count() == 0
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    assert out.filter(F.col("g.n_words") != n_words).count() == 0
+
+
+def test_dsir_self_ratio_is_zero_and_partition_invariant_bulk(spark):
+    """DSIR invariants over random text: (1) when target == raw every
+    bucket log ratio — and therefore every doc score — is EXACTLY 0.0
+    (the smoothed models coincide term-by-term); (2) buckets are always
+    in [0, B); (3) scores are invariant under repartitioning (pure
+    function of text, not of data layout)."""
+    from hrdp_variant_load_pipeline_spark.operators.dsir import (
+        bucket_logratio,
+        dsir_log_weight,
+        hashed_ngram_buckets,
+    )
+
+    B = 32
+    rows = [(i, t) for i, t in enumerate(_collect_text_cases())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bad_bucket = df.select(
+        F.explode(hashed_ngram_buckets(F.col("text"), B)).alias("b")
+    ).filter((F.col("b") < 0) | (F.col("b") >= B))
+    assert bad_bucket.count() == 0
+
+    lr = bucket_logratio(df, df, "text", n_buckets=B)
+    assert lr.count() == B
+    assert lr.filter(F.col("logratio") != 0.0).count() == 0
+    scored = dsir_log_weight(df, lr, "text", B)
+    assert scored.filter(F.col("dsir_logw") != 0.0).count() == 0
+
+    # partition invariance against a skewed target split
+    target = df.filter(F.col("doc_id") % 3 == 0)
+    lr2 = bucket_logratio(target, df, "text", n_buckets=B)
+    base = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weight(df, lr2, "text", B).collect()
+    }
+    shuffled = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weight(df.repartition(7), lr2, "text", B).collect()
+    }
+    assert base == shuffled
