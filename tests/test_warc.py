@@ -1,0 +1,136 @@
+"""WARC ingest (sources/warc.py): Content-Length framing against
+embedded traps, gzip multi-member layout, record-type filtering, HTTP
+unwrapping, recursive lookup, and html_to_text extraction."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.sources.warc import (
+    html_to_text,
+    read_warc,
+)
+
+# bodies that would shred any blank-line or magic-token splitter: an
+# HTML payload containing BOTH a blank CRLF line and the WARC magic
+TRAP_HTML = (
+    b"<html><head><title>t</title><script>var x = 'WARC/1.0';</script>"
+    b"</head><body>\r\n\r\nreal body text WARC/1.0 inside</body></html>"
+)
+PLAIN_TXT = b"just plain text payload"
+
+
+def _record(rtype: str, body: bytes, url: str | None = None,
+            ctype: str | None = None) -> bytes:
+    headers = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    if url:
+        headers.append(b"WARC-Target-URI: " + url.encode())
+    headers.append(b"WARC-Date: 2026-08-15T00:00:00Z")
+    if ctype:
+        headers.append(b"Content-Type: " + ctype.encode())
+    headers.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http_response(payload: bytes, status: int = 200,
+                   ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+
+
+def _archive() -> list[bytes]:
+    return [
+        _record("warcinfo", b"software: test\r\n", ctype="application/warc-fields"),
+        _record("request", b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+                url="http://a.example/", ctype="application/http;msgtype=request"),
+        _record("response", _http_response(TRAP_HTML),
+                url="http://a.example/", ctype="application/http;msgtype=response"),
+        _record("response", _http_response(PLAIN_TXT, status=404,
+                                           ctype="text/plain"),
+                url="http://b.example/missing", ctype="application/http;msgtype=response"),
+        _record("conversion", b"already extracted text",
+                url="http://c.example/", ctype="text/plain"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl")
+    (root / "plain").mkdir()
+    (root / "plain" / "part-0.warc").write_bytes(b"".join(_archive()))
+    # standard .warc.gz: one gzip MEMBER per record, concatenated
+    gz = b"".join(gzip.compress(r) for r in _archive())
+    (root / "gz").mkdir()
+    (root / "gz" / "part-1.warc.gz").write_bytes(gz)
+    (root / "ignored.txt").write_bytes(b"not a warc")
+    return str(root)
+
+
+def test_response_framing_and_unwrapping(spark, warc_dir):
+    rows = read_warc(spark, warc_dir).collect()
+    # 2 response records per archive x 2 archives (plain + gz)
+    assert len(rows) == 4
+    by_key = {(r["url"], r["source_file"].split("/")[-1]): r for r in rows}
+    assert len(by_key) == 4
+    for fname in ("part-0.warc", "part-1.warc.gz"):
+        html = by_key[("http://a.example/", fname)]
+        assert html["http_status"] == 200
+        assert html["content_type"].startswith("text/html")
+        # Content-Length framing survived the embedded traps byte-exact
+        assert bytes(html["payload"]) == TRAP_HTML
+        txt = by_key[("http://b.example/missing", fname)]
+        assert txt["http_status"] == 404
+        assert bytes(txt["payload"]) == PLAIN_TXT
+        assert txt["record_type"] == "response"
+    assert all(r["warc_date"] == "2026-08-15T00:00:00Z" for r in rows)
+
+
+def test_record_type_filter_and_keep_all(spark, warc_dir):
+    conv = read_warc(spark, warc_dir, record_types=("conversion",)).collect()
+    assert {r["record_type"] for r in conv} == {"conversion"}
+    assert all(bytes(r["payload"]) == b"already extracted text" for r in conv)
+    assert all(r["content_type"] == "text/plain" for r in conv)
+    everything = read_warc(spark, warc_dir, record_types=None)
+    counts = dict(
+        everything.groupBy("record_type").count().collect()
+    )
+    assert counts == {
+        "warcinfo": 2, "request": 2, "response": 4, "conversion": 2
+    }
+    # offsets are strictly increasing within a file (framing walked
+    # forward, never re-read)
+    offs = everything.filter(F.col("source_file").endswith("part-0.warc"))
+    vals = [r["record_offset"] for r in offs.orderBy("record_offset").collect()]
+    assert vals == sorted(vals) and len(set(vals)) == len(vals)
+
+
+def test_html_to_text_extraction(spark, warc_dir):
+    docs = html_to_text(
+        read_warc(spark, warc_dir).filter(
+            F.col("content_type").startswith("text/html")
+        )
+    )
+    assert "payload" not in docs.columns and "text" in docs.columns
+    texts = [r["text"] for r in docs.collect()]
+    assert len(texts) == 2
+    for t in texts:
+        assert "real body text WARC/1.0 inside" in t
+        # script + head subtrees dropped
+        assert "var x" not in t and "t" != t.split()[0]
+
+
+def test_truncated_archive_degrades_without_error(spark, tmp_path):
+    # a garbled Content-Length ends that FILE's parse at the bad record
+    good = _record("response", _http_response(b"ok body", ctype="text/plain"),
+                   url="http://good.example/", ctype="application/http;msgtype=response")
+    bad = good.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    p = tmp_path / "broken.warc"
+    p.write_bytes(good + bad)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://good.example/"
