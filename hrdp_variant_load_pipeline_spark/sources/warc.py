@@ -30,9 +30,8 @@ single-file archives should be split upstream.
 
 from __future__ import annotations
 
-import gzip
+import zlib
 from html.parser import HTMLParser
-from io import BytesIO
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -97,6 +96,8 @@ def _iter_warc_records(
         except (KeyError, ValueError):
             return
         body_start = head_end + len(_CRLF2)
+        if body_start + length > n:
+            return  # body cut off mid-record: never yield a short payload
         body = buf[body_start:body_start + length]
         i = body_start + length
         rtype = headers.get("warc-type", "")
@@ -122,11 +123,30 @@ def _iter_warc_records(
 
 def _maybe_gunzip(content: bytes) -> bytes:
     """Transparent multi-member gunzip (the standard .warc.gz layout is
-    one gzip member PER RECORD; ``GzipFile`` concatenates members)."""
+    one gzip member PER RECORD; ``GzipFile`` concatenates members). A
+    truncated or corrupt tail — crawl transfers fail mid-file — yields
+    the bytes that DID decompress, so the file's intact leading records
+    still ingest (found by fuzzing: GzipFile raises EOFError on a
+    truncated member, which would otherwise kill the whole task)."""
     if content[:2] != b"\x1f\x8b":
         return content
-    with gzip.GzipFile(fileobj=BytesIO(content)) as fh:
-        return fh.read()
+    out = bytearray()
+    i = 0
+    n = len(content)
+    view = memoryview(content)
+    # member-by-member decompressobj, NOT GzipFile.read: a read() that
+    # crosses from an intact member into a truncated one raises after
+    # the fact and DISCARDS the chunk it had already decompressed
+    while i < n and content[i:i + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(view[i:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member: keep what decompressed
+        i = n - len(d.unused_data)
+    return bytes(out)
 
 
 def read_warc(

@@ -134,3 +134,45 @@ def test_truncated_archive_degrades_without_error(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).collect()
     assert len(rows) == 1
     assert rows[0]["url"] == "http://good.example/"
+
+
+def test_parser_never_raises_on_arbitrary_bytes():
+    """Fuzz the record walker driver-side (pure function): arbitrary
+    byte soup — including truncated headers, bogus lengths, stray CRLFs
+    and partial magic — must terminate without raising and yield only
+    fully-framed records."""
+    from hypothesis import given, settings, strategies as st
+
+    from hrdp_variant_load_pipeline_spark.sources.warc import (
+        _iter_warc_records,
+        _maybe_gunzip,
+    )
+
+    @settings(max_examples=300, derandomize=True, deadline=None)
+    @given(
+        blob=st.binary(max_size=400),
+        prefix=st.sampled_from(
+            [b"", b"WARC/1.0\r\n", b"WARC/1.0\r\nContent-Length: 10\r\n\r\n",
+             b"\r\n\r\n", b"\x1f\x8b"]
+        ),
+    )
+    def run(blob, prefix):
+        buf = prefix + blob
+        for rec in _iter_warc_records(buf, "fuzz"):
+            assert rec["record_offset"] >= 0
+            assert isinstance(rec["payload"], bytes)
+        assert isinstance(_maybe_gunzip(buf), bytes)  # salvages, never raises
+
+    run()
+
+
+def test_truncated_gzip_salvages_leading_records(spark, tmp_path):
+    good = _record("response", _http_response(b"salvaged", ctype="text/plain"),
+                   url="http://ok.example/", ctype="application/http;msgtype=response")
+    tail = _record("response", _http_response(b"lost", ctype="text/plain"),
+                   url="http://lost.example/", ctype="application/http;msgtype=response")
+    blob = gzip.compress(good) + gzip.compress(tail)[:-12]  # shear the tail member
+    (tmp_path / "cut.warc.gz").write_bytes(blob)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert [r["url"] for r in rows] == ["http://ok.example/"]
+    assert bytes(rows[0]["payload"]) == b"salvaged"
