@@ -392,3 +392,46 @@ def lm_doc_score(
         F.round(F.avg(logp), 6).alias(out_col)
     )
     return df.join(scored, id_col, "left")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str,
+    fracs: tuple[float, float] = (1 / 3, 2 / 3),
+    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020):
+    partition the corpus into three quality tiers by LM score quantile —
+    ``head`` = best-scoring (lowest perplexity) third, the slice CCNet
+    trains on first. Works on any score column; pair with
+    ``lm_doc_score`` for the canonical chain.
+
+    Scale shape: thresholds come from ONE exact-percentile aggregate
+    (1 row) broadcast back onto the corpus — no global sort, no window
+    over a single partition; the label is then a row-local CASE.
+    A null score (null text upstream) yields a null bucket, never a
+    silent 'head'. Output: input columns + ``out_col``.
+    """
+    if out_col in scored.columns:
+        raise ValueError(
+            f"perplexity_buckets: output column {out_col!r} already exists"
+        )
+    lo, hi = fracs
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"fracs must satisfy 0 < lo < hi < 1, got {fracs}")
+    qs = scored.agg(
+        F.percentile(score_col, F.lit(lo)).alias("__t1"),
+        F.percentile(score_col, F.lit(hi)).alias("__t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(qs))
+        .withColumn(
+            out_col,
+            F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col(score_col) < F.col("__t1"), F.lit(labels[0]))
+            .when(F.col(score_col) < F.col("__t2"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])),
+        )
+        .drop("__t1", "__t2")
+    )

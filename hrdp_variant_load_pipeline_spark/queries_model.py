@@ -649,7 +649,16 @@ dpick AS (
            (('0x' || substr(md5('{_CS_DSIR_PICK_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
            / 4294967296.0)) AS key
   FROM dscore
-  ORDER BY key DESC, doc_id LIMIT {_CS_DSIR_K})
+  ORDER BY key DESC, doc_id LIMIT {_CS_DSIR_K}),
+
+ccq AS (SELECT quantile_cont(lp, {1 / 3!r}) AS t1,
+               quantile_cont(lp, {2 / 3!r}) AS t2 FROM lmsc),
+ccb AS (
+  SELECT doc_id,
+         CASE WHEN lp < t1 THEN 'tail'
+              WHEN lp < t2 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM lmsc, ccq)
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
 UNION ALL
@@ -667,6 +676,8 @@ UNION ALL
 SELECT 'dsir', doc_id, NULL, NULL, round(logw, 6) FROM dscore
 UNION ALL
 SELECT 'dsirpick', doc_id, NULL, NULL, round(key, 6) FROM dpick
+UNION ALL
+SELECT 'ccnet', doc_id, bucket, NULL, NULL FROM ccb
 """
 
 
@@ -686,6 +697,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         build_vocab,
         lm_doc_score,
         ngram_counts,
+        perplexity_buckets,
         sparse_cosine_pairs,
         tfidf_vectors,
     )
@@ -749,14 +761,24 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cosine").alias("x"),
     )
 
-    lm = lm_doc_score(
+    lm_scored = lm_doc_score(
         docs, "doc_id", "text", counts, smoothing="stupid_backoff"
-    ).select(
+    ).select("doc_id", "lm_logprob").localCheckpoint()
+    lm = lm_scored.select(
         F.lit("lmscore").alias("component"),
         F.col("doc_id").alias("k"),
         F.lit(None).cast("string").alias("s"),
         F.lit(None).cast("long").alias("n"),
         F.col("lm_logprob").alias("x"),
+    )
+    # CCNet head/middle/tail perplexity tiers over the same LM scores
+    # (checkpointed above so the scoring plan runs once, not thrice)
+    ccnet = perplexity_buckets(lm_scored, "lm_logprob").select(
+        F.lit("ccnet").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.col("ppl_bucket").alias("s"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("x"),
     )
 
     # gopher quality rules: per-doc bitmask of FAILED rules (bit order =
@@ -827,6 +849,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ngtop)
         .unionByName(cos)
         .unionByName(lm)
+        .unionByName(ccnet)
         .unionByName(goph)
         .unionByName(dsir)
         .unionByName(pick)

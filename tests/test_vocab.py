@@ -323,3 +323,31 @@ def test_lm_doc_score_rejects_unknown_smoothing(spark):
     counts = ngram_counts(docs, "text", n=2)
     with pytest.raises(ValueError, match="smoothing"):
         lm_doc_score(docs, "doc_id", "text", counts, smoothing="kneser_ney")
+
+
+def test_perplexity_buckets_tiers_nulls_and_guards(spark):
+    import pytest
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        perplexity_buckets,
+    )
+
+    # 9 distinct scores -> exact thirds; one null rides along
+    rows = [(i, float(-i)) for i in range(9)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lp double")
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, "lp").collect()
+    }
+    # highest scores (ids 0-2) = head, lowest (ids 6-8) = tail
+    assert {i: got[i] for i in range(9)} == {
+        0: "head", 1: "head", 2: "head",
+        3: "middle", 4: "middle", 5: "middle",
+        6: "tail", 7: "tail", 8: "tail",
+    }
+    assert got[99] is None  # null score never lands in 'head'
+
+    with pytest.raises(ValueError, match="already exists"):
+        perplexity_buckets(df.withColumn("ppl_bucket", F.lit("x")), "lp")
+    with pytest.raises(ValueError, match="fracs"):
+        perplexity_buckets(df, "lp", fracs=(0.7, 0.3))
