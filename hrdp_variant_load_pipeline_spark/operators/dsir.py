@@ -150,6 +150,12 @@ def dsir_log_weight(
     rows = logratio.collect()  # model-sized: n_buckets rows
     table = [0.0] * n_buckets
     for row in rows:
+        if not 0 <= row["bucket"] < n_buckets:
+            raise ValueError(
+                f"dsir_log_weight: logratio bucket {row['bucket']} is "
+                f"outside [0, {n_buckets}) — the logratio table was "
+                "built with a different n_buckets than this scoring call"
+            )
         table[row["bucket"]] = float(row["logratio"])
     lut = F.lit(table)
     buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
@@ -207,11 +213,30 @@ def dsir_select_topk(
     scored: DataFrame, k: int, id_col: str, logw_col: str = "dsir_logw"
 ) -> DataFrame:
     """Deterministic hard top-k by weight (the no-noise variant some
-    pipelines use). Same TakeOrderedAndProject shape as dsir_resample.
-
-    At petabyte scale prefer a threshold cut: take tau =
-    ``approxQuantile(logw, 1 - k/n)`` and filter ``logw >= tau`` — one
-    pass, no ordered merge; this helper keeps the exact form since k is
-    typically corpus-fraction-sized only in tests.
+    pipelines use). Same TakeOrderedAndProject shape as dsir_resample —
+    right when k is human-sized; for corpus-fraction selection use
+    :func:`dsir_select_fraction`.
     """
     return scored.orderBy(F.col(logw_col).desc(), F.col(id_col)).limit(k)
+
+
+def dsir_select_fraction(
+    scored: DataFrame,
+    fraction: float,
+    logw_col: str = "dsir_logw",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The petabyte-scale selection shape: keep (approximately) the top
+    ``fraction`` of the pool by weight via a THRESHOLD cut — tau =
+    approx-quantile(logw, 1 - fraction), then a row-local filter. One
+    Greenwald-Khanna sketch pass + one filter pass; no ordered merge,
+    no driver-sized result dependency (a billion-row top-k has a
+    billion-row "k"). The kept fraction deviates from the target by at
+    most ``relative_error`` quantile mass plus threshold ties.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if fraction == 1.0:
+        return scored
+    tau = scored.approxQuantile(logw_col, [1.0 - fraction], relative_error)[0]
+    return scored.filter(F.col(logw_col) >= tau)

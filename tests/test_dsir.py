@@ -223,3 +223,32 @@ def test_gopher_line_rules_and_empty_doc(spark):
         assert g[i]["alpha_ok"] is False
         assert g[i]["bullet_ok"] is True and g[i]["ellipsis_ok"] is True
         assert g[i]["passes"] is False and g[i]["n_words"] == 0
+
+
+def test_select_fraction_threshold_cut(spark, frames):
+    from hrdp_variant_load_pipeline_spark.operators.dsir import (
+        dsir_select_fraction,
+    )
+
+    target, raw = frames
+    lr = bucket_logratio(target, raw, "text", n_buckets=B)
+    scored = dsir_log_weight(raw, lr, "text", B)
+    want = _py_weights()
+    half = dsir_select_fraction(scored, 0.5)
+    got = {r["doc_id"] for r in half.collect()}
+    # the cut is approximate (tau is an actual data value, so small-n
+    # keeps fraction*n +/- 1) but must be a SUFFIX of the weight order:
+    # every kept doc outweighs-or-ties every dropped doc
+    order = sorted(want, key=lambda k: -want[k])
+    assert 2 <= len(got) <= 4
+    assert got == set(order[:len(got)])
+    assert dsir_select_fraction(scored, 1.0) is scored
+    with pytest.raises(ValueError, match="fraction"):
+        dsir_select_fraction(scored, 0.0)
+
+
+def test_log_weight_rejects_mismatched_bucket_table(spark, frames):
+    target, raw = frames
+    lr = bucket_logratio(target, raw, "text", n_buckets=B)
+    with pytest.raises(ValueError, match="outside"):
+        dsir_log_weight(raw, lr, "text", B // 2)
