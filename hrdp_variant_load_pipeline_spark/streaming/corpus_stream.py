@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.dedup import (
     banded_signatures,
@@ -59,6 +59,7 @@ def stream_corpus_ingest(
     max_files_per_trigger: int | None = None,
     on_batch: Callable[[int, dict], None] | None = None,
     broadcast_probe: bool = True,
+    quality_filter: Column | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -69,6 +70,14 @@ def stream_corpus_ingest(
     ``docs_store_dir`` and their banded signatures to
     ``index_store_dir``. ``on_batch`` receives per-batch counts.
 
+    ``quality_filter`` (optional) is a boolean Column over the parsed doc
+    schema — e.g. ``gopher_rules(F.col("text")).passes`` or a
+    ``lm_doc_score``-derived gate — applied BEFORE any dedup work, so
+    rejected docs never pay shingling, index probes, or store appends;
+    per-batch metrics gain a ``rejected`` count. Quality gating a
+    continuous ingest here is exactly the batch pipeline's stage-2 gate
+    running per micro-batch.
+
     ``broadcast_probe`` is forwarded to the index probe: the default
     assumes bounded micro-batches (set ``max_files_per_trigger``!); pass
     ``False`` when a first trigger may swallow a huge backlog — e.g. a
@@ -78,7 +87,15 @@ def stream_corpus_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs, quarantine = split_jsonl_lines(batch_df, schema)
-        docs = docs.persist()
+        n_rej = 0
+        if quality_filter is not None:
+            gated = docs.withColumn("__q", quality_filter).persist()
+            n_all = gated.count()
+            docs = gated.filter(F.col("__q")).drop("__q").persist()
+            n_rej = n_all - docs.count()
+            gated.unpersist()
+        else:
+            docs = docs.persist()
         try:
             n_quar = quarantine.count()
             if n_quar:
@@ -118,7 +135,8 @@ def stream_corpus_ingest(
                 if on_batch is not None:
                     on_batch(
                         batch_id,
-                        {"quarantined": n_quar, "fresh": 0, "accepted": 0},
+                        {"quarantined": n_quar, "rejected": n_rej,
+                         "fresh": 0, "accepted": 0},
                     )
                 return
             index = read_store(spark, index_store_dir, schema=_INDEX_SCHEMA)
@@ -180,6 +198,7 @@ def stream_corpus_ingest(
                     batch_id,
                     {
                         "quarantined": n_quar,
+                        "rejected": n_rej,
                         "fresh": n_fresh,
                         "accepted": n_acc,
                     },

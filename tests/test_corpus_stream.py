@@ -145,3 +145,51 @@ def test_ingest_stores_are_doc_range_clustered(spark, tmp_path):
         ranges = sorted([(r.lo, r.hi) for r in rows])
         for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
             assert prev_hi < lo, (store, ranges)
+
+
+def test_quality_filter_gates_before_dedup_and_counts(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
+
+    src = tmp_path / "in"
+    src.mkdir(exist_ok=True)
+    dirs = {k: str(tmp_path / k) for k in ("docs", "index", "quarantine", "ck")}
+    stats = {}
+    gate = gopher_rules(
+        F.col("text"), min_words=6, min_stopword_hits=0
+    )["passes"]
+    q = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quarantine"],
+        dirs["ck"],
+        max_files_per_trigger=1,
+        on_batch=lambda bid, s: stats.update({bid: s}),
+        quality_filter=gate,
+    )
+    try:
+        rows = [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"},
+            {"doc_id": 2, "text": "too short", "lang": "en"},  # gated out
+            # near-dup of doc 1: must still be dropped by DEDUP (proving
+            # the gate did not bypass the dedup path)
+            {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat", "lang": "en"},
+        ]
+        _write_batch(src, "b1.jsonl", rows)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = read_store(
+        spark, dirs["docs"], schema="doc_id LONG, text STRING, lang STRING"
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert ids == [1]  # 2 quality-rejected, 3 dedup-dropped
+    s = stats[0]
+    assert s["rejected"] == 1 and s["fresh"] == 2 and s["accepted"] == 1
+    # the rejected doc paid no index write either
+    idx = read_store(
+        spark, dirs["index"],
+        schema="band LONG, sig STRING, doc LONG",
+    )
+    assert idx.filter(F.col("doc") == 2).count() == 0
