@@ -217,10 +217,29 @@ class _TextExtractor(HTMLParser):
             self.chunks.append(data.strip())
 
 
-def _extract_text(payload: bytes) -> str:
+def _charset_of(content_type: str | None) -> str | None:
+    """Pull ``charset=`` out of an HTTP Content-Type value; None when
+    absent or unrecognizable (caller falls back to utf-8)."""
+    if not content_type:
+        return None
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'").lower() or None
+    return None
+
+
+def _extract_text(payload: bytes, charset: str | None = None) -> str:
+    if charset:
+        try:
+            decoded = payload.decode(charset, "replace")
+        except LookupError:  # bogus charset token in the crawl
+            decoded = payload.decode("utf-8", "replace")
+    else:
+        decoded = payload.decode("utf-8", "replace")
     p = _TextExtractor()
     try:
-        p.feed(payload.decode("utf-8", "replace"))
+        p.feed(decoded)
         p.close()
     except Exception:  # noqa: BLE001 — crawl HTML is adversarial by nature
         pass
@@ -228,16 +247,26 @@ def _extract_text(payload: bytes) -> str:
 
 
 def html_to_text(
-    df: DataFrame, payload_col: str = "payload", out_col: str = "text"
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "text",
+    content_type_col: str | None = "content_type",
 ) -> DataFrame:
     """Extract visible text from an HTML ``binary`` column — Arrow-
     batched ``mapInPandas`` (the one genuinely non-columnar stage of the
     crawl front end; everything after it is codegen expressions).
+
+    When ``content_type_col`` names a column (default: read_warc's), its
+    ``charset=`` parameter drives decoding (real crawls are full of
+    declared latin-1/windows-1252 pages that utf-8-replace would shred
+    into U+FFFD soup); unknown/absent charsets fall back to utf-8 with
+    replacement. Pass ``content_type_col=None`` to force utf-8.
     Output: input columns minus the payload, plus ``out_col``."""
     import pandas as pd
 
     if out_col in df.columns:
         raise ValueError(f"html_to_text: column {out_col!r} already exists")
+    ct = content_type_col if content_type_col in df.columns else None
     keep = [c for c in df.columns if c != payload_col]
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -249,9 +278,14 @@ def html_to_text(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf[keep].copy()
+            charsets = (
+                [_charset_of(c) for c in pdf[ct]]
+                if ct is not None
+                else [None] * len(pdf)
+            )
             out[out_col] = [
-                _extract_text(bytes(p)) if p is not None else None
-                for p in pdf[payload_col]
+                _extract_text(bytes(p), cs) if p is not None else None
+                for p, cs in zip(pdf[payload_col], charsets)
             ]
             yield out
 

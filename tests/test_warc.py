@@ -176,3 +176,31 @@ def test_truncated_gzip_salvages_leading_records(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).collect()
     assert [r["url"] for r in rows] == ["http://ok.example/"]
     assert bytes(rows[0]["payload"]) == b"salvaged"
+
+
+def test_declared_charset_drives_decoding(spark, tmp_path):
+    # latin-1 page with declared charset: é (0xE9) must survive; the
+    # same bytes utf-8-replaced would become U+FFFD
+    body = "<html><body>café motif</body></html>".encode("latin-1")
+    recs = _record(
+        "response",
+        _http_response(body, ctype="text/html; charset=ISO-8859-1"),
+        url="http://l1.example/", ctype="application/http;msgtype=response",
+    ) + _record(
+        "response",
+        _http_response(body, ctype="text/html; charset=no-such-codec"),
+        url="http://bogus.example/", ctype="application/http;msgtype=response",
+    )
+    (tmp_path / "cs.warc").write_bytes(recs)
+    docs = html_to_text(read_warc(spark, str(tmp_path)))
+    got = {r["url"]: r["text"] for r in docs.collect()}
+    assert got["http://l1.example/"] == "café motif"
+    # bogus charset falls back to utf-8-replace, never raises
+    assert "motif" in got["http://bogus.example/"]
+    # content_type_col=None forces utf-8: the latin-1 byte degrades to
+    # a replacement char instead of raising
+    forced = html_to_text(
+        read_warc(spark, str(tmp_path)), content_type_col=None
+    )
+    t = {r["url"]: r["text"] for r in forced.collect()}["http://l1.example/"]
+    assert "�" in t and "motif" in t
