@@ -1,0 +1,96 @@
+"""run_corpus_pipeline (plans/corpus_pipeline.py): the one-call curation
+chain — stage wiring, metric counts, shard export, warc ingest path,
+config validation."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+    run_corpus_pipeline,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_full_chain_over_documents_fixture(spark, tmp_path):
+    docs_path = f"{SF_DIR}/documents.parquet"
+    bench_dir = str(tmp_path / "bench")
+    spark.read.parquet(docs_path).filter(
+        F.col("doc_id") % 10 == 0
+    ).write.parquet(bench_dir)
+    out_dir = str(tmp_path / "shards")
+    cfg = {
+        "input": {"format": "parquet", "path": docs_path},
+        "pii": True,
+        "gates": {"min_quality": 0.3, "gopher": {"min_words": 5, "min_stopword_hits": 0}},
+        "dedup": {"exact": True, "fuzzy": {"threshold": 0.8}},
+        "lm_gate": {"min_count": 2},
+        "decontaminate": {"path": bench_dir, "n": 8},
+        "selection": {"dsir": {"target_lang": "en", "n_buckets": 64, "keep_fraction": 0.6}},
+        "mixture": {"temperature": 0.3, "total_tokens": 5000},
+        "chunk": {"chunk_tokens": 64, "overlap_tokens": 16},
+        "pack": {"max_tokens": 256},
+        "output": {"dir": out_dir, "n_shards": 4},
+    }
+    res = run_corpus_pipeline(spark, cfg)
+    c = res.counts
+    stages = [
+        "ingested", "quality_gate", "gopher_gate", "exact_dedup",
+        "fuzzy_dedup", "lm_gate", "decontaminated", "dsir_selected",
+        "mixed",
+    ]
+    assert [s for s in stages if s in c] == stages  # every stage ticked, in order
+    # the corpus only ever shrinks through the gates
+    sizes = [c[s] for s in stages]
+    assert sizes == sorted(sizes, reverse=True)
+    assert 0 < c["mixed"] < c["ingested"]
+    assert c["chunks_packed"] > 0
+    # shards are on disk and lossless vs the packed frame
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res.packed.count()
+    # every surviving doc still carries text + token counts
+    assert res.docs.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_warc_ingest_ids_are_replay_deterministic(spark, tmp_path):
+    def rec(body, url):
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").encode() + body
+        h = [b"WARC/1.0", b"WARC-Type: response",
+             b"WARC-Target-URI: " + url.encode(),
+             b"WARC-Date: 2026-08-15T00:00:00Z",
+             b"Content-Type: application/http;msgtype=response",
+             b"Content-Length: " + str(len(http)).encode()]
+        return b"\r\n".join(h) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    blob = b"".join(
+        rec(f"<html><body>the page number {i} with the usual words</body></html>".encode(),
+            f"http://w.example/{i}")
+        for i in range(4)
+    )
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(blob))
+    cfg = {
+        "input": {"format": "warc", "path": str(tmp_path)},
+        "normalize": False,
+        "dedup": {"exact": True},
+    }
+    r1 = run_corpus_pipeline(spark, cfg)
+    r2 = run_corpus_pipeline(spark, cfg)
+    ids1 = sorted(r["doc_id"] for r in r1.docs.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in r2.docs.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) == 4 and len(set(ids1)) == 4
+    assert r1.counts["ingested"] == 4
+    texts = {r["url"]: r["text"] for r in r1.docs.collect()}
+    assert texts["http://w.example/2"] == "the page number 2 with the usual words"
+
+
+def test_unknown_config_key_raises(spark):
+    with pytest.raises(ValueError, match="unknown config keys"):
+        run_corpus_pipeline(
+            spark,
+            {"input": {"format": "parquet", "path": "x"}, "dedupe": {}},
+        )
