@@ -207,12 +207,28 @@ def cmd_genic_qc(spark: SparkSession, cfg: dict) -> dict[str, int]:
     return {"genic_status_updated": n}
 
 
+def cmd_run_corpus(spark: SparkSession, cfg: dict) -> dict:
+    """--runCorpus: the one-call curation chain (plans/corpus_pipeline),
+    configured under cfg["corpus"] so corpus runs and variant-load runs
+    can share one config file without key collisions."""
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    res = run_corpus_pipeline(spark, cfg["corpus"])
+    out = {f"corpus.{k}": v for k, v in res.counts.items()}
+    if res.shard_dir:
+        out["corpus.shard_dir"] = res.shard_dir
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="hrdp-variants-spark")
     parser.add_argument("--runLoad", action="store_true")
     parser.add_argument("--genicQc", action="store_true")
     parser.add_argument("--compactStores", action="store_true")
     parser.add_argument("--describeStores", action="store_true")
+    parser.add_argument("--runCorpus", action="store_true")
     parser.add_argument("--config", required=True)
     args = parser.parse_args(argv)
 
@@ -222,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
         # pick the runtime profile (AQE / shuffle sizing) from the input
         # corpus size, same decision the bench harness makes per dataset
         profile_dir = cfg.get("restage_dir") or cfg.get("input_dir")
+        if args.runCorpus:
+            profile_dir = cfg.get("corpus", {}).get("input", {}).get("path")
         if profile_dir and os.path.isdir(profile_dir):
             tune_for_input(spark, profile_dir)
         _register_catalogs(spark, cfg)
@@ -231,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
             out = cmd_genic_qc(spark, cfg)
         elif args.compactStores:
             out = cmd_compact(spark, cfg)
+        elif args.runCorpus:
+            out = cmd_run_corpus(spark, cfg)
         elif args.describeStores:
             out = {}
             for key in ("variant_store", "detail_store"):
@@ -240,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             parser.error(
                 "one of --runLoad / --genicQc / --compactStores / "
-                "--describeStores is required"
+                "--describeStores / --runCorpus is required"
             )
         for k, v in out.items():
             print(f"{k}: {v}")

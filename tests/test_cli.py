@@ -305,3 +305,40 @@ def test_cli_load_append_cluster_by(spark, tmp_path):
     ranges = sorted([((r.lo[0], r.lo[1]), (r.hi[0], r.hi[1])) for r in rows])
     for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi <= lo, ranges
+
+
+def test_cli_run_corpus_chain(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.cli import cmd_run_corpus
+
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    rows = [
+        {"doc_id": i,
+         "text": f"the quick brown fox number {i} jumps over the lazy dog "
+                 f"and the crew of document {i} went to town with the gang",
+         "lang": "en"}
+        for i in range(8)
+    ] + [{"doc_id": 100, "text": "the quick brown fox number 0 jumps over the lazy dog "
+                                 "and the crew of document 0 went to town with the gang",
+          "lang": "en"}]  # exact dup of doc 0
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\nnot json\n"
+    )
+    out_dir = str(tmp_path / "shards")
+    cfg = {
+        "corpus": {
+            "input": {"format": "jsonl", "path": str(src)},
+            "gates": {"gopher": {"min_words": 5, "min_stopword_hits": 1}},
+            "dedup": {"exact": True},
+            "chunk": {"chunk_tokens": 8, "overlap_tokens": 2},
+            "pack": {"max_tokens": 32},
+            "output": {"dir": out_dir, "n_shards": 2},
+        }
+    }
+    m = cmd_run_corpus(spark, cfg)
+    assert m["corpus.quarantined"] == 1
+    assert m["corpus.ingested"] == 9
+    assert m["corpus.exact_dedup"] == 8  # the dup collapsed
+    assert m["corpus.chunks_packed"] > 0
+    assert m["corpus.shard_dir"] == out_dir
+    assert spark.read.parquet(out_dir).count() == m["corpus.chunks_packed"]
