@@ -23,9 +23,14 @@ Cheap row-local gates run BEFORE expensive corpus-wide stages so
 rejected docs never pay shingling or shuffles, mirroring the measured
 stage costs in BENCH_NOTES.md.
 
-Metrics: with ``collect_counts=True`` (default) the result carries a
-per-stage surviving-row count — one count action per enabled stage,
-the operability/latency trade a production run can switch off.
+Metrics: every enabled stage boundary persists and materializes its
+frame once (chained pin/release — exactly one stage cached at a time),
+which is what keeps the chain O(stages) instead of O(stages^2): stage
+counts AND the internal actions several stages perform (the DSIR
+log-ratio collect, the mixture-plan collect) would otherwise each
+re-execute the whole upstream lineage. ``collect_counts`` only
+controls whether the per-stage counts are REPORTED; the
+materialization is inherent to the pinning and happens either way.
 """
 
 from __future__ import annotations
@@ -38,12 +43,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 @dataclass
 class CorpusResult:
     """Final frames + per-stage counts. ``packed``/``shard_dir`` are None
-    when the chunk/pack/output stages are disabled."""
+    when the chunk/pack/output stages are disabled. ``cached`` holds the
+    frames the plan left persisted (the final stage boundary) — release
+    with :meth:`unpersist_all` once outputs are materialized, same
+    contract as ``LoadResult.cached``."""
 
     docs: DataFrame
     packed: DataFrame | None
     counts: dict[str, int] = field(default_factory=dict)
     shard_dir: str | None = None
+    cached: list = field(default_factory=list)
+
+    def unpersist_all(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def _ingest(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame | None]:
@@ -107,10 +121,19 @@ def run_corpus_pipeline(
     text_col = cfg.get("text_col", "text")
     lang_col = cfg.get("lang_col", "lang")
     counts: dict[str, int] = {}
+    # chained stage pinning — see the module docstring's Metrics note;
+    # the final pin is handed to the caller via CorpusResult.cached
+    pinned: list[DataFrame] = []
 
     def tick(stage: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        n = df.count()  # materialize the new pin FIRST — releasing the
+        # previous one before this would force a full-lineage recompute
+        if pinned:
+            pinned.pop().unpersist()
+        pinned.append(df)
         if collect_counts:
-            counts[stage] = df.count()
+            counts[stage] = n
         return df
 
     docs, quarantine = _ingest(spark, cfg)
@@ -315,4 +338,7 @@ def run_corpus_pipeline(
                 order_col="chunk_uid",
             )
 
-    return CorpusResult(docs=docs, packed=packed, counts=counts, shard_dir=shard_dir)
+    return CorpusResult(
+        docs=docs, packed=packed, counts=counts, shard_dir=shard_dir,
+        cached=pinned,
+    )
