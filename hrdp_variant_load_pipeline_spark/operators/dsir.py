@@ -74,19 +74,49 @@ def hashed_ngram_buckets(
 
 
 def _bucket_counts(
-    df: DataFrame, text_col: str, n_buckets: int, salt: str
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """(bucket, c) hashed-n-gram counts — the corpus's only shuffle, and
     it carries at most ``n_buckets`` rows per partition after the
-    map-side partial aggregate."""
+    map-side partial aggregate. ``buckets_col`` names a precomputed
+    :func:`hashed_ngram_buckets` column to count instead of re-deriving
+    the grams from text (see :func:`featurize`)."""
+    arr = (
+        F.col(buckets_col)
+        if buckets_col
+        else hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    )
     return (
-        df.select(
-            F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
-            ).alias("bucket")
-        )
+        df.select(F.explode(arr).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
+    )
+
+
+def featurize(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str = "dsir",
+    buckets_col: str = "_dsir_buckets",
+) -> DataFrame:
+    """Attach the hashed-n-gram bucket array as a real column so ONE
+    gram-construction pass can feed every downstream consumer.
+
+    Gram construction (split + bigram slice/join + per-gram md5) is the
+    measured dominant cost of the DSIR chain — ~2.2 s/pass over 50k docs
+    at sf1 vs ~0.3 s for everything else (BENCH_NOTES.md) — and the
+    naive chain pays it once for raw counts and again for scoring (plus
+    again per re-score in a weight sweep). Callers that persist the
+    featurized frame and pass ``raw_buckets_col=``/``buckets_col=`` to
+    :func:`bucket_logratio` / :func:`dsir_log_weight` pay it once.
+    """
+    return docs.withColumn(
+        buckets_col, hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
     )
 
 
@@ -96,17 +126,24 @@ def bucket_logratio(
     text_col: str,
     n_buckets: int = 1024,
     salt: str = "dsir",
+    raw_buckets_col: str | None = None,
+    target_buckets_col: str | None = None,
 ) -> DataFrame:
     """Per-bucket log importance ratio
     ``ln p_target(b) - ln p_raw(b)`` over the FULL bucket domain
     (add-1 smoothing, so unseen buckets still carry the ratio of the
     two smoothing floors). Output: (bucket, logratio), n_buckets rows.
+
+    ``raw_buckets_col`` / ``target_buckets_col`` name precomputed
+    :func:`featurize` columns on the respective side (when the target is
+    a slice OF the featurized pool — the common in-pipeline case — both
+    sides then ride one cached gram pass).
     """
     dom = target.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")
     )
-    t = _bucket_counts(target, text_col, n_buckets, salt)
-    r = _bucket_counts(raw, text_col, n_buckets, salt)
+    t = _bucket_counts(target, text_col, n_buckets, salt, target_buckets_col)
+    r = _bucket_counts(raw, text_col, n_buckets, salt, raw_buckets_col)
     tt = t.agg(F.sum("c").alias("t_total"))
     rt = r.agg(F.sum("c").alias("r_total"))
     b = float(n_buckets)
@@ -138,6 +175,7 @@ def dsir_log_weight(
     n_buckets: int,
     salt: str = "dsir",
     out_col: str = "dsir_logw",
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """Score every doc with its log importance weight — ROW-LOCAL.
 
@@ -145,7 +183,9 @@ def dsir_log_weight(
     so it is collected ONCE into a single array literal indexed by
     bucket id and each doc folds its own bucket array through it with
     ``aggregate`` — zero shuffle, zero explode, zero join on the corpus
-    side. Docs with no n-grams (empty text) score 0.0.
+    side. Docs with no n-grams (empty text) score 0.0. ``buckets_col``
+    names a precomputed :func:`featurize` column to fold instead of
+    re-deriving the grams from text.
     """
     rows = logratio.collect()  # model-sized: n_buckets rows
     table = [0.0] * n_buckets
@@ -158,7 +198,11 @@ def dsir_log_weight(
             )
         table[row["bucket"]] = float(row["logratio"])
     lut = F.lit(table)
-    buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    buckets = (
+        F.col(buckets_col)
+        if buckets_col
+        else hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    )
     score = F.aggregate(
         buckets,
         F.lit(0.0),

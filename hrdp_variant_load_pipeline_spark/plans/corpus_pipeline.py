@@ -244,21 +244,38 @@ def run_corpus_pipeline(
             bucket_logratio,
             dsir_log_weight,
             dsir_select_fraction,
+            featurize,
         )
 
         ds = sel["dsir"]
         n_buckets = int(ds.get("n_buckets", 1024))
-        target = docs.filter(
-            F.col(lang_col) == ds["target_lang"]
-        ) if "target_lang" in ds else spark.read.parquet(ds["target_path"])
-        lr = bucket_logratio(target, docs, text_col, n_buckets=n_buckets)
-        scored = dsir_log_weight(docs, lr, text_col, n_buckets)
+        # featurize ONCE and pin: gram construction is the measured
+        # dominant DSIR cost (BENCH_NOTES.md) and the naive chain pays
+        # it 3x — raw counts, quantile pass, final filter all read the
+        # cached bucket arrays instead
+        feat = featurize(docs, text_col, n_buckets).persist()
+        if "target_lang" in ds:
+            # a slice of the pool rides the same cached gram arrays
+            target = feat.filter(F.col(lang_col) == ds["target_lang"])
+            target_bcol = "_dsir_buckets"
+        else:
+            target = spark.read.parquet(ds["target_path"])
+            target_bcol = None
+        lr = bucket_logratio(
+            target, feat, text_col, n_buckets=n_buckets,
+            raw_buckets_col="_dsir_buckets",
+            target_buckets_col=target_bcol,
+        )
+        scored = dsir_log_weight(
+            feat, lr, text_col, n_buckets, buckets_col="_dsir_buckets"
+        )
         docs = tick(
             "dsir_selected",
             dsir_select_fraction(
                 scored, float(ds.get("keep_fraction", 0.5))
-            ).drop("dsir_logw"),
+            ).drop("dsir_logw", "_dsir_buckets"),
         )
+        feat.unpersist()
 
     # ---- 8. mixture rebalance to a token budget ----------------------
     mix = cfg.get("mixture")

@@ -692,6 +692,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         bucket_logratio,
         dsir_log_weight,
         dsir_resample,
+        featurize,
     )
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
         build_vocab,
@@ -815,18 +816,30 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     # DSIR importance weights: target = the 'en' slice, raw = whole pool;
     # scoring is row-local against the collected (model-sized) log-ratio
     # LUT, the Gumbel top-k is TakeOrderedAndProject
-    dl = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    # featurize ONCE: gram construction dominates the chain (~2.2 s/pass
+    # at sf1, BENCH_NOTES.md) and target counts / raw counts / scoring
+    # would otherwise each pay it; the pin lasts only until `scored`
+    # materializes below
+    dl = featurize(
+        table(spark, sf, "documents").select("doc_id", "text", "lang"),
+        "text", _CS_DSIR_B, salt=_CS_DSIR_SALT,
+    ).persist()
     lr = bucket_logratio(
         dl.filter(F.col("lang") == "en"), dl, "text",
         n_buckets=_CS_DSIR_B, salt=_CS_DSIR_SALT,
+        raw_buckets_col="_dsir_buckets", target_buckets_col="_dsir_buckets",
     )
     # drop the text before checkpointing — both consumers need only
     # (doc_id, logw), so the materialized reuse point stays id-sized
     scored = (
-        dsir_log_weight(dl, lr, "text", _CS_DSIR_B, salt=_CS_DSIR_SALT)
+        dsir_log_weight(
+            dl, lr, "text", _CS_DSIR_B, salt=_CS_DSIR_SALT,
+            buckets_col="_dsir_buckets",
+        )
         .select("doc_id", "dsir_logw")
         .localCheckpoint()
     )
+    dl.unpersist()
     dsir = scored.select(
         F.lit("dsir").alias("component"),
         F.col("doc_id").alias("k"),

@@ -16,6 +16,7 @@ from hrdp_variant_load_pipeline_spark.operators.dsir import (
     dsir_log_weight,
     dsir_resample,
     dsir_select_topk,
+    featurize,
     hashed_ngram_buckets,
 )
 
@@ -101,6 +102,47 @@ def test_log_weights_match_python_model(spark, frames):
     # target-like docs outscore the junk docs; empty text scores exactly 0
     assert min(got[0], got[1], got[4]) > max(got[2], got[3])
     assert got[5] == 0.0
+
+
+def test_featurize_once_path_is_bit_identical(spark, frames):
+    """The single-gram-pass path (featurize + *_buckets_col) must produce
+    the SAME logratio table and weights as the naive recompute-from-text
+    path — it is a plan change only (BENCH_NOTES.md: gram construction
+    dominates the chain, the featurized pool pays it once)."""
+    target, raw = frames
+    feat = featurize(raw, "text", B).persist()
+    try:
+        lr = bucket_logratio(
+            feat.filter(F.col("doc_id") < 2), feat, "text", n_buckets=B,
+            raw_buckets_col="_dsir_buckets",
+            target_buckets_col="_dsir_buckets",
+        )
+        naive = bucket_logratio(target, raw, "text", n_buckets=B)
+        assert sorted(map(tuple, lr.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+        got = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_log_weight(
+                feat, lr, "text", B, buckets_col="_dsir_buckets"
+            ).collect()
+        }
+        want = _py_weights()
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), k
+        # the featurized scoring plan must not re-derive grams from text:
+        # everything ABOVE the cache boundary is md5-free (the one md5
+        # pass lives in the InMemoryRelation's build plan, paid once)
+        plan = (
+            dsir_log_weight(feat, lr, "text", B, buckets_col="_dsir_buckets")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "InMemoryRelation" in plan, plan
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "md5" not in above_cache, plan
+    finally:
+        feat.unpersist()
 
 
 def test_scoring_plan_never_shuffles_the_corpus(spark, frames):
