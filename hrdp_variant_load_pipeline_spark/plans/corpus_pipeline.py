@@ -31,10 +31,19 @@ log-ratio collect, the mixture-plan collect) would otherwise each
 re-execute the whole upstream lineage. ``collect_counts`` only
 controls whether the per-stage counts are REPORTED; the
 materialization is inherent to the pinning and happens either way.
+
+Crash resume: an optional ``checkpoint`` config block commits stage
+frames to parquet behind atomic markers (the versioned-store commit
+pattern) and a rerun restarts after the latest committed stage — see
+:func:`run_corpus_pipeline`. Stage bodies are closures built in plan
+order, so resumed-past stages never execute (not even their
+driver-side collects).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,18 +55,69 @@ class CorpusResult:
     when the chunk/pack/output stages are disabled. ``cached`` holds the
     frames the plan left persisted (the final stage boundary) — release
     with :meth:`unpersist_all` once outputs are materialized, same
-    contract as ``LoadResult.cached``."""
+    contract as ``LoadResult.cached``. ``resumed_from`` names the stage
+    whose checkpoint this run restarted after (None = ran from ingest)."""
 
     docs: DataFrame
     packed: DataFrame | None
     counts: dict[str, int] = field(default_factory=dict)
     shard_dir: str | None = None
     cached: list = field(default_factory=list)
+    resumed_from: str | None = None
 
     def unpersist_all(self) -> None:
         for df in self.cached:
             df.unpersist()
         self.cached.clear()
+
+
+# config keys that determine the stage frames — the checkpoint
+# fingerprint hashes exactly these, so edits to output-side keys
+# (chunk/pack/output) or to the checkpoint block itself never
+# invalidate stage checkpoints, while ANY stage-semantics edit does
+_STAGE_KEYS = (
+    "input", "id_col", "text_col", "lang_col", "normalize", "pii",
+    "gates", "dedup", "lm_gate", "decontaminate", "selection", "mixture",
+)
+
+_MARKER = "_STAGE_COMMITTED.json"
+
+
+def _cfg_fingerprint(cfg: dict) -> str:
+    payload = {k: cfg[k] for k in _STAGE_KEYS if k in cfg}
+    return hashlib.md5(
+        json.dumps(payload, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _ck_write_marker(spark: SparkSession, path: str, payload: dict) -> None:
+    """One atomic create commits the stage (the store-commit pattern,
+    sources/store.py:192): data files without a marker are invisible to
+    resume, so a crash mid-write just recomputes the stage."""
+    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+
+    fs, jvm = _fs(spark, path)
+    out = fs.create(_jpath(jvm, path), False)
+    out.write(bytearray(json.dumps(payload).encode()))
+    out.close()
+
+
+def _ck_read_marker(spark: SparkSession, path: str) -> dict | None:
+    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+
+    fs, jvm = _fs(spark, path)
+    jp = _jpath(jvm, path)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    try:
+        return json.loads(raw.decode())
+    except (ValueError, UnicodeDecodeError):
+        return None  # torn/foreign marker == no checkpoint
 
 
 def _ingest(spark: SparkSession, cfg: dict) -> tuple[DataFrame, DataFrame | None]:
@@ -106,11 +166,27 @@ def run_corpus_pipeline(
     """Run the configured curation chain; see module docstring for the
     stage order. Unknown top-level config keys raise (a typo'd stage
     name silently skipping a GATE would ship uncurated data — same
-    failure mode redact_pii guards against)."""
+    failure mode redact_pii guards against).
+
+    Crash resume: ``cfg["checkpoint"] = {"dir": ..., "stages": [...],
+    "resume": True}`` writes each (listed, default all) ticked stage
+    frame to ``dir/<idx>_<stage>`` and commits it with one atomic
+    marker create holding the config fingerprint and the counts so far.
+    A rerun with the same stage-semantics config restarts AFTER the
+    latest committed stage — at 100 TB the chain runs for days and a
+    mid-run failure must not re-pay ingest + dedup. Stage bodies are
+    built lazily in plan order, so skipped stages never run their
+    driver-side actions (DSIR collect, mixture plan) either. Any edit
+    to a stage-semantics key changes the fingerprint and invalidates
+    every checkpoint; edits to chunk/pack/output never do (they are
+    downstream of the stage frames). Checkpointed stages also read
+    back from the committed parquet, truncating lineage — a later
+    stage failure retries from files, not from a recomputed chain.
+    """
     known = {
         "input", "id_col", "text_col", "lang_col", "normalize", "pii",
         "gates", "dedup", "lm_gate", "decontaminate", "selection",
-        "mixture", "chunk", "pack", "output",
+        "mixture", "chunk", "pack", "output", "checkpoint",
     }
     unknown = set(cfg) - known
     if unknown:
@@ -125,185 +201,293 @@ def run_corpus_pipeline(
     # the final pin is handed to the caller via CorpusResult.cached
     pinned: list[DataFrame] = []
 
-    def tick(stage: str, df: DataFrame) -> DataFrame:
+    ck = cfg.get("checkpoint")
+    ck_dir = ck["dir"].rstrip("/") if ck else None
+    ck_stages = set(ck["stages"]) if ck and ck.get("stages") else None
+    fingerprint = _cfg_fingerprint(cfg)
+
+    def _ck_path(idx: int, stage: str) -> str:
+        return f"{ck_dir}/{idx:02d}_{stage}"
+
+    def tick(idx: int, stage: str, df: DataFrame) -> DataFrame:
         df = df.persist()
         n = df.count()  # materialize the new pin FIRST — releasing the
         # previous one before this would force a full-lineage recompute
         if pinned:
             pinned.pop().unpersist()
-        pinned.append(df)
         if collect_counts:
             counts[stage] = n
+        if ck_dir and (ck_stages is None or stage in ck_stages):
+            path = _ck_path(idx, stage)
+            from hrdp_variant_load_pipeline_spark.sources.store import (
+                _fs,
+                _jpath,
+            )
+
+            fs, jvm = _fs(spark, path)
+            fs.delete(_jpath(jvm, f"{path}/{_MARKER}"), False)  # invalidate
+            df.write.mode("overwrite").parquet(path)  # from the cache
+            _ck_write_marker(
+                spark,
+                f"{path}/{_MARKER}",
+                {"stage": stage, "idx": idx, "fingerprint": fingerprint,
+                 "counts_so_far": dict(counts)},
+            )
+            df.unpersist()
+            df = spark.read.parquet(path).persist()  # disk-backed lineage
+        pinned.append(df)
         return df
 
-    docs, quarantine = _ingest(spark, cfg)
-    if collect_counts and quarantine is not None:
-        counts["quarantined"] = quarantine.count()
-    docs = tick("ingested", docs)
+    # ---- build the stage plan (closures; nothing executes yet) -------
+    # entries: (stage_name, build(docs) -> DataFrame, ticked)
+    # ticked stages are count/pin/checkpoint boundaries; unticked ones
+    # are row-local transforms folded into the next boundary's lineage
+    plan: list[tuple[str, object, bool]] = []
+
+    def _b_ingest(_docs: DataFrame | None) -> DataFrame:
+        docs, quarantine = _ingest(spark, cfg)
+        if collect_counts and quarantine is not None:
+            counts["quarantined"] = quarantine.count()
+        return docs
+
+    plan.append(("ingested", _b_ingest, True))
 
     # ---- 2. row-local normalize + scrub ------------------------------
     from hrdp_variant_load_pipeline_spark.functions import text as TXT
 
     t = F.col(text_col)
-    if cfg.get("normalize", True):
-        docs = docs.withColumn(text_col, TXT.normalize_text(t))
     pii = cfg.get("pii", False)
-    if pii:
-        kinds = None if pii is True else tuple(pii)
-        docs = docs.withColumn(text_col, TXT.redact_pii(t, kinds=kinds))
+    if cfg.get("normalize", True) or pii:
+
+        def _b_scrub(docs: DataFrame) -> DataFrame:
+            if cfg.get("normalize", True):
+                docs = docs.withColumn(text_col, TXT.normalize_text(t))
+            if pii:
+                kinds = None if pii is True else tuple(pii)
+                docs = docs.withColumn(text_col, TXT.redact_pii(t, kinds=kinds))
+            return docs
+
+        plan.append(("normalize_scrub", _b_scrub, False))
 
     # ---- 3. heuristic gates (row-local, before anything corpus-wide) -
     gates = cfg.get("gates", {})
     if "min_quality" in gates:
-        docs = tick(
+        plan.append((
             "quality_gate",
-            docs.filter(TXT.quality_score(t) >= float(gates["min_quality"])),
-        )
+            lambda docs: docs.filter(
+                TXT.quality_score(t) >= float(gates["min_quality"])
+            ),
+            True,
+        ))
     if gates.get("gopher") is not None:
-        docs = tick(
+        plan.append((
             "gopher_gate",
-            docs.filter(TXT.gopher_rules(t, **gates["gopher"])["passes"]),
-        )
+            lambda docs: docs.filter(
+                TXT.gopher_rules(t, **gates["gopher"])["passes"]
+            ),
+            True,
+        ))
 
     # ---- 4. dedup ----------------------------------------------------
     from hrdp_variant_load_pipeline_spark.operators import dedup as DD
 
     dd = cfg.get("dedup", {})
     if dd.get("exact", True):
-        canon = DD.exact_dedup_groups(docs, id_col, text_col).select(
-            F.col("keeper_id").alias(id_col)
-        )
-        docs = tick("exact_dedup", docs.join(canon, id_col, "left_semi"))
+
+        def _b_exact(docs: DataFrame) -> DataFrame:
+            canon = DD.exact_dedup_groups(docs, id_col, text_col).select(
+                F.col("keeper_id").alias(id_col)
+            )
+            return docs.join(canon, id_col, "left_semi")
+
+        plan.append(("exact_dedup", _b_exact, True))
     if dd.get("paragraph", False):
-        docs = tick(
-            "paragraph_dedup", DD.paragraph_dedup(docs, id_col, text_col)
-        )
+        plan.append((
+            "paragraph_dedup",
+            lambda docs: DD.paragraph_dedup(docs, id_col, text_col),
+            True,
+        ))
     if dd.get("span_k"):
-        docs = tick(
+        plan.append((
             "span_dedup",
-            DD.repeated_span_dedup(docs, id_col, text_col, k=int(dd["span_k"])),
-        )
+            lambda docs: DD.repeated_span_dedup(
+                docs, id_col, text_col, k=int(dd["span_k"])
+            ),
+            True,
+        ))
     if dd.get("fuzzy") is not None:
-        fz = dd["fuzzy"]
-        pairs = DD.minhash_lsh_pairs(
-            docs, id_col, text_col,
-            verify_threshold=float(fz.get("threshold", 0.8)),
-        )
-        # canonical = lowest id of each near-dup pair survives
-        drop = pairs.select(
-            F.greatest("doc_a", "doc_b").alias(id_col)
-        ).distinct()
-        docs = tick("fuzzy_dedup", docs.join(drop, id_col, "left_anti"))
+
+        def _b_fuzzy(docs: DataFrame) -> DataFrame:
+            fz = dd["fuzzy"]
+            pairs = DD.minhash_lsh_pairs(
+                docs, id_col, text_col,
+                verify_threshold=float(fz.get("threshold", 0.8)),
+            )
+            # canonical = lowest id of each near-dup pair survives
+            drop = pairs.select(
+                F.greatest("doc_a", "doc_b").alias(id_col)
+            ).distinct()
+            return docs.join(drop, id_col, "left_anti")
+
+        plan.append(("fuzzy_dedup", _b_fuzzy, True))
 
     # ---- 5. LM perplexity gate (counts from the surviving corpus) ----
     lm_cfg = cfg.get("lm_gate")
     if lm_cfg is not None:
-        from hrdp_variant_load_pipeline_spark.operators.vocab import (
-            lm_doc_score,
-            ngram_counts,
-            perplexity_buckets,
-        )
 
-        counts_tbl = ngram_counts(
-            docs, text_col, n=2, min_count=int(lm_cfg.get("min_count", 2))
-        )
-        scored = lm_doc_score(
-            docs, id_col, text_col, counts_tbl,
-            smoothing=lm_cfg.get("smoothing", "stupid_backoff"),
-        )
-        if lm_cfg.get("drop_tail", True):
-            tiers = perplexity_buckets(scored, "lm_logprob")
-            docs = tiers.filter(F.col("ppl_bucket") != "tail").drop(
-                "ppl_bucket", "lm_logprob"
+        def _b_lm(docs: DataFrame) -> DataFrame:
+            from hrdp_variant_load_pipeline_spark.operators.vocab import (
+                lm_doc_score,
+                ngram_counts,
+                perplexity_buckets,
             )
-        else:
-            docs = scored.drop("lm_logprob")
-        docs = tick("lm_gate", docs)
+
+            counts_tbl = ngram_counts(
+                docs, text_col, n=2, min_count=int(lm_cfg.get("min_count", 2))
+            )
+            scored = lm_doc_score(
+                docs, id_col, text_col, counts_tbl,
+                smoothing=lm_cfg.get("smoothing", "stupid_backoff"),
+            )
+            if lm_cfg.get("drop_tail", True):
+                tiers = perplexity_buckets(scored, "lm_logprob")
+                return tiers.filter(F.col("ppl_bucket") != "tail").drop(
+                    "ppl_bucket", "lm_logprob"
+                )
+            return scored.drop("lm_logprob")
+
+        plan.append(("lm_gate", _b_lm, True))
 
     # ---- 6. decontaminate vs the eval set ----------------------------
     dec = cfg.get("decontaminate")
     if dec is not None:
-        from hrdp_variant_load_pipeline_spark.operators.corpus import (
-            decontaminate,
-        )
 
-        bench = spark.read.parquet(dec["path"])
-        docs = tick(
-            "decontaminated",
-            decontaminate(
+        def _b_decon(docs: DataFrame) -> DataFrame:
+            from hrdp_variant_load_pipeline_spark.operators.corpus import (
+                decontaminate,
+            )
+
+            bench = spark.read.parquet(dec["path"])
+            return decontaminate(
                 docs, bench, id_col, text_col,
                 bench_text_col=dec.get("bench_text_col"),
                 n=int(dec.get("n", 8)),
-            ),
-        )
+            )
+
+        plan.append(("decontaminated", _b_decon, True))
 
     # ---- 7. DSIR selection toward a target slice ---------------------
     sel = cfg.get("selection")
     if sel is not None:
-        from hrdp_variant_load_pipeline_spark.operators.dsir import (
-            bucket_logratio,
-            dsir_log_weight,
-            dsir_select_fraction,
-            featurize,
-        )
 
-        ds = sel["dsir"]
-        n_buckets = int(ds.get("n_buckets", 1024))
-        # featurize ONCE and pin: gram construction is the measured
-        # dominant DSIR cost (BENCH_NOTES.md) and the naive chain pays
-        # it 3x — raw counts, quantile pass, final filter all read the
-        # cached bucket arrays instead
-        feat = featurize(docs, text_col, n_buckets).persist()
-        if "target_lang" in ds:
-            # a slice of the pool rides the same cached gram arrays
-            target = feat.filter(F.col(lang_col) == ds["target_lang"])
-            target_bcol = "_dsir_buckets"
-        else:
-            target = spark.read.parquet(ds["target_path"])
-            target_bcol = None
-        lr = bucket_logratio(
-            target, feat, text_col, n_buckets=n_buckets,
-            raw_buckets_col="_dsir_buckets",
-            target_buckets_col=target_bcol,
-        )
-        scored = dsir_log_weight(
-            feat, lr, text_col, n_buckets, buckets_col="_dsir_buckets"
-        )
-        docs = tick(
-            "dsir_selected",
-            dsir_select_fraction(
+        def _b_dsir(docs: DataFrame) -> DataFrame:
+            from hrdp_variant_load_pipeline_spark.operators.dsir import (
+                bucket_logratio,
+                dsir_log_weight,
+                dsir_select_fraction,
+                featurize,
+            )
+
+            ds = sel["dsir"]
+            n_buckets = int(ds.get("n_buckets", 1024))
+            # featurize ONCE and pin: gram construction is the measured
+            # dominant DSIR cost (BENCH_NOTES.md) and the naive chain
+            # pays it 3x — raw counts, quantile pass, final filter all
+            # read the cached bucket arrays instead
+            feat = featurize(docs, text_col, n_buckets).persist()
+            if "target_lang" in ds:
+                # a slice of the pool rides the same cached gram arrays
+                target = feat.filter(F.col(lang_col) == ds["target_lang"])
+                target_bcol = "_dsir_buckets"
+            else:
+                target = spark.read.parquet(ds["target_path"])
+                target_bcol = None
+            lr = bucket_logratio(
+                target, feat, text_col, n_buckets=n_buckets,
+                raw_buckets_col="_dsir_buckets",
+                target_buckets_col=target_bcol,
+            )
+            scored = dsir_log_weight(
+                feat, lr, text_col, n_buckets, buckets_col="_dsir_buckets"
+            )
+            out = dsir_select_fraction(
                 scored, float(ds.get("keep_fraction", 0.5))
-            ).drop("dsir_logw", "_dsir_buckets"),
-        )
-        feat.unpersist()
+            ).drop("dsir_logw", "_dsir_buckets")
+            # the threshold is already computed (approxQuantile above),
+            # so the pin has served its three passes; the filter output
+            # materializes at the stage boundary
+            feat.unpersist()
+            return out
+
+        plan.append(("dsir_selected", _b_dsir, True))
 
     # ---- 8. mixture rebalance to a token budget ----------------------
     mix = cfg.get("mixture")
     n_tok_col = "n_tokens"
-    docs = docs.withColumn(
-        n_tok_col,
-        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
-        .cast("long"),
-    )
+    plan.append((
+        "token_counts",
+        lambda docs: docs.withColumn(
+            n_tok_col,
+            F.size(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            ).cast("long"),
+        ),
+        False,
+    ))
     if mix is not None:
-        from hrdp_variant_load_pipeline_spark.operators.corpus import (
-            apply_mixture,
-            plan_mixture,
-            temperature_weights,
-        )
 
-        weights = mix.get("weights")
-        if weights is None:
-            weights = temperature_weights(
-                docs, lang_col, n_tok_col,
-                alpha=float(mix.get("temperature", 0.3)),
+        def _b_mix(docs: DataFrame) -> DataFrame:
+            from hrdp_variant_load_pipeline_spark.operators.corpus import (
+                apply_mixture,
+                plan_mixture,
+                temperature_weights,
             )
-        plan = plan_mixture(
-            docs, lang_col, n_tok_col, weights, int(mix["total_tokens"])
-        )
-        docs = tick(
-            "mixed", apply_mixture(docs, lang_col, id_col, plan).drop("epoch")
-        )
+
+            weights = mix.get("weights")
+            if weights is None:
+                weights = temperature_weights(
+                    docs, lang_col, n_tok_col,
+                    alpha=float(mix.get("temperature", 0.3)),
+                )
+            mplan = plan_mixture(
+                docs, lang_col, n_tok_col, weights, int(mix["total_tokens"])
+            )
+            return apply_mixture(docs, lang_col, id_col, mplan).drop("epoch")
+
+        plan.append(("mixed", _b_mix, True))
+
+    # ---- resume scan: latest committed stage under this fingerprint --
+    resume_idx = -1
+    resumed_from = None
+    if ck_dir and ck.get("resume", True):
+        for i, (stage, _build, ticked) in enumerate(plan):
+            if not ticked or (ck_stages is not None and stage not in ck_stages):
+                continue
+            marker = _ck_read_marker(
+                spark, f"{_ck_path(i, stage)}/{_MARKER}"
+            )
+            if (
+                marker
+                and marker.get("fingerprint") == fingerprint
+                and marker.get("stage") == stage
+                and marker.get("idx") == i
+            ):
+                resume_idx, resumed_from = i, stage
+                resume_counts = marker.get("counts_so_far", {})
+
+    # ---- execute ------------------------------------------------------
+    if resume_idx >= 0:
+        docs = spark.read.parquet(_ck_path(resume_idx, resumed_from))
+        if collect_counts:
+            counts.update({k: int(v) for k, v in resume_counts.items()})
+    else:
+        docs = None
+    for i, (stage, build, ticked) in enumerate(plan):
+        if i <= resume_idx:
+            continue  # body never built: its driver-side actions skip too
+        docs = build(docs)
+        if ticked:
+            docs = tick(i, stage, docs)
 
     # ---- 9. chunk + pack + shard export ------------------------------
     packed = None
@@ -357,5 +541,5 @@ def run_corpus_pipeline(
 
     return CorpusResult(
         docs=docs, packed=packed, counts=counts, shard_dir=shard_dir,
-        cached=pinned,
+        cached=pinned, resumed_from=resumed_from,
     )

@@ -94,3 +94,88 @@ def test_unknown_config_key_raises(spark):
             spark,
             {"input": {"format": "parquet", "path": "x"}, "dedupe": {}},
         )
+
+
+def _ck_cfg(docs_dir, ck_dir):
+    return {
+        "input": {"format": "parquet", "path": docs_dir},
+        "gates": {"min_quality": 0.3},
+        "dedup": {"exact": True, "fuzzy": {"threshold": 0.8}},
+        "selection": {"dsir": {"target_lang": "en", "n_buckets": 32,
+                               "keep_fraction": 0.6}},
+        "checkpoint": {"dir": ck_dir},
+    }
+
+
+def test_checkpoint_resume_skips_every_committed_stage(spark, tmp_path):
+    """Rerun with the same stage config must restart AFTER the last
+    committed stage: the input is DELETED between runs, so any attempt
+    to rebuild ingest (or any upstream stage) would throw — the resumed
+    run succeeding proves the skipped bodies never execute."""
+    import shutil
+
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 0
+    ).write.parquet(docs_dir)
+    cfg = _ck_cfg(docs_dir, str(tmp_path / "ck"))
+
+    r1 = run_corpus_pipeline(spark, cfg)
+    assert r1.resumed_from is None
+    ids1 = sorted(r["doc_id"] for r in r1.docs.select("doc_id").collect())
+    r1.unpersist_all()
+
+    shutil.rmtree(docs_dir)  # resume must not touch the input again
+    r2 = run_corpus_pipeline(spark, cfg)
+    assert r2.resumed_from == "dsir_selected"  # the last ticked stage
+    ids2 = sorted(r["doc_id"] for r in r2.docs.select("doc_id").collect())
+    assert ids2 == ids1
+    assert r2.counts == r1.counts
+    r2.unpersist_all()
+
+
+def test_checkpoint_fingerprint_invalidates_on_semantics_change(
+    spark, tmp_path
+):
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    ).write.parquet(docs_dir)
+    cfg = _ck_cfg(docs_dir, str(tmp_path / "ck"))
+    r1 = run_corpus_pipeline(spark, cfg)
+    r1.unpersist_all()
+
+    # an output-side edit (chunk/pack) must NOT invalidate the stages...
+    cfg3 = {**cfg, "chunk": {"chunk_tokens": 32, "overlap_tokens": 8},
+            "pack": {"max_tokens": 128, "partition_col": "lang"}}
+    r3 = run_corpus_pipeline(spark, cfg3)
+    assert r3.resumed_from == "dsir_selected"
+    assert r3.counts["chunks_packed"] > 0
+    r3.unpersist_all()
+
+    # ...while a stage-semantics edit must recompute from scratch (its
+    # fresh checkpoints then supersede the stale-fingerprint ones)
+    cfg2 = {**cfg, "gates": {"min_quality": 0.0}}
+    r2 = run_corpus_pipeline(spark, cfg2)
+    assert r2.resumed_from is None
+    assert r2.counts["quality_gate"] >= r1.counts["quality_gate"]
+    r2.unpersist_all()
+
+
+def test_checkpoint_stage_subset_resumes_at_listed_stage(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 1
+    ).write.parquet(docs_dir)
+    cfg = _ck_cfg(docs_dir, str(tmp_path / "ck"))
+    cfg["checkpoint"]["stages"] = ["exact_dedup"]
+    r1 = run_corpus_pipeline(spark, cfg)
+    r1.unpersist_all()
+    import os as _os
+
+    # exactly one stage directory was written
+    assert sorted(_os.listdir(cfg["checkpoint"]["dir"])) == ["03_exact_dedup"]
+    r2 = run_corpus_pipeline(spark, cfg)
+    assert r2.resumed_from == "exact_dedup"
+    assert r2.counts == r1.counts
+    r2.unpersist_all()
