@@ -219,6 +219,8 @@ def cmd_run_corpus(spark: SparkSession, cfg: dict) -> dict:
     out = {f"corpus.{k}": v for k, v in res.counts.items()}
     if res.shard_dir:
         out["corpus.shard_dir"] = res.shard_dir
+    if res.resumed_from:
+        out["corpus.resumed_from"] = res.resumed_from
     # counts and shard output are materialized by now; drop the final
     # stage pin so a long-lived driver doesn't hold executor memory
     res.unpersist_all()

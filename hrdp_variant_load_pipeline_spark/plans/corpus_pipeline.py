@@ -526,18 +526,43 @@ def run_corpus_pipeline(
             counts["chunks_packed"] = packed.count()
         out = cfg.get("output")
         if out is not None:
-            shard_dir = out["dir"]
-            write_shards(
-                packed.withColumn(
-                    "shard_key",
-                    F.abs(F.hash(part_col)).cast("long") * 100_000
-                    + F.col("bin_id"),
-                ),
-                shard_dir,
-                "shard_key",
-                n_shards=int(out.get("n_shards", 16)),
-                order_col="chunk_uid",
+            from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+                shuffle_key,
             )
+
+            shard_dir = out["dir"]
+            manifest = {
+                "config_fingerprint": fingerprint,
+                "counts": dict(counts),
+            }
+            if "shuffle_seed" in out:
+                # training order: deterministic global shuffle — docs and
+                # languages interleaved, replayable from the seed alone
+                manifest["shuffle_seed"] = out["shuffle_seed"]
+                write_shards(
+                    packed.withColumn(
+                        "shard_key",
+                        shuffle_key("chunk_uid", out["shuffle_seed"]),
+                    ),
+                    shard_dir,
+                    "shard_key",
+                    n_shards=int(out.get("n_shards", 16)),
+                    order_col="shard_key",
+                    manifest=manifest,
+                )
+            else:
+                write_shards(
+                    packed.withColumn(
+                        "shard_key",
+                        F.abs(F.hash(part_col)).cast("long") * 100_000
+                        + F.col("bin_id"),
+                    ),
+                    shard_dir,
+                    "shard_key",
+                    n_shards=int(out.get("n_shards", 16)),
+                    order_col="chunk_uid",
+                    manifest=manifest,
+                )
 
     return CorpusResult(
         docs=docs, packed=packed, counts=counts, shard_dir=shard_dir,

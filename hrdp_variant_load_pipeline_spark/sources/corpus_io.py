@@ -11,7 +11,7 @@ preserved for replay after repair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 #: documents-table JSONL schema (mirrors the parquet testdata contract)
 DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING"
@@ -68,6 +68,17 @@ def split_jsonl_lines(
     return docs, quarantine
 
 
+def shuffle_key(col: Column | str, seed: int | str) -> Column:
+    """Deterministic global-shuffle key: md5(seed || value), the order a
+    training run wants its corpus in (documents/languages interleaved,
+    not grouped). Uniform, so range-partitioning on it yields balanced
+    shards; a pure function of (seed, id) — the same seed replays the
+    same order on any partitioning or engine (ORDER BY md5(...) in SQL).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(str(seed)), c.cast("string")))
+
+
 def write_shards(
     df: DataFrame,
     path: str,
@@ -75,6 +86,7 @@ def write_shards(
     n_shards: int | None = None,
     order_col: str | None = None,
     max_records_per_file: int | None = None,
+    manifest: dict | None = None,
 ) -> None:
     """Export size-balanced training shards: range-partition on
     ``shard_col`` (e.g. the ``bin_id`` from ``pack_sequences``) so each
@@ -86,6 +98,12 @@ def write_shards(
     ``n_shards`` defaults to the session's shuffle parallelism;
     ``max_records_per_file`` additionally splits oversized shards into
     bounded files.
+
+    ``manifest`` (optional dict of caller context — counts, config
+    fingerprint, seed) is written AFTER the data as ``_MANIFEST.json``
+    alongside the shards, extended with the output file listing
+    (name + bytes, from one FS metadata pass — no data read): the
+    record a training job pins its data provenance to.
     """
     spark = df.sparkSession
     if n_shards is None:
@@ -102,6 +120,26 @@ def write_shards(
         # files get a bounded working set regardless of shard skew
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+    if manifest is not None:
+        import json
+
+        from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+
+        fs, jvm = _fs(spark, path)
+        files = [
+            {"name": st.getPath().getName(), "bytes": st.getLen()}
+            for st in fs.listStatus(_jpath(jvm, path))
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        payload = dict(manifest)
+        payload["n_shards"] = n_shards
+        payload["shard_col"] = shard_col
+        payload["files"] = sorted(files, key=lambda f: f["name"])
+        mp = f"{path.rstrip('/')}/_MANIFEST.json"
+        fs.delete(_jpath(jvm, mp), False)
+        out_stream = fs.create(_jpath(jvm, mp), True)
+        out_stream.write(bytearray(json.dumps(payload, sort_keys=True).encode()))
+        out_stream.close()
 
 
 def corpus_report(

@@ -179,3 +179,54 @@ def test_checkpoint_stage_subset_resumes_at_listed_stage(spark, tmp_path):
     assert r2.resumed_from == "exact_dedup"
     assert r2.counts == r1.counts
     r2.unpersist_all()
+
+
+def test_shuffle_seed_output_is_deterministic_and_lossless(spark, tmp_path):
+    """output.shuffle_seed interleaves the training order globally but
+    deterministically: same seed => byte-identical (shard, position)
+    assignment across reruns; the manifest records provenance."""
+    import json
+
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 4 == 0
+    ).write.parquet(docs_dir)
+
+    def run(out_dir, seed):
+        cfg = {
+            "input": {"format": "parquet", "path": docs_dir},
+            "dedup": {"exact": True},
+            "chunk": {"chunk_tokens": 64, "overlap_tokens": 0},
+            "pack": {"max_tokens": 256},
+            "output": {"dir": out_dir, "n_shards": 4, "shuffle_seed": seed},
+        }
+        res = run_corpus_pipeline(spark, cfg)
+        res.unpersist_all()
+        rows = [
+            (r["file"], r["chunk_uid"])
+            for r in spark.read.parquet(out_dir)
+            .withColumn("file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .select("file", "chunk_uid")
+            .collect()
+        ]
+        return res, sorted(rows)
+
+    res_a, a = run(str(tmp_path / "s1"), 7)
+    _res_b, b = run(str(tmp_path / "s2"), 7)
+    _res_c, c = run(str(tmp_path / "s3"), 8)
+    # same seed: identical chunk set AND identical shard assignment
+    assert [x[1] for x in a] == [x[1] for x in b]
+    assert len({x[1] for x in a}) == len(a)  # lossless, no dup chunks
+    # different seed: same chunk set, different interleaving somewhere
+    assert sorted(x[1] for x in a) == sorted(x[1] for x in c)
+    ka = {uid: f for f, uid in a}
+    kc = {uid: f for f, uid in c}
+    assert any(ka[u] != kc[u] for u in ka)
+    # manifest: provenance + the real file listing
+    man = json.loads((tmp_path / "s1" / "_MANIFEST.json").read_text())
+    assert man["shuffle_seed"] == 7
+    assert man["counts"]["chunks_packed"] == len(a)
+    names = {f["name"] for f in man["files"]}
+    assert names == {f for f, _ in a} and all(
+        fobj["bytes"] > 0 for fobj in man["files"]
+    )
