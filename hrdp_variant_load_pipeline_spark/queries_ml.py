@@ -449,12 +449,15 @@ _PREP_BUDGET = 6000
       FROM starts),
     packed AS (
       SELECT lang, n_tokens,
+             doc_id * 100000 + chunk_idx AS chunk_uid,
              ceil(greatest(sum(n_tokens) OVER (PARTITION BY lang
                     ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING), 1)
                   / 256.0)::BIGINT - 1 AS bin_id
       FROM chunks)
     SELECT lang, bin_id, count(*)::BIGINT AS n_chunks,
-           sum(n_tokens)::BIGINT AS bin_tokens
+           sum(n_tokens)::BIGINT AS bin_tokens,
+           count(DISTINCT substr(md5('7' || chunk_uid::VARCHAR), 1, 1))::BIGINT
+             AS n_shard_keys
     FROM packed GROUP BY lang, bin_id
     """,
 )
@@ -499,9 +502,19 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
         order_col="chunk_uid",
         partition_col="lang",
     )
+    # shuffle-order component: the seeded training-shard key
+    # (sources/corpus_io.shuffle_key) pinned cross-engine as the count of
+    # distinct first-hex-char shard buckets each pack bin fans out to
+    from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+        shuffle_key,
+    )
+
     return packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.count_distinct(
+            F.substring(shuffle_key("chunk_uid", 7), 1, 1)
+        ).alias("n_shard_keys"),
     )
 
 
