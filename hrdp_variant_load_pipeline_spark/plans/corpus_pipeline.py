@@ -449,10 +449,26 @@ def run_corpus_pipeline(
                     docs, lang_col, n_tok_col,
                     alpha=float(mix.get("temperature", 0.3)),
                 )
+            allow_up = bool(mix.get("allow_upsample", False))
             mplan = plan_mixture(
-                docs, lang_col, n_tok_col, weights, int(mix["total_tokens"])
+                docs, lang_col, n_tok_col, weights, int(mix["total_tokens"]),
+                allow_upsample=allow_up,
             )
-            return apply_mixture(docs, lang_col, id_col, mplan).drop("epoch")
+            if not allow_up:
+                return apply_mixture(docs, lang_col, id_col, mplan).drop(
+                    "epoch"
+                )
+            # upsampling keeps the epoch column: repeats of a doc stay
+            # distinguishable so the chunk stage can mint unique uids
+            # (epoch is folded into the chunk id as id*256+epoch)
+            max_frac = max(p["fraction"] for p in mplan.values())
+            if max_frac >= 256:
+                raise ValueError(
+                    f"mixture.allow_upsample: fraction {max_frac:.1f} needs "
+                    ">= 256 epochs of one source; raise its available "
+                    "tokens or lower its weight"
+                )
+            return apply_mixture(docs, lang_col, id_col, mplan)
 
         plan.append(("mixed", _b_mix, True))
 
@@ -502,21 +518,31 @@ def run_corpus_pipeline(
             write_shards,
         )
 
+        # upsampled corpora carry an epoch column: fold it into the chunk
+        # id so repeats of a doc mint distinct chunk_uids (guarded < 256
+        # epochs at the mixture stage)
+        if "epoch" in docs.columns:
+            base = docs.withColumn(
+                "__cid", F.col(id_col) * 256 + F.col("epoch")
+            )
+            cid = "__cid"
+        else:
+            base, cid = docs, id_col
         chunks = chunk_documents(
-            docs, id_col, text_col,
+            base, cid, text_col,
             chunk_tokens=int(ch.get("chunk_tokens", 2048)),
             overlap_tokens=int(ch.get("overlap_tokens", 128)),
         )
         pk = cfg.get("pack", {})
         part_col = pk.get("partition_col", lang_col)
         with_part = chunks.join(
-            F.broadcast(docs.select(id_col, part_col).distinct()), id_col
+            F.broadcast(base.select(cid, part_col).distinct()), cid
         ).withColumn(
-            "chunk_uid", F.col(id_col) * 1_000_000 + F.col("chunk_idx")
+            "chunk_uid", F.col(cid) * 1_000_000 + F.col("chunk_idx")
         )
         packed = pack_sequences(
             with_part,
-            id_col=id_col,
+            id_col=cid,
             token_count_col="n_tokens",
             max_tokens=int(pk.get("max_tokens", 8192)),
             order_col="chunk_uid",

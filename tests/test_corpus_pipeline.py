@@ -230,3 +230,50 @@ def test_shuffle_seed_output_is_deterministic_and_lossless(spark, tmp_path):
     assert names == {f for f, _ in a} and all(
         fobj["bytes"] > 0 for fobj in man["files"]
     )
+
+
+def test_mixture_upsampling_epochs_flow_through_chunking(spark, tmp_path):
+    """allow_upsample repeats scarce sources as whole epochs; the chunk
+    stage folds epoch into the chunk id, so repeats survive packing and
+    shard export with UNIQUE chunk_uids (no silent collapse)."""
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(docs_dir)
+    zh_tokens = (
+        spark.read.parquet(docs_dir)
+        .filter(F.col("lang") == "zh")
+        .select(F.sum(F.size(F.split("text", r"\s+"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    out_dir = str(tmp_path / "shards")
+    cfg = {
+        "input": {"format": "parquet", "path": docs_dir},
+        "dedup": {"exact": True},
+        "mixture": {
+            "weights": {"zh": 1.0},
+            "total_tokens": int(zh_tokens * 2.5),  # forces ~2.5 epochs
+            "allow_upsample": True,
+        },
+        "chunk": {"chunk_tokens": 64, "overlap_tokens": 0},
+        "pack": {"max_tokens": 256},
+        "output": {"dir": out_dir, "n_shards": 2, "shuffle_seed": 1},
+    }
+    res = run_corpus_pipeline(spark, cfg)
+    n_zh = (
+        spark.read.parquet(docs_dir).filter(F.col("lang") == "zh").count()
+    )
+    # upsampled: more mixed rows than distinct zh docs, epochs present
+    assert res.counts["mixed"] > n_zh
+    assert "epoch" in res.docs.columns
+    assert res.docs.agg(F.max("epoch")).collect()[0][0] >= 1
+    # every chunk row keeps a unique uid through pack + shard export
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res.counts["chunks_packed"]
+    assert back.select("chunk_uid").distinct().count() == back.count()
+    # repeats really are on disk: epoch-0 and epoch-1 copies of some doc
+    eids = [r[0] for r in back.select((F.col("chunk_uid") / 1_000_000)
+            .cast("long").alias("e")).distinct().collect()]
+    doc_epochs = {}
+    for e in eids:
+        doc_epochs.setdefault(e // 256, set()).add(e % 256)
+    assert any(len(v) >= 2 for v in doc_epochs.values())
+    res.unpersist_all()
