@@ -221,6 +221,11 @@ def cmd_run_corpus(spark: SparkSession, cfg: dict) -> dict:
         out["corpus.shard_dir"] = res.shard_dir
     if res.resumed_from:
         out["corpus.resumed_from"] = res.resumed_from
+    for k, v in res.timings.items():
+        out[f"corpus.sec.{k}"] = v
+    if res.report is not None:
+        for k, v in res.report.items():
+            out[f"corpus.report.{k}"] = v
     # counts and shard output are materialized by now; drop the final
     # stage pin so a long-lived driver doesn't hold executor memory
     res.unpersist_all()

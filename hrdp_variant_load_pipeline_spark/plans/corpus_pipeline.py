@@ -64,6 +64,12 @@ class CorpusResult:
     shard_dir: str | None = None
     cached: list = field(default_factory=list)
     resumed_from: str | None = None
+    #: wall seconds per executed ticked stage (resumed stages absent);
+    #: unticked row-local transforms are lazy and accrue to the next
+    #: boundary — the per-stage cost breakdown an operator watches
+    timings: dict[str, float] = field(default_factory=dict)
+    #: corpus_report(final docs) when cfg["report"] is set
+    report: dict | None = None
 
     def unpersist_all(self) -> None:
         for df in self.cached:
@@ -77,7 +83,8 @@ class CorpusResult:
 # invalidate stage checkpoints, while ANY stage-semantics edit does
 _STAGE_KEYS = (
     "input", "id_col", "text_col", "lang_col", "normalize", "pii",
-    "gates", "dedup", "lm_gate", "decontaminate", "selection", "mixture",
+    "langid", "gates", "dedup", "lm_gate", "decontaminate", "selection",
+    "mixture",
 )
 
 _MARKER = "_STAGE_COMMITTED.json"
@@ -185,8 +192,9 @@ def run_corpus_pipeline(
     """
     known = {
         "input", "id_col", "text_col", "lang_col", "normalize", "pii",
-        "gates", "dedup", "lm_gate", "decontaminate", "selection",
-        "mixture", "chunk", "pack", "output", "checkpoint",
+        "langid", "gates", "dedup", "lm_gate", "decontaminate",
+        "selection", "mixture", "chunk", "pack", "output", "checkpoint",
+        "report",
     }
     unknown = set(cfg) - known
     if unknown:
@@ -268,6 +276,21 @@ def run_corpus_pipeline(
             return docs
 
         plan.append(("normalize_scrub", _b_scrub, False))
+
+    if cfg.get("langid", False):
+        # fill ABSENT language tags from the marker-word predictor so the
+        # lang-keyed stages downstream (DSIR target slice, mixture,
+        # pack partitioning) see every doc; rows already tagged keep
+        # their tag (the upstream tagger is assumed better than the
+        # heuristic). Row-local.
+        plan.append((
+            "langid_fill",
+            lambda docs: docs.withColumn(
+                lang_col,
+                F.coalesce(F.col(lang_col), TXT.lang_predict(t)),
+            ),
+            False,
+        ))
 
     # ---- 3. heuristic gates (row-local, before anything corpus-wide) -
     gates = cfg.get("gates", {})
@@ -498,12 +521,18 @@ def run_corpus_pipeline(
             counts.update({k: int(v) for k, v in resume_counts.items()})
     else:
         docs = None
+    import time
+
+    timings: dict[str, float] = {}
+    t0 = time.monotonic()
     for i, (stage, build, ticked) in enumerate(plan):
         if i <= resume_idx:
             continue  # body never built: its driver-side actions skip too
         docs = build(docs)
         if ticked:
             docs = tick(i, stage, docs)
+            timings[stage] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
 
     # ---- 9. chunk + pack + shard export ------------------------------
     packed = None
@@ -590,7 +619,16 @@ def run_corpus_pipeline(
                     manifest=manifest,
                 )
 
+    report = None
+    if cfg.get("report", False):
+        from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+            corpus_report,
+        )
+
+        report = corpus_report(docs, text_col=text_col, lang_col=lang_col)
+
     return CorpusResult(
         docs=docs, packed=packed, counts=counts, shard_dir=shard_dir,
-        cached=pinned, resumed_from=resumed_from,
+        cached=pinned, resumed_from=resumed_from, timings=timings,
+        report=report,
     )

@@ -277,3 +277,39 @@ def test_mixture_upsampling_epochs_flow_through_chunking(spark, tmp_path):
         doc_epochs.setdefault(e // 256, set()).add(e % 256)
     assert any(len(v) >= 2 for v in doc_epochs.values())
     res.unpersist_all()
+
+
+def test_langid_fill_timings_and_report(spark, tmp_path):
+    """langid fills only ABSENT language tags (row-local, before the
+    lang-keyed stages); every executed ticked stage reports wall time;
+    report=True attaches the dataset-card summary of the final docs."""
+    docs_dir = str(tmp_path / "docs")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 6 == 0
+    )
+    # strip the tag from half the docs
+    base.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, F.col("lang")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    ).write.parquet(docs_dir)
+    cfg = {
+        "input": {"format": "parquet", "path": docs_dir},
+        "langid": True,
+        "dedup": {"exact": True},
+        "report": True,
+    }
+    res = run_corpus_pipeline(spark, cfg)
+    # no doc is left untagged; pre-tagged docs keep their original tag
+    assert res.docs.filter(F.col("lang").isNull()).count() == 0
+    kept = res.docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    orig = base.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, orig.collect())
+    )
+    assert set(res.timings) == {"ingested", "exact_dedup"}
+    assert all(v >= 0 for v in res.timings.values())
+    assert res.report["n_docs"] == res.counts["exact_dedup"]
+    assert res.report["total_tokens"] > 0
+    res.unpersist_all()
