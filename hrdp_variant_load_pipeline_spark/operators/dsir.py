@@ -73,6 +73,29 @@ def hashed_ngram_buckets(
     )
 
 
+def _check_buckets_col(
+    df: DataFrame, buckets_col: str, n_buckets: int, salt: str
+) -> None:
+    """A precomputed bucket column hashed under a DIFFERENT n_buckets or
+    salt silently skews every downstream count/score (out-of-domain
+    buckets drop from the logratio join; element_at nulls discard docs).
+    :func:`featurize` stamps its parameters into the column metadata;
+    refuse a stamped column that disagrees. Unstamped columns (user-
+    built) pass — the stamp is the guard, not a requirement."""
+    field = df.schema[buckets_col]
+    meta = field.metadata or {}
+    if "dsir_n_buckets" in meta and (
+        int(meta["dsir_n_buckets"]) != n_buckets
+        or meta.get("dsir_salt") != salt
+    ):
+        raise ValueError(
+            f"{buckets_col!r} was featurized with n_buckets="
+            f"{meta['dsir_n_buckets']}, salt={meta.get('dsir_salt')!r} "
+            f"but is being consumed with n_buckets={n_buckets}, "
+            f"salt={salt!r}"
+        )
+
+
 def _bucket_counts(
     df: DataFrame,
     text_col: str,
@@ -85,11 +108,11 @@ def _bucket_counts(
     map-side partial aggregate. ``buckets_col`` names a precomputed
     :func:`hashed_ngram_buckets` column to count instead of re-deriving
     the grams from text (see :func:`featurize`)."""
-    arr = (
-        F.col(buckets_col)
-        if buckets_col
-        else hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
-    )
+    if buckets_col:
+        _check_buckets_col(df, buckets_col, n_buckets, salt)
+        arr = F.col(buckets_col)
+    else:
+        arr = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
     return (
         df.select(F.explode(arr).alias("bucket"))
         .groupBy("bucket")
@@ -115,8 +138,16 @@ def featurize(
     featurized frame and pass ``raw_buckets_col=``/``buckets_col=`` to
     :func:`bucket_logratio` / :func:`dsir_log_weight` pay it once.
     """
-    return docs.withColumn(
-        buckets_col, hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
+    if buckets_col in docs.columns:
+        docs = docs.drop(buckets_col)
+    return docs.select(
+        "*",
+        hashed_ngram_buckets(F.col(text_col), n_buckets, salt).alias(
+            buckets_col,
+            # consumers validate these against their own parameters —
+            # a stale/mismatched featurization fails loud, not skewed
+            metadata={"dsir_n_buckets": n_buckets, "dsir_salt": salt},
+        ),
     )
 
 
@@ -198,11 +229,11 @@ def dsir_log_weight(
             )
         table[row["bucket"]] = float(row["logratio"])
     lut = F.lit(table)
-    buckets = (
-        F.col(buckets_col)
-        if buckets_col
-        else hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
-    )
+    if buckets_col:
+        _check_buckets_col(docs, buckets_col, n_buckets, salt)
+        buckets = F.col(buckets_col)
+    else:
+        buckets = hashed_ngram_buckets(F.col(text_col), n_buckets, salt)
     score = F.aggregate(
         buckets,
         F.lit(0.0),

@@ -101,12 +101,13 @@ def _ck_write_marker(spark: SparkSession, path: str, payload: dict) -> None:
     """One atomic create commits the stage (the store-commit pattern,
     sources/store.py:192): data files without a marker are invisible to
     resume, so a crash mid-write just recomputes the stage."""
-    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        write_small_file,
+    )
 
-    fs, jvm = _fs(spark, path)
-    out = fs.create(_jpath(jvm, path), False)
-    out.write(bytearray(json.dumps(payload).encode()))
-    out.close()
+    write_small_file(
+        spark, path, json.dumps(payload).encode(), overwrite=False
+    )
 
 
 def _ck_read_marker(spark: SparkSession, path: str) -> dict | None:
@@ -223,8 +224,11 @@ def run_corpus_pipeline(
         # previous one before this would force a full-lineage recompute
         if pinned:
             pinned.pop().unpersist()
-        if collect_counts:
-            counts[stage] = n
+        # always recorded: the count is computed regardless, and the
+        # checkpoint marker + shard manifest need it even when the
+        # caller asked not to REPORT counts (collect_counts gates only
+        # CorpusResult.counts, at return)
+        counts[stage] = n
         if ck_dir and (ck_stages is None or stage in ck_stages):
             path = _ck_path(idx, stage)
             from hrdp_variant_load_pipeline_spark.sources.store import (
@@ -251,10 +255,15 @@ def run_corpus_pipeline(
     # ticked stages are count/pin/checkpoint boundaries; unticked ones
     # are row-local transforms folded into the next boundary's lineage
     plan: list[tuple[str, object, bool]] = []
+    # intra-stage caches a build wants released only AFTER its boundary
+    # materializes (e.g. the DSIR featurized pool)
+    stage_scratch: list[DataFrame] = []
 
     def _b_ingest(_docs: DataFrame | None) -> DataFrame:
         docs, quarantine = _ingest(spark, cfg)
         if collect_counts and quarantine is not None:
+            # opt-in: unlike stage counts (free — the boundary is
+            # materialized anyway), this is an EXTRA pass over the input
             counts["quarantined"] = quarantine.count()
         return docs
 
@@ -436,10 +445,11 @@ def run_corpus_pipeline(
             out = dsir_select_fraction(
                 scored, float(ds.get("keep_fraction", 0.5))
             ).drop("dsir_logw", "_dsir_buckets")
-            # the threshold is already computed (approxQuantile above),
-            # so the pin has served its three passes; the filter output
-            # materializes at the stage boundary
-            feat.unpersist()
+            # the final filter pass still READS the cached bucket arrays
+            # when the stage boundary materializes (after this closure
+            # returns) — defer the release until post-tick, or the gram
+            # pass this cache exists to eliminate re-executes once
+            stage_scratch.append(feat)
             return out
 
         plan.append(("dsir_selected", _b_dsir, True))
@@ -496,6 +506,17 @@ def run_corpus_pipeline(
         plan.append(("mixed", _b_mix, True))
 
     # ---- resume scan: latest committed stage under this fingerprint --
+    if ck_stages is not None:
+        # fail loud on typo'd / disabled stage names, same rule as the
+        # unknown-config-key check: a silently-unmatched entry would mean
+        # a days-long run crashes with zero resumable state
+        ticked_names = {s for s, _b, tk in plan if tk}
+        bad = ck_stages - ticked_names
+        if bad:
+            raise ValueError(
+                f"checkpoint.stages {sorted(bad)} match no enabled stage; "
+                f"enabled: {sorted(ticked_names)}"
+            )
     resume_idx = -1
     resumed_from = None
     if ck_dir and ck.get("resume", True):
@@ -517,24 +538,72 @@ def run_corpus_pipeline(
     # ---- execute ------------------------------------------------------
     if resume_idx >= 0:
         docs = spark.read.parquet(_ck_path(resume_idx, resumed_from))
-        if collect_counts:
-            counts.update({k: int(v) for k, v in resume_counts.items()})
+        counts.update({k: int(v) for k, v in resume_counts.items()})
     else:
         docs = None
     import time
 
     timings: dict[str, float] = {}
     t0 = time.monotonic()
-    for i, (stage, build, ticked) in enumerate(plan):
-        if i <= resume_idx:
-            continue  # body never built: its driver-side actions skip too
-        docs = build(docs)
-        if ticked:
-            docs = tick(i, stage, docs)
-            timings[stage] = round(time.monotonic() - t0, 3)
-            t0 = time.monotonic()
+    try:
+        for i, (stage, build, ticked) in enumerate(plan):
+            if i <= resume_idx:
+                continue  # body never built: its driver actions skip too
+            docs = build(docs)
+            if ticked:
+                docs = tick(i, stage, docs)
+                while stage_scratch:
+                    stage_scratch.pop().unpersist()
+                timings[stage] = round(time.monotonic() - t0, 3)
+                t0 = time.monotonic()
+    except BaseException:
+        # a stage failure must not strand executor memory behind a frame
+        # the caller never gets a handle to (the crash case the
+        # checkpointing exists for)
+        for df in (*pinned, *stage_scratch):
+            df.unpersist()
+        raise
 
     # ---- 9. chunk + pack + shard export ------------------------------
+    try:
+        packed, shard_dir = _chunk_pack_export(
+            spark, cfg, docs, counts, fingerprint, id_col, text_col,
+            lang_col, collect_counts,
+        )
+        report = None
+        if cfg.get("report", False):
+            from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+                corpus_report,
+            )
+
+            report = corpus_report(docs, text_col=text_col, lang_col=lang_col)
+    except BaseException:
+        for df in pinned:
+            df.unpersist()
+        raise
+
+    return CorpusResult(
+        docs=docs, packed=packed,
+        counts=counts if collect_counts else {},
+        shard_dir=shard_dir, cached=pinned, resumed_from=resumed_from,
+        timings=timings, report=report,
+    )
+
+
+def _chunk_pack_export(
+    spark: SparkSession,
+    cfg: dict,
+    docs: DataFrame,
+    counts: dict[str, int],
+    fingerprint: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    collect_counts: bool,
+) -> tuple[DataFrame | None, str | None]:
+    """Stage 9 (output side): chunk → pack → seeded-shuffle shard export.
+    Split out so the executor can wrap it in pin cleanup; mutates
+    ``counts`` with chunks_packed."""
     packed = None
     shard_dir = None
     ch = cfg.get("chunk")
@@ -550,7 +619,23 @@ def run_corpus_pipeline(
         # upsampled corpora carry an epoch column: fold it into the chunk
         # id so repeats of a doc mint distinct chunk_uids (guarded < 256
         # epochs at the mixture stage)
-        if "epoch" in docs.columns:
+        has_epoch = "epoch" in docs.columns
+        # uid capacity guard: chunk_uid = id * (256 if epochs) * 1e6 +
+        # chunk_idx must fit int64 — hash-minted ids (e.g. the WARC
+        # source's 60-bit ids) would WRAP and silently collide. One agg
+        # on the pinned stage frame; fail loud with the remap advice.
+        factor = 1_000_000 * (256 if has_epoch else 1)
+        max_id = (
+            docs.agg(F.max(F.abs(F.col(id_col)))).collect()[0][0] or 0
+        )
+        if max_id >= (2**63 - 1) // factor:
+            raise ValueError(
+                f"chunk export: max |{id_col}| {max_id} cannot mint unique "
+                f"int64 chunk uids (needs id*{factor}+chunk_idx); remap "
+                "ids densely first (hash-minted ids, e.g. the WARC "
+                "source's, are too wide to carry chunk/epoch offsets)"
+            )
+        if has_epoch:
             base = docs.withColumn(
                 "__cid", F.col(id_col) * 256 + F.col("epoch")
             )
@@ -619,16 +704,4 @@ def run_corpus_pipeline(
                     manifest=manifest,
                 )
 
-    report = None
-    if cfg.get("report", False):
-        from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
-            corpus_report,
-        )
-
-        report = corpus_report(docs, text_col=text_col, lang_col=lang_col)
-
-    return CorpusResult(
-        docs=docs, packed=packed, counts=counts, shard_dir=shard_dir,
-        cached=pinned, resumed_from=resumed_from, timings=timings,
-        report=report,
-    )
+    return packed, shard_dir

@@ -123,7 +123,11 @@ def write_shards(
     if manifest is not None:
         import json
 
-        from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+        from hrdp_variant_load_pipeline_spark.sources.store import (
+            _fs,
+            _jpath,
+            write_small_file,
+        )
 
         fs, jvm = _fs(spark, path)
         files = [
@@ -135,11 +139,11 @@ def write_shards(
         payload["n_shards"] = n_shards
         payload["shard_col"] = shard_col
         payload["files"] = sorted(files, key=lambda f: f["name"])
-        mp = f"{path.rstrip('/')}/_MANIFEST.json"
-        fs.delete(_jpath(jvm, mp), False)
-        out_stream = fs.create(_jpath(jvm, mp), True)
-        out_stream.write(bytearray(json.dumps(payload, sort_keys=True).encode()))
-        out_stream.close()
+        write_small_file(
+            spark,
+            f"{path.rstrip('/')}/_MANIFEST.json",
+            json.dumps(payload, sort_keys=True).encode(),
+        )
 
 
 def corpus_report(

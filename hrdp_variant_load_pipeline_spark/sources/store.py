@@ -54,6 +54,19 @@ def _jpath(jvm, p: str):
     return jvm.org.apache.hadoop.fs.Path(p)
 
 
+def write_small_file(
+    spark: SparkSession, path: str, data: bytes, overwrite: bool = True
+) -> None:
+    """Write a small driver-side file (marker/manifest JSON) through the
+    Hadoop FS API, so it lands on whatever filesystem the data does
+    (HDFS/S3/local). With ``overwrite=False`` the create is the atomic
+    commit primitive: it FAILS if the path exists."""
+    fs, jvm = _fs(spark, path)
+    out = fs.create(_jpath(jvm, path), overwrite)
+    out.write(bytearray(data))
+    out.close()
+
+
 def _list_names(fs, jvm, root: str) -> list[tuple[str, bool]]:
     """(name, is_dir) for the direct children of ``root`` ([] if absent)."""
     rpath = _jpath(jvm, root)

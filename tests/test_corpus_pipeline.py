@@ -313,3 +313,39 @@ def test_langid_fill_timings_and_report(spark, tmp_path):
     assert res.report["n_docs"] == res.counts["exact_dedup"]
     assert res.report["total_tokens"] > 0
     res.unpersist_all()
+
+
+def test_checkpoint_stage_typo_fails_loud(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).write.parquet(
+        docs_dir
+    )
+    cfg = {
+        "input": {"format": "parquet", "path": docs_dir},
+        "dedup": {"exact": True},
+        "checkpoint": {"dir": str(tmp_path / "ck"),
+                       "stages": ["exact_dedupe"]},  # typo'd
+    }
+    with pytest.raises(ValueError, match="match no enabled stage"):
+        run_corpus_pipeline(spark, cfg)
+
+
+def test_stage_failure_releases_pins(spark, tmp_path):
+    """A mid-chain stage failure must not strand persisted frames."""
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).write.parquet(
+        docs_dir
+    )
+    before = len([r for r in spark.sparkContext._jsc.sc()
+                  .getRDDStorageInfo()])
+    cfg = {
+        "input": {"format": "parquet", "path": docs_dir},
+        "dedup": {"exact": True},
+        # decontaminate points at a nonexistent path -> stage build throws
+        "decontaminate": {"path": str(tmp_path / "missing")},
+    }
+    with pytest.raises(Exception):
+        run_corpus_pipeline(spark, cfg)
+    after = len([r for r in spark.sparkContext._jsc.sc()
+                 .getRDDStorageInfo()])
+    assert after <= before

@@ -294,3 +294,25 @@ def test_log_weight_rejects_mismatched_bucket_table(spark, frames):
     lr = bucket_logratio(target, raw, "text", n_buckets=B)
     with pytest.raises(ValueError, match="outside"):
         dsir_log_weight(raw, lr, "text", B // 2)
+
+
+def test_mismatched_featurize_params_fail_loud(spark, frames):
+    _, raw = frames
+    feat = featurize(raw, "text", B)
+    with pytest.raises(ValueError, match="featurized with n_buckets"):
+        bucket_logratio(
+            feat.filter(F.col("doc_id") < 2), feat, "text",
+            n_buckets=B * 2, raw_buckets_col="_dsir_buckets",
+        )
+    lr = bucket_logratio(feat.filter(F.col("doc_id") < 2), feat, "text",
+                         n_buckets=B, raw_buckets_col="_dsir_buckets",
+                         target_buckets_col="_dsir_buckets")
+    with pytest.raises(ValueError, match="featurized with n_buckets"):
+        dsir_log_weight(feat, lr, "text", B, salt="other",
+                        buckets_col="_dsir_buckets")
+    # an unstamped user-built column passes (the stamp is the guard)
+    hand = raw.withColumn(
+        "b", hashed_ngram_buckets(F.col("text"), B)
+    )
+    got = dsir_log_weight(hand, lr, "text", B, buckets_col="b")
+    assert got.count() == raw.count()
