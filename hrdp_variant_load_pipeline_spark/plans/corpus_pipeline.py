@@ -284,6 +284,12 @@ def run_corpus_pipeline(
                 docs = docs.withColumn(text_col, TXT.redact_pii(t, kinds=kinds))
             return docs
 
+        # unticked: a boundary pin here would materialize the whole
+        # corpus one extra time for no gain — codegen evaluates the
+        # scrub chain once per row even under the quality filter's many
+        # text references (measured: ticked vs unticked chain totals are
+        # equal at sf0.1, and the ticked variant pays an extra
+        # full-corpus cache — the wrong trade at 100 TB)
         plan.append(("normalize_scrub", _b_scrub, False))
 
     if cfg.get("langid", False):
