@@ -577,12 +577,16 @@ def run_corpus_pipeline(
             lang_col, collect_counts,
         )
         report = None
-        if cfg.get("report", False):
+        rep_cfg = cfg.get("report", False)
+        if rep_cfg:
             from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
                 corpus_report,
             )
 
-            report = corpus_report(docs, text_col=text_col, lang_col=lang_col)
+            report = corpus_report(
+                docs, text_col=text_col, lang_col=lang_col,
+                approx=(rep_cfg == "approx"),  # the 100 TB sketch shape
+            )
     except BaseException:
         for df in pinned:
             df.unpersist()

@@ -150,13 +150,22 @@ def corpus_report(
     df: DataFrame,
     text_col: str = "text",
     lang_col: str | None = "lang",
+    approx: bool = False,
 ) -> dict:
     """One-pass corpus summary: the numbers a dataset card leads with.
 
     Everything rides ONE aggregate job (plus one tiny per-language job
     when ``lang_col`` is given): document count, token totals/percentiles,
-    exact-duplicate rate (distinct md5 vs rows), and mean quality score.
+    duplicate rate (distinct md5 vs rows), and mean quality score.
     Scalars only — nothing corpus-sized reaches the driver.
+
+    ``approx=True`` is the 100 TB shape: exact ``percentile`` buffers
+    every group value in executor memory and exact ``count_distinct``
+    shuffles one row per distinct hash — swap both for their sketch
+    forms (Greenwald-Khanna / HyperLogLog++, ~2% relative error), which
+    keep the aggregate state bounded per partition. Exact stays the
+    default so small-corpus reports (and the pinned tests) are
+    bit-stable.
     """
     from hrdp_variant_load_pipeline_spark.functions.text import (
         quality_score,
@@ -164,13 +173,20 @@ def corpus_report(
     )
 
     t = F.col(text_col)
+    n_tok = F.size(F.split(t, " "))
+    if approx:
+        pcts = F.percentile_approx(
+            n_tok, F.lit([0.5, 0.9, 0.99]), F.lit(10_000)
+        )
+        n_distinct = F.approx_count_distinct(F.md5(t), rsd=0.02)
+    else:
+        pcts = F.percentile(n_tok, F.lit([0.5, 0.9, 0.99]))
+        n_distinct = F.count_distinct(F.md5(t))
     row = df.agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(t)).cast("long").alias("total_tokens"),
-        F.expr(
-            f"percentile(size(split({text_col}, ' ')), array(0.5, 0.9, 0.99))"
-        ).alias("tok_pcts"),
-        F.count_distinct(F.md5(t)).alias("n_distinct"),
+        pcts.alias("tok_pcts"),
+        n_distinct.alias("n_distinct"),
         F.round(F.avg(quality_score(t)), 4).alias("avg_quality"),
     ).collect()[0]
     out = {

@@ -148,3 +148,24 @@ def test_corpus_report_scalars(spark):
     # no lang column: section omitted, no error
     r2 = corpus_report(df.drop("lang"))
     assert "docs_per_lang" not in r2
+
+
+def test_corpus_report_approx_matches_exact_shape(spark):
+    import pytest
+    """approx=True (the 100 TB shape: GK percentile sketch + HLL
+    distinct) reports the same keys with values within sketch error of
+    the exact pass."""
+    from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+        corpus_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = corpus_report(docs)
+    approx = corpus_report(docs, approx=True)
+    assert exact.keys() == approx.keys()
+    assert approx["n_docs"] == exact["n_docs"]
+    assert approx["total_tokens"] == exact["total_tokens"]
+    # HLL rsd=2%: allow 5x headroom; GK percentiles land on real values
+    assert abs(approx["exact_dup_rate"] - exact["exact_dup_rate"]) <= 0.1
+    for k in ("tokens_p50", "tokens_p90", "tokens_p99"):
+        assert approx[k] == pytest.approx(exact[k], rel=0.1)
