@@ -733,3 +733,45 @@ def semantic_dedup(
         *[F.col(c) for c in assigned.columns],
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_semantic_dup"),
     )
+
+
+def incremental_topk(
+    prev_topk: DataFrame,
+    new_corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fold a NEW corpus batch into an existing ``brute_force_topk``
+    result without rescoring history — the interactive-session /
+    streaming-index shape (cf. the incremental top-k literature, e.g.
+    EDBT 2020): the standing top-k per query is a sufficient statistic,
+    because a vector outside it can never enter later ranks as more
+    candidates only push scores DOWN.
+
+    Cost is O(|batch| x |queries| + |queries| x k) — the historical
+    corpus is never touched (no scan, no join). Batch scoring reuses
+    :func:`brute_force_topk` (same rounding + tie rules), so a fold of
+    batches is EXACTLY the full recompute over the union, rank for
+    rank — pinned in tests/test_kmeans_ivf.py.
+
+    Output schema = brute_force_topk's: (query_id, neighbor_id, cosine,
+    rank).
+    """
+    batch = brute_force_topk(
+        new_corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        round_digits=round_digits,
+    )
+    merged = prev_topk.select(
+        "query_id", "neighbor_id", "cosine"
+    ).unionByName(batch.select("query_id", "neighbor_id", "cosine"))
+    return (
+        merged.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
+        .where(f"rank <= {k}")
+    )

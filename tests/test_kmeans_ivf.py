@@ -191,3 +191,37 @@ def test_hard_negatives_exclude_same_label(spark):
         assert all(
             a["cosine"] >= b["cosine"] for a, b in zip(ranked, ranked[1:])
         )
+
+
+def test_incremental_topk_equals_full_recompute(spark):
+    """Folding corpus batches through incremental_topk must reproduce
+    brute_force_topk over the union EXACTLY (same rounding/tie rules),
+    while never rescanning history."""
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        incremental_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    hist = e.filter((F.col("vec_id") % 3 == 0))
+    b1 = e.filter(F.col("vec_id") % 3 == 1)
+    b2 = e.filter(F.col("vec_id") % 3 == 2)
+
+    topk = brute_force_topk(hist, queries, k=7)
+    topk = incremental_topk(topk, b1, queries, k=7)
+    topk = incremental_topk(topk, b2, queries, k=7)
+    full = brute_force_topk(e, queries, k=7)
+    got = sorted(map(tuple, topk.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    # the incremental plan never touches the historical frames: exactly
+    # one scan (the new batch) below the standing-result reuse point
+    import re
+
+    plan = (
+        incremental_topk(full.localCheckpoint(), b2, queries, k=7)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    n_scans = len(re.findall(r"Relation.*parquet", plan))
+    assert n_scans == 2, plan  # b2 + the broadcast query side
