@@ -768,7 +768,12 @@ def incremental_topk(
         "query_id", "neighbor_id", "cosine"
     ).unionByName(batch.select("query_id", "neighbor_id", "cosine"))
     return (
-        merged.selectExpr(
+        # re-folding the same vector (streaming replay, overlapping
+        # batches) yields byte-identical (query, neighbor, cosine) rows;
+        # dropping them makes the fold IDEMPOTENT — without it a replayed
+        # neighbor would occupy two ranks
+        merged.dropDuplicates(["query_id", "neighbor_id"])
+        .selectExpr(
             "*",
             "row_number() OVER (PARTITION BY query_id "
             "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
