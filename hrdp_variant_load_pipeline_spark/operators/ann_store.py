@@ -163,3 +163,138 @@ def ivf_store_topk(
         )
         .where(f"rank <= {k}")
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+# the billion-scale shape: the store holds PQ CODES (m small ints per
+# vector), not raw embeddings — index bytes per vector drop from 8*dim
+# to ~m, and probes score candidates by ADC against a broadcast LUT
+
+
+def append_ivfpq_batch(
+    vectors: DataFrame,
+    coarse_codebook: DataFrame,
+    codebooks: DataFrame,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_partitions: int | None = None,
+) -> int:
+    """Bucket-assign + PQ-encode a vector batch (both row-local literal
+    arithmetic — the corpus never shuffles) and append (bucket, id,
+    codes) to the store clustered by bucket. Codebooks must be the SAME
+    every call; retraining means a rebuild."""
+    from hrdp_variant_load_pipeline_spark.operators.pq import (
+        _collect_codebooks,
+        _lit_vec,
+        _sqdist,
+        pq_encode,
+    )
+
+    coarse = _collect_codebooks(coarse_codebook)[0]
+    cdists = F.array(
+        *[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse]
+    )
+    bucket = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
+    enc = pq_encode(
+        vectors.withColumn("__bucket", bucket),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col("__bucket").alias("bucket"),
+        F.col(id_col).alias("vec_id"),
+        "pq_codes",
+    )
+    n = enc.count()
+    append_to_store(
+        enc, store_dir, cluster_by=["bucket"],
+        cluster_partitions=cluster_partitions,
+    )
+    return n
+
+
+def ivfpq_store_topk(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    coarse_codebook: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC top-k over the persisted code store, reading ONLY the probed
+    buckets (static ``bucket IN`` filter pushed to parquet, same
+    contract as :func:`ivf_store_topk`). Matches ``pq.ivfpq_topk``'s
+    schema, rounding, and tie rules exactly (pinned).
+
+    Output: (query_id, neighbor_id, approx_dist, rank).
+    """
+    from pyspark.sql import Window
+
+    from hrdp_variant_load_pipeline_spark.operators.pq import (
+        _collect_codebooks,
+        _lit_vec,
+        _lut_expr,
+        _sqdist,
+    )
+
+    coarse = _collect_codebooks(coarse_codebook)[0]
+    cb = _collect_codebooks(codebooks)
+    m, n_codes = len(cb), len(cb[0])
+    nb = len(coarse)
+    cdists = F.array(
+        *[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse]
+    )
+    idxs = F.sequence(F.lit(0), F.lit(nb - 1))
+    scored = F.transform(
+        idxs, lambda i: F.struct(F.get(cdists, i).alias("d"), i.alias("b"))
+    )
+    probe_arr = F.transform(
+        F.slice(F.array_sort(scored), 1, min(nprobe, nb)),
+        lambda s: s["b"].cast("int"),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _lut_expr(cb, vec_col).alias("__lut"),
+            probe_arr.alias("__probes"),
+        )
+        .select("query_id", "__lut", F.explode("__probes").alias("bucket"))
+        .localCheckpoint()  # model-sized: one compute feeds the driver
+        # bucket collect and the join
+    )
+    needed = sorted(
+        {r["bucket"] for r in q.select("bucket").distinct().collect()}
+    )
+    idx = read_store(
+        spark,
+        store_dir,
+        schema="bucket INT, vec_id BIGINT, pq_codes ARRAY<INT>",
+    ).filter(F.col("bucket").isin(needed))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.get(F.col("__lut"), s * n_codes + F.get(F.col("pq_codes"), s)),
+    )
+    return (
+        idx.join(F.broadcast(q), "bucket")
+        .where("vec_id != query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("approx_dist"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("approx_dist"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -73,3 +73,34 @@ def test_index_files_are_bucket_disjoint(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
     assert all(hi - lo <= 4 for lo, hi in spans), spans
+
+
+def test_ivfpq_store_probe_matches_ivfpq_topk(spark, tmp_path):
+    """The code store (bucket, id, pq_codes) probed by ADC must equal
+    pq.ivfpq_topk over the same corpus + codebooks, across a two-batch
+    incremental build; the probe's bucket filter reaches the scan."""
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        append_ivfpq_batch,
+        ivfpq_store_topk,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(EMB)
+    coarse = train_pq_codebooks(e, m=1, n_codes=8, n_iter=3)
+    cb = train_pq_codebooks(e, m=4, n_codes=16, n_iter=3)
+    store = str(tmp_path / "ivfpq")
+    n1 = append_ivfpq_batch(e.filter(F.col("vec_id") % 2 == 0), coarse, cb, store)
+    n2 = append_ivfpq_batch(e.filter(F.col("vec_id") % 2 == 1), coarse, cb, store)
+    assert n1 + n2 == e.count()
+    queries = e.filter(F.col("vec_id") < 6)
+    probe = ivfpq_store_topk(spark, store, queries, coarse, cb, k=5, nprobe=2)
+    got = sorted(map(tuple, probe.collect()))
+    want = sorted(map(tuple, ivfpq_topk(
+        e, queries, coarse, cb, nprobe=2, k=5
+    ).collect()))
+    assert got == want and got
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(bucket" in plan.replace("\n", " "), plan
