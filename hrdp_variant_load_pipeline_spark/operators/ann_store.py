@@ -19,6 +19,12 @@ product per (query, candidate) and nothing per non-candidate.
 Scoring reuses ``ivf_topk``'s rounding and tie rules, so a probe over
 a fully-built index returns EXACTLY what ``ivf_topk`` returns over the
 same corpus + centroids (pinned in tests/test_ann_store.py).
+
+Maintenance: each append tiles the bucket domain independently, so at
+ingest frequency a probe reads ~one file per append; run
+``sources.store.compact_store(spark, store_dir, sort_by=["bucket"])``
+periodically to re-tile the whole index (probe results are pinned
+identical across compaction).
 """
 
 from __future__ import annotations

@@ -104,3 +104,26 @@ def test_ivfpq_store_probe_matches_ivfpq_topk(spark, tmp_path):
     assert got == want and got
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(bucket" in plan.replace("\n", " "), plan
+
+
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    """Per-append clustering fragments across MANY appends (each append's
+    files tile the bucket domain independently); periodic
+    compact_store(sort_by=["bucket"]) re-tiles the whole index. Probe
+    results must be byte-identical before and after."""
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    e = spark.read.parquet(EMB)
+    cents = train_centroids(e, n_centroids=8, n_iter=3)
+    store = str(tmp_path / "ivf")
+    for i in range(4):  # 4 small appends -> fragmented tiling
+        append_ivf_batch(e.filter(F.col("vec_id") % 4 == i), cents, store)
+    queries = e.filter(F.col("vec_id") < 4)
+    before = sorted(map(tuple, ivf_store_topk(
+        spark, store, queries, cents, k=5, nprobe=2
+    ).collect()))
+    compact_store(spark, store, target_partitions=4, sort_by=["bucket"])
+    after = sorted(map(tuple, ivf_store_topk(
+        spark, store, queries, cents, k=5, nprobe=2
+    ).collect()))
+    assert after == before and before
