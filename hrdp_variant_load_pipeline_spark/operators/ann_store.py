@@ -32,8 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.similarity import (
+    _cent_scored_sql as _cent_scored_sql_rd,
+    _collapse_cents,
     _dot_sql,
     _norm_sql,
+    _rank_topk,
 )
 from hrdp_variant_load_pipeline_spark.sources.store import (
     append_to_store,
@@ -44,27 +47,17 @@ _ROUND = 6
 
 
 def _cent_array(centroids: DataFrame):
-    """Collapse the model-sized centroid set to ONE sorted array row
-    (same shape ivf_topk broadcasts)."""
-    return (
+    """Norm + collapse the model-sized centroid set to ONE sorted array
+    row (shared shape: similarity._collapse_cents)."""
+    return _collapse_cents(
         centroids.selectExpr(
             "cent_id", "cvec", f"{_norm_sql('cvec')} AS cvec_norm"
-        )
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
-            ).alias("__cents")
         )
     )
 
 
 def _cent_scored_sql(vec: str, vnorm: str) -> str:
-    return (
-        f"transform(__cents, x -> named_struct("
-        f"'neg_cos', -round({_dot_sql(vec, 'x.cvec')} / "
-        f"({vnorm} * x.cvec_norm), {_ROUND}), "
-        f"'cent_id', x.cent_id))"
-    )
+    return _cent_scored_sql_rd(vec, vnorm, _ROUND)
 
 
 def append_ivf_batch(
@@ -153,7 +146,7 @@ def ivf_store_topk(
         schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
         "c_norm DOUBLE",
     ).filter(F.col("bucket").isin(needed))
-    return (
+    scored = (
         idx.join(F.broadcast(probes), "bucket")
         .where("vec_id != query_id")
         .selectExpr(
@@ -162,13 +155,8 @@ def ivf_store_topk(
             f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), "
             f"{_ROUND}) AS cosine",
         )
-        .selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
-        )
-        .where(f"rank <= {k}")
     )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------- IVF-PQ
@@ -192,18 +180,13 @@ def append_ivfpq_batch(
     every call; retraining means a rebuild."""
     from hrdp_variant_load_pipeline_spark.operators.pq import (
         _collect_codebooks,
-        _lit_vec,
-        _sqdist,
+        coarse_bucket_expr,
         pq_encode,
     )
 
     coarse = _collect_codebooks(coarse_codebook)[0]
-    cdists = F.array(
-        *[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse]
-    )
-    bucket = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
     enc = pq_encode(
-        vectors.withColumn("__bucket", bucket),
+        vectors.withColumn("__bucket", coarse_bucket_expr(coarse, vec_col)),
         codebooks,
         id_col=id_col,
         vec_col=vec_col,
@@ -242,31 +225,19 @@ def ivfpq_store_topk(
 
     from hrdp_variant_load_pipeline_spark.operators.pq import (
         _collect_codebooks,
-        _lit_vec,
         _lut_expr,
-        _sqdist,
+        adc_score_expr,
+        coarse_probes_expr,
     )
 
     coarse = _collect_codebooks(coarse_codebook)[0]
     cb = _collect_codebooks(codebooks)
     m, n_codes = len(cb), len(cb[0])
-    nb = len(coarse)
-    cdists = F.array(
-        *[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse]
-    )
-    idxs = F.sequence(F.lit(0), F.lit(nb - 1))
-    scored = F.transform(
-        idxs, lambda i: F.struct(F.get(cdists, i).alias("d"), i.alias("b"))
-    )
-    probe_arr = F.transform(
-        F.slice(F.array_sort(scored), 1, min(nprobe, nb)),
-        lambda s: s["b"].cast("int"),
-    )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             _lut_expr(cb, vec_col).alias("__lut"),
-            probe_arr.alias("__probes"),
+            coarse_probes_expr(coarse, vec_col, nprobe).alias("__probes"),
         )
         .select("query_id", "__lut", F.explode("__probes").alias("bucket"))
         .localCheckpoint()  # model-sized: one compute feeds the driver
@@ -280,12 +251,7 @@ def ivfpq_store_topk(
         store_dir,
         schema="bucket INT, vec_id BIGINT, pq_codes ARRAY<INT>",
     ).filter(F.col("bucket").isin(needed))
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.get(F.col("__lut"), s * n_codes + F.get(F.col("pq_codes"), s)),
-    )
+    score = adc_score_expr(m, n_codes)
     return (
         idx.join(F.broadcast(q), "bucket")
         .where("vec_id != query_id")

@@ -223,6 +223,40 @@ def _lut_expr(cb: list[list[list[float]]], vec_col: str) -> Column:
     return F.array(*parts)
 
 
+def coarse_bucket_expr(coarse: list[list[float]], vec_col: str):
+    """Nearest coarse-centroid id for a vector column — row-local literal
+    arithmetic (shared by ivfpq_topk and the persisted IVF-PQ store)."""
+    cdists = F.array(*[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse])
+    return (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
+
+
+def coarse_probes_expr(coarse: list[list[float]], vec_col: str, nprobe: int):
+    """Array of the ``nprobe`` nearest coarse-centroid ids for a query
+    vector column — row-local sort+slice."""
+    nb = len(coarse)
+    cdists = F.array(*[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse])
+    idxs = F.sequence(F.lit(0), F.lit(nb - 1))
+    scored = F.transform(
+        idxs, lambda i: F.struct(F.get(cdists, i).alias("d"), i.alias("b"))
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, min(nprobe, nb)),
+        lambda s: s["b"].cast("int"),
+    )
+
+
+def adc_score_expr(m: int, n_codes: int, lut_col: str = "__lut",
+                   codes_col: str = "pq_codes"):
+    """ADC distance: fold the m codes through the broadcast per-query
+    LUT (m*n_codes doubles)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.get(F.col(lut_col), s * n_codes + F.get(F.col(codes_col), s)),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,37 +289,21 @@ def ivfpq_topk(
     coarse = _collect_codebooks(coarse_codebook)[0]
     cb = _collect_codebooks(codebooks)
     m, n_codes = len(cb), len(cb[0])
-    nb = len(coarse)
 
-    cdists = F.array(*[_sqdist(F.col(vec_col), _lit_vec(c)) for c in coarse])
-    bucket = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
     enc = pq_encode(
-        corpus.withColumn("__bucket", bucket),
+        corpus.withColumn("__bucket", coarse_bucket_expr(coarse, vec_col)),
         codebooks,
         id_col=id_col,
         vec_col=vec_col,
     ).select(F.col(id_col).alias("neighbor_id"), "__bucket", "pq_codes")
 
-    idxs = F.sequence(F.lit(0), F.lit(nb - 1))
-    scored = F.transform(
-        idxs, lambda i: F.struct(F.get(cdists, i).alias("d"), i.alias("b"))
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(scored), 1, min(nprobe, nb)),
-        lambda s: s["b"].cast("int"),
-    )
     # explode must be the select's top-level expression (no nesting)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _lut_expr(cb, vec_col).alias("__lut"),
-        probes.alias("__probes"),
+        coarse_probes_expr(coarse, vec_col, nprobe).alias("__probes"),
     ).select("query_id", "__lut", F.explode("__probes").alias("__bucket"))
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.get(F.col("__lut"), s * n_codes + F.get(F.col("pq_codes"), s)),
-    )
+    score = adc_score_expr(m, n_codes)
     return (
         enc.join(F.broadcast(q), "__bucket")
         .where("neighbor_id != query_id")

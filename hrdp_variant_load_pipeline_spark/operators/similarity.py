@@ -52,6 +52,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k rank over (query_id, neighbor_id, cosine) — the
+    shared tail of every cosine search here (brute force, IVF,
+    incremental fold, persisted-store probes): ties break on
+    neighbor_id, so results are deterministic and engine-portable."""
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {k}")
+
+
+def _collapse_cents(cent_src: DataFrame) -> DataFrame:
+    """Collapse a (cent_id, cvec, cvec_norm) centroid frame into ONE
+    sorted-array row (`__cents`) — the broadcastable shape every IVF
+    path assigns/probes against."""
+    return cent_src.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
+        ).alias("__cents")
+    )
+
+
+def _cent_scored_sql(vec: str, vnorm: str, round_digits: int = 6) -> str:
+    """Array of (neg_cos, cent_id) structs, one per centroid; natural
+    struct ordering = (cos desc, cent_id asc)."""
+    return (
+        f"transform(__cents, x -> named_struct("
+        f"'neg_cos', -round({_dot_sql(vec, 'x.cvec')} / "
+        f"({vnorm} * x.cvec_norm), {round_digits}), "
+        f"'cent_id', x.cent_id))"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,7 +120,7 @@ def brute_force_topk(
         f"`{vec_col}` AS c_vec",
         f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
     )
-    return (
+    scored = (
         c.crossJoin(F.broadcast(q))
         .where("neighbor_id != query_id")
         .selectExpr(
@@ -95,13 +129,8 @@ def brute_force_topk(
             f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), "
             f"{round_digits}) AS cosine",
         )
-        .selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
-        )
-        .where(f"rank <= {k}")
     )
+    return _rank_topk(scored, k)
 
 
 def train_centroids(
@@ -253,11 +282,7 @@ def ivf_topk(
             )
         )
     # single array row (bounded: n_centroids structs), broadcast below
-    cent_arr = cent_src.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cvec", "cvec_norm"))
-        ).alias("__cents")
-    )
+    cent_arr = _collapse_cents(cent_src)
     from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
 
     # bucket assignment costs n_centroids dot products per corpus row —
@@ -273,15 +298,8 @@ def ivf_topk(
         f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
     )
 
-    def _cent_scored_sql(vec: str, vnorm: str) -> str:
-        """Array of (neg_cos, cent_id) structs, one per centroid; natural
-        struct ordering = (cos desc, cent_id asc)."""
-        return (
-            f"transform(__cents, x -> named_struct("
-            f"'neg_cos', -round({_dot_sql(vec, 'x.cvec')} / "
-            f"({vnorm} * x.cvec_norm), {round_digits}), "
-            f"'cent_id', x.cent_id))"
-        )
+    def _scored(vec: str, vnorm: str) -> str:
+        return _cent_scored_sql(vec, vnorm, round_digits)
 
     # inverted file: nearest centroid per corpus vector, row-local argmax.
     # coalesce makes the bucket expression non-nullable, so the downstream
@@ -292,7 +310,7 @@ def ivf_topk(
         "neighbor_id",
         "c_vec",
         "c_norm",
-        f"coalesce(array_min({_cent_scored_sql('c_vec', 'c_norm')}).cent_id, -1L)"
+        f"coalesce(array_min({_scored('c_vec', 'c_norm')}).cent_id, -1L)"
         " AS bucket",
     )
 
@@ -308,13 +326,13 @@ def ivf_topk(
             "query_id",
             "q_vec",
             "q_norm",
-            f"explode(slice(array_sort({_cent_scored_sql('q_vec', 'q_norm')}),"
+            f"explode(slice(array_sort({_scored('q_vec', 'q_norm')}),"
             f" 1, {nprobe})) AS __p",
         )
         .selectExpr("query_id", "q_vec", "q_norm", "__p.cent_id AS bucket")
     )
 
-    return (
+    scored = (
         assigned.join(F.broadcast(probes), "bucket")
         .where("neighbor_id != query_id")
         .selectExpr(
@@ -323,13 +341,8 @@ def ivf_topk(
             f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), "
             f"{round_digits}) AS cosine",
         )
-        .selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
-        )
-        .where(f"rank <= {k}")
     )
+    return _rank_topk(scored, k)
 
 
 def quantize_int8(
@@ -767,16 +780,9 @@ def incremental_topk(
     merged = prev_topk.select(
         "query_id", "neighbor_id", "cosine"
     ).unionByName(batch.select("query_id", "neighbor_id", "cosine"))
-    return (
-        # re-folding the same vector (streaming replay, overlapping
-        # batches) yields byte-identical (query, neighbor, cosine) rows;
-        # dropping them makes the fold IDEMPOTENT — without it a replayed
-        # neighbor would occupy two ranks
-        merged.dropDuplicates(["query_id", "neighbor_id"])
-        .selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
-        )
-        .where(f"rank <= {k}")
-    )
+    # re-folding the same vector (streaming replay, overlapping batches)
+    # yields byte-identical (query, neighbor, cosine) rows; dropping them
+    # makes the fold IDEMPOTENT — without it a replayed neighbor would
+    # occupy two ranks
+    merged = merged.dropDuplicates(["query_id", "neighbor_id"])
+    return _rank_topk(merged, k)

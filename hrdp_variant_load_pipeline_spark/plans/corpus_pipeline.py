@@ -689,29 +689,22 @@ def _chunk_pack_export(
                 # training order: deterministic global shuffle — docs and
                 # languages interleaved, replayable from the seed alone
                 manifest["shuffle_seed"] = out["shuffle_seed"]
-                write_shards(
-                    packed.withColumn(
-                        "shard_key",
-                        shuffle_key("chunk_uid", out["shuffle_seed"]),
-                    ),
-                    shard_dir,
-                    "shard_key",
-                    n_shards=int(out.get("n_shards", 16)),
-                    order_col="shard_key",
-                    manifest=manifest,
-                )
+                key = shuffle_key("chunk_uid", out["shuffle_seed"])
+                order = "shard_key"
             else:
-                write_shards(
-                    packed.withColumn(
-                        "shard_key",
-                        F.abs(F.hash(part_col)).cast("long") * 100_000
-                        + F.col("bin_id"),
-                    ),
-                    shard_dir,
-                    "shard_key",
-                    n_shards=int(out.get("n_shards", 16)),
-                    order_col="chunk_uid",
-                    manifest=manifest,
+                # language-major grouping, sequential within a doc
+                key = (
+                    F.abs(F.hash(part_col)).cast("long") * 100_000
+                    + F.col("bin_id")
                 )
+                order = "chunk_uid"
+            write_shards(
+                packed.withColumn("shard_key", key),
+                shard_dir,
+                "shard_key",
+                n_shards=int(out.get("n_shards", 16)),
+                order_col=order,
+                manifest=manifest,
+            )
 
     return packed, shard_dir
