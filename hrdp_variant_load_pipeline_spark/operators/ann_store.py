@@ -270,3 +270,110 @@ def ivfpq_store_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------ incremental semantic dedup
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    append_kept: bool = True,
+) -> DataFrame:
+    """SemDeDup against HISTORY through the persisted IVF index — the
+    embedding-space twin of ``dedup.incremental_minhash_dedup``: a new
+    batch (a crawl snapshot's embeddings) is checked for semantic
+    near-duplicates of everything already ingested, plus of earlier
+    same-batch rows, without rescanning the historical corpus.
+
+    Per batch: (1) probe the index with the batch AS queries, nprobe=1 —
+    the batch member's own bucket, the same single-cluster pair space
+    batch ``semantic_dedup`` searches, so a doc is dropped iff a
+    same-bucket historical doc (or a smaller-id same-bucket batch mate,
+    checked via one batch-local block join) matches at >= ``threshold``;
+    (2) optionally append the kept rows to the index
+    (``append_ivf_batch``), making the dedup cumulative. Cost is
+    O(batch x probed-bucket rows), never O(history): the probe's bucket
+    IN filter prunes the store scan to the batch's own buckets.
+
+    Replay-safe when ``append_kept``: ids already present in the index
+    are flagged duplicates up front (an exact-id semi-join probe, batch-
+    bounded — the probe cannot ride the cosine path because the scorer
+    excludes self-id matches), so re-running a batch flags every row and
+    appends nothing (pinned in tests).
+
+    Output: the new batch + ``is_semantic_dup`` (boolean; filter NOT for
+    the kept rows). Same keep-the-minimum-id rule as ``semantic_dedup``.
+    """
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+
+    new_vectors = new_vectors.localCheckpoint()  # stable batch: its plan
+    # must not re-read the store the append below mutates
+    spark = new_vectors.sparkSession
+    # (0) replay probe: batch ids already ingested are duplicates by
+    # definition; semi-join the store's id column to the broadcast batch
+    # ids (≤ batch-sized build side, the corpus_stream probe shape)
+    store_ids = read_store(
+        spark,
+        store_dir,
+        schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
+        "c_norm DOUBLE",
+    ).select("vec_id")
+    replayed = store_ids.join(
+        F.broadcast(new_vectors.selectExpr(f"`{id_col}` AS vec_id")),
+        "vec_id",
+        "left_semi",
+    ).selectExpr(f"vec_id AS `{id_col}`")
+    # (1a) vs history: probe the index with the batch as the query set;
+    # nprobe=1 = the batch row's own bucket (SemDeDup's pair space)
+    hist_hits = (
+        ivf_store_topk(
+            spark=spark,
+            store_dir=store_dir,
+            queries=new_vectors,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=1,
+            nprobe=1,
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    # (1b) vs the batch itself: one block join on the assigned bucket;
+    # the LARGER id of a matching pair is the duplicate (same rule as
+    # semantic_dedup's min-id keeper)
+    assigned = new_vectors.crossJoin(
+        F.broadcast(_cent_array(centroids))
+    ).selectExpr(
+        "*",
+        f"coalesce(array_min({_cent_scored_sql(f'`{vec_col}`', _norm_sql(f'`{vec_col}`'))}).cent_id,"
+        " -1L) AS __bucket",
+    )
+    batch_pairs = near_dup_pairs(
+        assigned, block_cols=["__bucket"], id_col=id_col, vec_col=vec_col,
+        threshold=threshold,
+    )
+    batch_hits = batch_pairs.select(
+        F.greatest("id_a", "id_b").alias(id_col)
+    ).distinct()
+    dup_ids = (
+        hist_hits.unionByName(batch_hits).unionByName(replayed).distinct()
+    )
+    flagged = new_vectors.join(
+        dup_ids.withColumn("is_semantic_dup", F.lit(True)), id_col, "left"
+    ).fillna({"is_semantic_dup": False})
+    if append_kept:
+        flagged = flagged.localCheckpoint()  # pin BEFORE mutating the store
+        kept = flagged.filter(~F.col("is_semantic_dup")).select(
+            id_col, vec_col
+        )
+        append_ivf_batch(
+            kept, centroids, store_dir, id_col=id_col, vec_col=vec_col
+        )
+    return flagged
