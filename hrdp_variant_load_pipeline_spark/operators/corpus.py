@@ -189,6 +189,66 @@ def decontaminate(
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Per-benchmark-item leak audit: for each eval doc, how many
+    training docs share at least one word ``n``-gram with it, and how
+    many of ITS shingles leak. ``decontaminate`` answers "what do I
+    drop"; this answers the release-audit question "which eval items
+    are compromised, and how badly" (the number a model card reports).
+
+    Scale shape: identical to ``decontaminate`` — the benchmark shingle
+    table is eval-sized and BROADCAST into the corpus shingle explode
+    (corpus shingles never shuffle); the post-join aggregate is keyed on
+    eval ids, so its state is eval-sized too.
+
+    Output: (bench_id, n_contaminated_docs, n_leaked_shingles,
+    n_bench_shingles, leaked_frac) — one row per benchmark doc that HAS
+    shingles, leaked or not (leaked_frac 0.0 = clean).
+    """
+    from hrdp_variant_load_pipeline_spark.operators.dedup import shingle_array
+
+    bcol = bench_text_col if bench_text_col is not None else text_col
+    bench_shingles = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(shingle_array(F.col(bcol), n)).alias("__shingle"),
+        ).distinct()
+    )
+    totals = bench_shingles.groupBy("bench_id").agg(
+        F.count("*").alias("n_bench_shingles")
+    )
+    doc_shingles = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(shingle_array(F.col(text_col), n)).alias("__shingle"),
+    ).distinct()
+    hits = doc_shingles.join(F.broadcast(bench_shingles), "__shingle")
+    leaks = hits.groupBy("bench_id").agg(
+        F.count_distinct("__doc").alias("n_contaminated_docs"),
+        F.count_distinct("__shingle").alias("n_leaked_shingles"),
+    )
+    return (
+        totals.join(leaks, "bench_id", "left")
+        .fillna({"n_contaminated_docs": 0, "n_leaked_shingles": 0})
+        .select(
+            "bench_id",
+            "n_contaminated_docs",
+            "n_leaked_shingles",
+            "n_bench_shingles",
+            F.round(
+                F.col("n_leaked_shingles") / F.col("n_bench_shingles"), 6
+            ).alias("leaked_frac"),
+        )
+    )
+
+
 def _stratum_hash_unit(id_col: Column, salt: str) -> Column:
     """Deterministic uniform [0,1) from an id: first 8 md5 hex chars."""
     return (

@@ -473,3 +473,59 @@ def test_temperature_weights_closed_form_and_composition(spark):
         temperature_weights(df, "lang", "n_tok", alpha=0.0)
     empty = spark.createDataFrame([], "doc_id long, lang string, n_tok long")
     assert temperature_weights(empty, "lang", "n_tok") == {}
+
+
+def test_contamination_report_matches_python_model(spark):
+    """Per-eval-item leak audit vs a brute-force python recompute:
+    contaminated-doc counts, leaked-shingle counts, and clean rows."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        contamination_report,
+    )
+
+    docs_rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "beta gamma delta epsilon zeta"),
+        (3, "one two three four five"),
+        (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (5, "too short"),
+    ]
+    bench_rows = [
+        (100, "alpha beta gamma delta epsilon zeta"),  # leaks via 1,2,4
+        (200, "six seven eight nine ten"),              # clean
+        (300, "tiny"),                                  # no shingles
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bid long, text string")
+    n = 4
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for bid, btext in bench_rows:
+        bs = sh(btext)
+        if not bs:
+            continue
+        leaked = set()
+        cdocs = set()
+        for did, dtext in docs_rows:
+            inter = sh(dtext) & bs
+            if inter:
+                cdocs.add(did)
+                leaked |= inter
+        want[bid] = (len(cdocs), len(leaked), len(bs),
+                     round(len(leaked) / len(bs), 6))
+
+    got = {
+        r["bench_id"]: (
+            r["n_contaminated_docs"], r["n_leaked_shingles"],
+            r["n_bench_shingles"], r["leaked_frac"],
+        )
+        for r in contamination_report(
+            docs, bench, "doc_id", "text", "bid", n=n
+        ).collect()
+    }
+    assert got == want
+    assert got[200][0] == 0 and got[200][3] == 0.0  # clean row present
+    assert 300 not in got  # shingle-less eval doc has no row
