@@ -70,6 +70,9 @@ class CorpusResult:
     timings: dict[str, float] = field(default_factory=dict)
     #: corpus_report(final docs) when cfg["report"] is set
     report: dict | None = None
+    #: contamination_report frame (eval-sized) when
+    #: cfg["decontaminate"]["report"] is set — which eval items leak
+    contamination: DataFrame | None = None
 
     def unpersist_all(self) -> None:
         for df in self.cached:
@@ -398,14 +401,31 @@ def run_corpus_pipeline(
 
     # ---- 6. decontaminate vs the eval set ----------------------------
     dec = cfg.get("decontaminate")
+    contamination_out: list[DataFrame] = []
     if dec is not None:
 
         def _b_decon(docs: DataFrame) -> DataFrame:
             from hrdp_variant_load_pipeline_spark.operators.corpus import (
+                contamination_report,
                 decontaminate,
             )
 
             bench = spark.read.parquet(dec["path"])
+            if dec.get("report", False):
+                # audit BEFORE dropping: which eval items leak, how badly
+                # (eval-sized output; same broadcast-shingle scan shape).
+                # Materialized NOW (localCheckpoint): its lineage reads
+                # this stage's input pin, which later stages release — a
+                # lazy frame would re-execute the whole upstream chain
+                # when the caller finally evaluates it
+                contamination_out.append(
+                    contamination_report(
+                        docs, bench, id_col, text_col,
+                        bench_id_col=dec.get("bench_id_col", id_col),
+                        bench_text_col=dec.get("bench_text_col"),
+                        n=int(dec.get("n", 8)),
+                    ).localCheckpoint()
+                )
             return decontaminate(
                 docs, bench, id_col, text_col,
                 bench_text_col=dec.get("bench_text_col"),
@@ -597,6 +617,7 @@ def run_corpus_pipeline(
         counts=counts if collect_counts else {},
         shard_dir=shard_dir, cached=pinned, resumed_from=resumed_from,
         timings=timings, report=report,
+        contamination=contamination_out[0] if contamination_out else None,
     )
 
 

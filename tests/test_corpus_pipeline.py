@@ -30,7 +30,7 @@ def test_full_chain_over_documents_fixture(spark, tmp_path):
         "gates": {"min_quality": 0.3, "gopher": {"min_words": 5, "min_stopword_hits": 0}},
         "dedup": {"exact": True, "fuzzy": {"threshold": 0.8}},
         "lm_gate": {"min_count": 2},
-        "decontaminate": {"path": bench_dir, "n": 8},
+        "decontaminate": {"path": bench_dir, "n": 8, "report": True},
         "selection": {"dsir": {"target_lang": "en", "n_buckets": 64, "keep_fraction": 0.6}},
         "mixture": {"temperature": 0.3, "total_tokens": 5000},
         "chunk": {"chunk_tokens": 64, "overlap_tokens": 16},
@@ -55,6 +55,14 @@ def test_full_chain_over_documents_fixture(spark, tmp_path):
     assert back.count() == res.packed.count()
     # every surviving doc still carries text + token counts
     assert res.docs.filter(F.col("n_tokens") <= 0).count() == 0
+    # the contamination audit is attached, eval-sized, and consistent:
+    # leaked items never exceed their own shingle count
+    cont = res.contamination
+    assert cont is not None
+    rows = cont.collect()
+    assert 0 < len(rows) <= spark.read.parquet(bench_dir).count()
+    assert all(r["n_leaked_shingles"] <= r["n_bench_shingles"] for r in rows)
+    assert any(r["n_contaminated_docs"] > 0 for r in rows)  # planted dups
 
 
 def test_warc_ingest_ids_are_replay_deterministic(spark, tmp_path):
