@@ -726,6 +726,7 @@ def _chunk_pack_export(
                 n_shards=int(out.get("n_shards", 16)),
                 order_col=order,
                 manifest=manifest,
+                format=out.get("format", "parquet"),
             )
 
     return packed, shard_dir

@@ -87,6 +87,7 @@ def write_shards(
     order_col: str | None = None,
     max_records_per_file: int | None = None,
     manifest: dict | None = None,
+    format: str = "parquet",
 ) -> None:
     """Export size-balanced training shards: range-partition on
     ``shard_col`` (e.g. the ``bin_id`` from ``pack_sequences``) so each
@@ -119,7 +120,18 @@ def write_shards(
         # each still sorted): data loaders that mmap or stream whole
         # files get a bounded working set regardless of shard skew
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.parquet(path)
+    if format == "parquet":
+        writer.parquet(path)
+    elif format == "jsonl":
+        # one JSON object per line, gzip per file — the interchange
+        # format most training stacks stream natively; within-file order
+        # is preserved (sortWithinPartitions above), complex columns
+        # (arrays/structs) serialize as JSON values
+        writer.option("compression", "gzip").json(path)
+    else:
+        raise ValueError(
+            f"write_shards: unknown format {format!r} (parquet | jsonl)"
+        )
     if manifest is not None:
         import json
 
@@ -130,10 +142,11 @@ def write_shards(
         )
 
         fs, jvm = _fs(spark, path)
+        exts = (".parquet",) if format == "parquet" else (".json", ".json.gz")
         files = [
             {"name": st.getPath().getName(), "bytes": st.getLen()}
             for st in fs.listStatus(_jpath(jvm, path))
-            if st.getPath().getName().endswith(".parquet")
+            if st.getPath().getName().endswith(exts)
         ]
         payload = dict(manifest)
         payload["n_shards"] = n_shards

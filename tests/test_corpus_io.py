@@ -169,3 +169,38 @@ def test_corpus_report_approx_matches_exact_shape(spark):
     assert abs(approx["exact_dup_rate"] - exact["exact_dup_rate"]) <= 0.1
     for k in ("tokens_p50", "tokens_p90", "tokens_p99"):
         assert approx[k] == pytest.approx(exact[k], rel=0.1)
+
+
+def test_write_shards_jsonl_roundtrip_with_manifest(spark, tmp_path):
+    """jsonl export: gzip JSON-lines shards, lossless roundtrip, order
+    preserved within files, manifest lists the json files."""
+    import json
+
+    from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
+        write_shards,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id AS uid", "id % 8 AS shard", "repeat('x', 5) AS text",
+        "array(id, id + 1) AS toks",
+    )
+    out = str(tmp_path / "js")
+    write_shards(
+        df, out, "shard", n_shards=4, order_col="uid",
+        manifest={"note": 1}, format="jsonl",
+    )
+    back = spark.read.json(out)
+    assert back.count() == 200
+    assert sorted(r["uid"] for r in back.select("uid").collect()) == list(
+        range(200)
+    )
+    # arrays survive the JSON roundtrip
+    row = back.filter(F.col("uid") == 5).collect()[0]
+    assert row["toks"] == [5, 6]
+    man = json.loads((tmp_path / "js" / "_MANIFEST.json").read_text())
+    assert man["note"] == 1 and man["files"]
+    assert all(f["name"].endswith((".json", ".json.gz")) for f in man["files"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown format"):
+        write_shards(df, out, "shard", format="csvish")
