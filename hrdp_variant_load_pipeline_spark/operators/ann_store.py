@@ -90,8 +90,12 @@ def append_ivf_batch(
         "c_norm",
     )
     n = assigned.count()
+    # vec_id as the secondary clustering key: within each bucket-ranged
+    # file, row groups then carry narrow id stats, so the incremental
+    # dedup's exact-id replay probe (an id IN filter) prunes row groups
+    # instead of scanning the whole id column
     append_to_store(
-        assigned, store_dir, cluster_by=["bucket"],
+        assigned, store_dir, cluster_by=["bucket", "vec_id"],
         cluster_partitions=cluster_partitions,
     )
     return n
@@ -315,19 +319,29 @@ def incremental_semantic_dedup(
     # must not re-read the store the append below mutates
     spark = new_vectors.sparkSession
     # (0) replay probe: batch ids already ingested are duplicates by
-    # definition; semi-join the store's id column to the broadcast batch
-    # ids (≤ batch-sized build side, the corpus_stream probe shape)
+    # definition. Bounded batches push their id set INTO the scan as an
+    # IN filter (row-group pruning via the vec_id secondary clustering —
+    # the incremental_minhash_dedup candidate-pushdown shape); oversized
+    # batches fall back to the broadcast semi-join probe.
     store_ids = read_store(
         spark,
         store_dir,
         schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
         "c_norm DOUBLE",
     ).select("vec_id")
-    replayed = store_ids.join(
-        F.broadcast(new_vectors.selectExpr(f"`{id_col}` AS vec_id")),
-        "vec_id",
-        "left_semi",
-    ).selectExpr(f"vec_id AS `{id_col}`")
+    batch_ids = [r[0] for r in new_vectors.select(id_col).collect()]
+    if len(batch_ids) <= 10_000:  # same cap as incremental_minhash_dedup
+        replayed = (
+            store_ids.filter(F.col("vec_id").isin(batch_ids))
+            .distinct()
+            .selectExpr(f"vec_id AS `{id_col}`")
+        )
+    else:
+        replayed = store_ids.join(
+            F.broadcast(new_vectors.selectExpr(f"`{id_col}` AS vec_id")),
+            "vec_id",
+            "left_semi",
+        ).selectExpr(f"vec_id AS `{id_col}`")
     # (1a) vs history: probe the index with the batch as the query set;
     # nprobe=1 = the batch row's own bucket (SemDeDup's pair space)
     hist_hits = (
