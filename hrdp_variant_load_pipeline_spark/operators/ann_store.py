@@ -22,9 +22,10 @@ same corpus + centroids (pinned in tests/test_ann_store.py).
 
 Maintenance: each append tiles the bucket domain independently, so at
 ingest frequency a probe reads ~one file per append; run
-``sources.store.compact_store(spark, store_dir, sort_by=["bucket"])``
-periodically to re-tile the whole index (probe results are pinned
-identical across compaction).
+``sources.store.compact_store(spark, store_dir, sort_by=["bucket",
+"vec_id"])`` periodically to re-tile the whole index — keep vec_id as
+the secondary key or the replay probe's row-group pruning is silently
+lost (probe results are pinned identical across compaction).
 """
 
 from __future__ import annotations
@@ -315,6 +316,13 @@ def incremental_semantic_dedup(
         near_dup_pairs,
     )
 
+    clash = {"is_semantic_dup", "__bucket"} & set(new_vectors.columns)
+    if clash:
+        raise ValueError(
+            f"incremental_semantic_dedup: output column(s) {sorted(clash)} "
+            "already exist on the input — rename/drop them first (same "
+            "rule as semantic_dedup)"
+        )
     new_vectors = new_vectors.localCheckpoint()  # stable batch: its plan
     # must not re-read the store the append below mutates
     spark = new_vectors.sparkSession
@@ -329,7 +337,12 @@ def incremental_semantic_dedup(
         schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
         "c_norm DOUBLE",
     ).select("vec_id")
-    batch_ids = [r[0] for r in new_vectors.select(id_col).collect()]
+    # bound the collect itself (limit cap+1), not just the branch — an
+    # unthrottled backfill batch must never materialize its full id set
+    # on the driver (the incremental_minhash_dedup pushdown shape)
+    batch_ids = [
+        r[0] for r in new_vectors.select(id_col).limit(10_001).collect()
+    ]
     if len(batch_ids) <= 10_000:  # same cap as incremental_minhash_dedup
         replayed = (
             store_ids.filter(F.col("vec_id").isin(batch_ids))
@@ -382,8 +395,12 @@ def incremental_semantic_dedup(
     flagged = new_vectors.join(
         dup_ids.withColumn("is_semantic_dup", F.lit(True)), id_col, "left"
     ).fillna({"is_semantic_dup": False})
+    # ALWAYS pin the result: its lineage probes the store, which this
+    # call (or the caller, in the append_kept=False preview flow) is
+    # about to mutate — a lazy plan re-evaluated after the append would
+    # find every kept row's own copy and flag 100% duplicates
+    flagged = flagged.localCheckpoint()
     if append_kept:
-        flagged = flagged.localCheckpoint()  # pin BEFORE mutating the store
         kept = flagged.filter(~F.col("is_semantic_dup")).select(
             id_col, vec_col
         )

@@ -225,10 +225,13 @@ def contamination_report(
     totals = bench_shingles.groupBy("bench_id").agg(
         F.count("*").alias("n_bench_shingles")
     )
+    # no .distinct() here: shingle_array is per-doc distinct already and
+    # both aggregates below are count_distinct — a distinct would shuffle
+    # the full exploded corpus below the broadcast join for zero effect
     doc_shingles = docs.select(
         F.col(id_col).alias("__doc"),
         F.explode(shingle_array(F.col(text_col), n)).alias("__shingle"),
-    ).distinct()
+    )
     hits = doc_shingles.join(F.broadcast(bench_shingles), "__shingle")
     leaks = hits.groupBy("bench_id").agg(
         F.count_distinct("__doc").alias("n_contaminated_docs"),

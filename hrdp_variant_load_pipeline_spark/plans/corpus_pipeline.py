@@ -71,7 +71,9 @@ class CorpusResult:
     #: corpus_report(final docs) when cfg["report"] is set
     report: dict | None = None
     #: contamination_report frame (eval-sized) when
-    #: cfg["decontaminate"]["report"] is set — which eval items leak
+    #: cfg["decontaminate"]["report"] is set AND the decontaminate stage
+    #: actually ran — a checkpoint resume past it skips the audit (run
+    #: operators.corpus.contamination_report directly to regenerate)
     contamination: DataFrame | None = None
 
     def unpersist_all(self) -> None:
@@ -95,6 +97,13 @@ _MARKER = "_STAGE_COMMITTED.json"
 
 def _cfg_fingerprint(cfg: dict) -> str:
     payload = {k: cfg[k] for k in _STAGE_KEYS if k in cfg}
+    if isinstance(payload.get("decontaminate"), dict):
+        # the report flag is audit-only — the stage FRAME is byte-identical
+        # with or without it, so toggling it must not invalidate a
+        # days-long run's checkpoints
+        payload["decontaminate"] = {
+            k: v for k, v in payload["decontaminate"].items() if k != "report"
+        }
     return hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()
     ).hexdigest()

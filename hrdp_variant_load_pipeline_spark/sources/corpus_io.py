@@ -126,8 +126,12 @@ def write_shards(
         # one JSON object per line, gzip per file — the interchange
         # format most training stacks stream natively; within-file order
         # is preserved (sortWithinPartitions above), complex columns
-        # (arrays/structs) serialize as JSON values
-        writer.option("compression", "gzip").json(path)
+        # (arrays/structs) serialize as JSON values. ignoreNullFields
+        # off: a null column must stay a key (parquet-parity — otherwise
+        # an all-null column vanishes from the export's schema entirely)
+        writer.option("compression", "gzip").option(
+            "ignoreNullFields", "false"
+        ).json(path)
     else:
         raise ValueError(
             f"write_shards: unknown format {format!r} (parquet | jsonl)"

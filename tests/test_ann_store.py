@@ -122,7 +122,7 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     before = sorted(map(tuple, ivf_store_topk(
         spark, store, queries, cents, k=5, nprobe=2
     ).collect()))
-    compact_store(spark, store, target_partitions=4, sort_by=["bucket"])
+    compact_store(spark, store, target_partitions=4, sort_by=["bucket", "vec_id"])
     after = sorted(map(tuple, ivf_store_topk(
         spark, store, queries, cents, k=5, nprobe=2
     ).collect()))
