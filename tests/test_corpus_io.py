@@ -183,6 +183,7 @@ def test_write_shards_jsonl_roundtrip_with_manifest(spark, tmp_path):
     df = spark.range(200).selectExpr(
         "id AS uid", "id % 8 AS shard", "repeat('x', 5) AS text",
         "array(id, id + 1) AS toks",
+        "CAST(NULL AS STRING) AS lang",  # all-null column must survive
     )
     out = str(tmp_path / "js")
     write_shards(
@@ -197,6 +198,9 @@ def test_write_shards_jsonl_roundtrip_with_manifest(spark, tmp_path):
     # arrays survive the JSON roundtrip
     row = back.filter(F.col("uid") == 5).collect()[0]
     assert row["toks"] == [5, 6]
+    # null columns keep their key (ignoreNullFields off): the read-back
+    # schema still carries lang, parquet-parity
+    assert "lang" in back.columns and row["lang"] is None
     man = json.loads((tmp_path / "js" / "_MANIFEST.json").read_text())
     assert man["note"] == 1 and man["files"]
     assert all(f["name"].endswith((".json", ".json.gz")) for f in man["files"])
