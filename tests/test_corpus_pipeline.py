@@ -161,6 +161,20 @@ def test_checkpoint_fingerprint_invalidates_on_semantics_change(
     assert r3.counts["chunks_packed"] > 0
     r3.unpersist_all()
 
+    # ...as must toggling the audit-only decontaminate.report flag
+    # (the stage frame is identical with or without the audit)
+    cfg4 = {**cfg, "decontaminate": {"path": docs_dir, "report": True}}
+    # note: ADDING a decontaminate stage IS a semantics change; to test
+    # the report flag alone, fingerprint the two configs directly
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        _cfg_fingerprint,
+    )
+
+    assert _cfg_fingerprint(cfg4) == _cfg_fingerprint(
+        {**cfg, "decontaminate": {"path": docs_dir}}
+    )
+    assert _cfg_fingerprint(cfg4) != _cfg_fingerprint(cfg)
+
     # ...while a stage-semantics edit must recompute from scratch (its
     # fresh checkpoints then supersede the stale-fingerprint ones)
     cfg2 = {**cfg, "gates": {"min_quality": 0.0}}
