@@ -371,3 +371,34 @@ def test_stage_failure_releases_pins(spark, tmp_path):
     after = len([r for r in spark.sparkContext._jsc.sc()
                  .getRDDStorageInfo()])
     assert after <= before
+
+
+def test_torn_checkpoint_resumes_from_previous_commit(spark, tmp_path):
+    """Crash between a stage's parquet write and its marker create: the
+    data files exist but are invisible to resume (no marker), so the
+    rerun restarts from the PREVIOUS committed stage, recomputes the
+    torn one, and recommits it — same counts as the clean run."""
+    import os as _os
+
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 1
+    ).write.parquet(docs_dir)
+    cfg = _ck_cfg(docs_dir, str(tmp_path / "ck"))
+    r1 = run_corpus_pipeline(spark, cfg)
+    r1.unpersist_all()
+
+    ck = cfg["checkpoint"]["dir"]
+    stages = sorted(_os.listdir(ck))
+    last = stages[-1]
+    marker = _os.path.join(ck, last, "_STAGE_COMMITTED.json")
+    assert _os.path.exists(marker)
+    _os.remove(marker)  # the torn commit
+
+    r2 = run_corpus_pipeline(spark, cfg)
+    # resumed from the stage BEFORE the torn one
+    assert r2.resumed_from is not None
+    assert f"_{r2.resumed_from}" in stages[-2]
+    assert r2.counts == r1.counts
+    assert _os.path.exists(marker)  # recommitted
+    r2.unpersist_all()
