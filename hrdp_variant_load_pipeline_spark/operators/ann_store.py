@@ -408,3 +408,44 @@ def incremental_semantic_dedup(
             kept, centroids, store_dir, id_col=id_col, vec_col=vec_col
         )
     return flagged
+
+
+def describe_ivf_index(spark: SparkSession, store_dir: str) -> dict:
+    """Index health report: the two numbers that degrade probes.
+
+    * BUCKET SKEW — a hot bucket makes every probe touching it scan its
+      whole row set (``max_bucket_frac``; the SemDeDup/IVF fix is more
+      centroids, i.e. smaller buckets);
+    * FRAGMENTATION — appends tile the bucket domain per batch, so
+      ``files_per_bucket`` grows with append count until a
+      ``compact_store(sort_by=["bucket", "vec_id"])`` re-tiles.
+
+    One bucket-keyed aggregate (n_centroids-sized result) + one file
+    listing; works on both the raw-vector and PQ-code stores.
+    """
+    idx = read_store(spark, store_dir)
+    # project the file name BEFORE aggregating: input_file_name() is
+    # non-deterministic and rejected inside aggregate arguments
+    rows = (
+        idx.select("bucket", F.input_file_name().alias("__f"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("__f").alias("nf"),
+        )
+        .collect()
+    )
+    n_total = sum(r["n"] for r in rows)
+    max_bucket = max((r["n"] for r in rows), default=0)
+    return {
+        "n_vectors": int(n_total),
+        "n_buckets_used": len(rows),
+        "max_bucket_rows": int(max_bucket),
+        "max_bucket_frac": (
+            round(max_bucket / n_total, 6) if n_total else 0.0
+        ),
+        "files_per_bucket_max": max((r["nf"] for r in rows), default=0),
+        "files_per_bucket_avg": (
+            round(sum(r["nf"] for r in rows) / len(rows), 2) if rows else 0.0
+        ),
+    }

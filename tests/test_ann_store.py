@@ -187,3 +187,27 @@ def test_incremental_semantic_dedup_vs_history_and_replay(spark, tmp_path):
             row["vec_id"]: row["is_semantic_dup"] for row in r4.collect()
         }
         assert got[20_002] is True  # larger id is the duplicate
+
+
+def test_describe_ivf_index_reports_skew_and_fragmentation(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        describe_ivf_index,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    e = spark.read.parquet(EMB)
+    cents = train_centroids(e, n_centroids=8, n_iter=3)
+    store = str(tmp_path / "ivf")
+    for i in range(3):  # 3 appends -> fragmented tiling
+        append_ivf_batch(e.filter(F.col("vec_id") % 3 == i), cents, store)
+    d = describe_ivf_index(spark, store)
+    assert d["n_vectors"] == e.count()
+    assert 1 <= d["n_buckets_used"] <= 8
+    assert 0 < d["max_bucket_frac"] <= 1.0
+    frag_before = d["files_per_bucket_max"]
+    assert frag_before >= 2  # multiple appends tile independently
+    compact_store(spark, store, target_partitions=2,
+                  sort_by=["bucket", "vec_id"])
+    d2 = describe_ivf_index(spark, store)
+    assert d2["n_vectors"] == d["n_vectors"]
+    assert d2["files_per_bucket_max"] <= frag_before  # re-tiled
