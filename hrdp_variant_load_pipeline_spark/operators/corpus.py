@@ -30,15 +30,21 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 256,
     overlap_tokens: int = 32,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping whitespace-token windows.
 
-    Output: (id, chunk_idx, chunk_text, n_tokens) — one row per chunk,
-    chunks of ``chunk_tokens`` tokens starting every
+    Output: (id, *carry_cols, chunk_idx, chunk_text, n_tokens) — one row
+    per chunk, chunks of ``chunk_tokens`` tokens starting every
     ``chunk_tokens - overlap_tokens`` tokens, so consecutive chunks share
     ``overlap_tokens`` tokens (the standard training-data windowing that
     keeps context across chunk boundaries). The last window may be short;
     empty documents yield one empty chunk so no document silently vanishes.
+
+    ``carry_cols`` projects extra per-document columns (language, source
+    tag) through the explode row-locally — callers must NOT re-join chunks
+    back to the corpus to recover them (that join's build side is
+    corpus-cardinality and cannot broadcast at scale).
 
     Row-local: tokens stay an array column, windows are ``slice`` calls
     over a ``sequence`` of start offsets, and only the final ``posexplode``
@@ -57,11 +63,14 @@ def chunk_documents(
     # start offsets 1, 1+stride, ... — always at least one window
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    carry = list(carry_cols or [])
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(chunks).alias("chunk_idx", "__chunk"),
     ).select(
         id_col,
+        *carry,
         "chunk_idx",
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").alias("n_tokens"),

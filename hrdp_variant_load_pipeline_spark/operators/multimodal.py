@@ -61,6 +61,12 @@ def _header_decode(payload: bytes) -> tuple[int, int, int] | None:
         if payload[:2] == b"\xff\xd8":  # JPEG: scan to a SOF marker
             i = 2
             while i + 9 < len(payload) and payload[i] == 0xFF:
+                # JPEG permits runs of 0xFF fill bytes before a marker
+                # (ITU T.81 B.1.1.2) — skip them, else the fill byte is
+                # read as the marker and marker+length bytes misparse as
+                # a garbage 16-bit segment length
+                while i + 9 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
                 if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                     i += 2

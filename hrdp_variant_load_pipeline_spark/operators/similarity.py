@@ -781,8 +781,15 @@ def incremental_topk(
         "query_id", "neighbor_id", "cosine"
     ).unionByName(batch.select("query_id", "neighbor_id", "cosine"))
     # re-folding the same vector (streaming replay, overlapping batches)
-    # yields byte-identical (query, neighbor, cosine) rows; dropping them
-    # makes the fold IDEMPOTENT — without it a replayed neighbor would
-    # occupy two ranks
-    merged = merged.dropDuplicates(["query_id", "neighbor_id"])
+    # yields byte-identical (query, neighbor, cosine) rows; collapsing
+    # them makes the fold IDEMPOTENT — without it a replayed neighbor
+    # would occupy two ranks. Collapse keeps the MAX cosine per
+    # (query, neighbor) — not dropDuplicates, whose survivor is
+    # partition-order-dependent: if an id is re-ingested with a CHANGED
+    # embedding the two rows differ in cosine and the standing top-k
+    # must stay deterministic (max = "best version seen", documented
+    # fold contract; replays are unaffected since their rows are equal).
+    merged = merged.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
     return _rank_topk(merged, k)

@@ -401,9 +401,16 @@ def run_corpus_pipeline(
             )
             if lm_cfg.get("drop_tail", True):
                 tiers = perplexity_buckets(scored, "lm_logprob")
-                return tiers.filter(F.col("ppl_bucket") != "tail").drop(
-                    "ppl_bucket", "lm_logprob"
-                )
+                # null-safe: a null-text doc has null lm_logprob -> null
+                # bucket; `bucket != 'tail'` evaluates to NULL there and a
+                # bare filter would silently drop it, contradicting
+                # perplexity_buckets' no-silent-disappearance contract.
+                # Null-score docs pass through (the quality gates upstream
+                # are the stage that rejects empty text).
+                return tiers.filter(
+                    (F.col("ppl_bucket") != "tail")
+                    | F.col("ppl_bucket").isNull()
+                ).drop("ppl_bucket", "lm_logprob")
             return scored.drop("lm_logprob")
 
         plan.append(("lm_gate", _b_lm, True))
@@ -682,16 +689,19 @@ def _chunk_pack_export(
             cid = "__cid"
         else:
             base, cid = docs, id_col
+        pk = cfg.get("pack", {})
+        part_col = pk.get("partition_col", lang_col)
+        # part_col rides through the explode row-locally (carry_cols) —
+        # NOT a re-join back to the corpus: that join's build side is one
+        # row per doc (x epoch), corpus-cardinality, and would OOM a
+        # broadcast / force a corpus-wide shuffle at the 100 TB target.
         chunks = chunk_documents(
             base, cid, text_col,
             chunk_tokens=int(ch.get("chunk_tokens", 2048)),
             overlap_tokens=int(ch.get("overlap_tokens", 128)),
+            carry_cols=[part_col],
         )
-        pk = cfg.get("pack", {})
-        part_col = pk.get("partition_col", lang_col)
-        with_part = chunks.join(
-            F.broadcast(base.select(cid, part_col).distinct()), cid
-        ).withColumn(
+        with_part = chunks.withColumn(
             "chunk_uid", F.col(cid) * 1_000_000 + F.col("chunk_idx")
         )
         packed = pack_sequences(
@@ -722,10 +732,15 @@ def _chunk_pack_export(
                 key = shuffle_key("chunk_uid", out["shuffle_seed"])
                 order = "shard_key"
             else:
-                # language-major grouping, sequential within a doc
-                key = (
-                    F.abs(F.hash(part_col)).cast("long") * 100_000
-                    + F.col("bin_id")
+                # language-major grouping, sequential within a doc. A
+                # struct key range-partitions field-by-field (part_col
+                # first, then bin_id) — unlike the arithmetic form
+                # abs(hash)*K + bin_id it cannot collide across languages
+                # when a partition exceeds K bins, and has no
+                # abs(Int.MinValue) negative edge.
+                key = F.struct(
+                    F.col(part_col).alias("part"),
+                    F.col("bin_id").alias("bin"),
                 )
                 order = "chunk_uid"
             write_shards(

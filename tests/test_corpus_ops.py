@@ -32,6 +32,30 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert all(r["n_tokens"] <= 4 for r in out)
 
 
+def test_chunk_documents_carry_cols_row_local(spark):
+    """carry_cols projects per-document columns through the explode so
+    callers never re-join chunks to the corpus (ADVICE r10: that join's
+    build side is corpus-cardinality and cannot broadcast at scale)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "en", "web"), (2, "x y", "de", "books")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = chunk_documents(
+        df, "doc_id", "text", chunk_tokens=3, overlap_tokens=1,
+        carry_cols=["lang", "source"],
+    )
+    assert out.columns == [
+        "doc_id", "lang", "source", "chunk_idx", "chunk_text", "n_tokens"
+    ]
+    rows = out.collect()
+    assert all(r["lang"] == "en" and r["source"] == "web"
+               for r in rows if r["doc_id"] == 1)
+    assert all(r["lang"] == "de" for r in rows if r["doc_id"] == 2)
+    # row-local: no join / exchange anywhere in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
 def test_chunk_documents_short_and_empty(spark):
     df = spark.createDataFrame(
         [(1, "only three tokens"), (2, "")], "doc_id long, text string"

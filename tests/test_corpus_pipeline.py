@@ -96,6 +96,33 @@ def test_warc_ingest_ids_are_replay_deterministic(spark, tmp_path):
     assert texts["http://w.example/2"] == "the page number 2 with the usual words"
 
 
+def test_lm_gate_null_text_doc_not_silently_dropped(spark, tmp_path):
+    """A null-text doc has null lm_logprob -> null ppl_bucket; the tail
+    filter must pass it through explicitly (ADVICE r10: `bucket != 'tail'`
+    is NULL there and a bare filter silently drops the doc, violating
+    perplexity_buckets' no-silent-disappearance contract)."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "common words common words appear again and again") for i in range(30)]
+        # rare-gram gibberish: genuinely tail-scoring under the corpus LM
+        + [(50 + i, f"zq{i}x wv{i}k jj{i}p qq{i}z xx{i}m") for i in range(10)]
+        + [(99, None)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    res = run_corpus_pipeline(
+        spark,
+        {
+            "input": {"format": "parquet", "path": src},
+            "lm_gate": {"min_count": 1},
+        },
+    )
+    # the null-text doc survived the gate (upstream quality gates — not
+    # configured here — are the stage that rejects empty text)
+    assert res.docs.filter(F.col("doc_id") == 99).count() == 1
+    # and the gate still dropped its worst-scoring tail bucket
+    assert res.counts["lm_gate"] < res.counts["ingested"]
+
+
 def test_unknown_config_key_raises(spark):
     with pytest.raises(ValueError, match="unknown config keys"):
         run_corpus_pipeline(

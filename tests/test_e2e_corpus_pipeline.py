@@ -224,10 +224,13 @@ def test_full_corpus_pipeline(spark, tmp_path):
     assert sum(tok_by_lang.values()) <= 5000 * 1.5  # budget respected (hash tolerance)
 
     # 5. chunk + per-language pack (the 100 TB partitioned path)
-    chunks = chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
-    with_lang = chunks.join(
-        F.broadcast(mixed.select("doc_id", "lang").distinct()), "doc_id"
+    # lang rides through the explode via carry_cols — no corpus-cardinality
+    # re-join (the scale-breaking shape ADVICE r10 flagged in the pipeline)
+    chunks = chunk_documents(
+        mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16,
+        carry_cols=["lang"],
     )
+    with_lang = chunks
     packed = pack_sequences(
         with_lang.withColumn(
             "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")

@@ -225,3 +225,38 @@ def test_incremental_topk_equals_full_recompute(spark):
     )
     n_scans = len(re.findall(r"Relation.*parquet", plan))
     assert n_scans == 2, plan  # b2 + the broadcast query side
+
+
+def test_incremental_topk_changed_embedding_keeps_best_deterministically(spark):
+    """Re-ingesting a vector id with a CHANGED embedding must resolve to
+    the max-cosine row per (query, neighbor) — not an arbitrary
+    dropDuplicates survivor (ADVICE r10: the standing top-k must be
+    deterministic under re-ingest)."""
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        incremental_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    v1 = spark.createDataFrame(
+        [(10, [0.6, 0.8]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # id 10 re-ingested pointing closer to the query (cosine 0.6 -> 1.0)
+    v2 = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    base = brute_force_topk(v1, q, k=3)
+    folded = incremental_topk(base, v2, q, k=3)
+    rows = {r["neighbor_id"]: r for r in folded.collect()}
+    assert rows[10]["cosine"] == 1.0  # best version won, not batch order
+    assert rows[10]["rank"] == 1
+    # one row per (query, neighbor): the two versions collapsed
+    assert folded.count() == 2
+    # fold is order-independent: opposite ingest order, same result
+    rev = incremental_topk(brute_force_topk(v2, q, k=3), v1, q, k=3)
+    assert sorted(map(tuple, rev.collect())) == sorted(
+        map(tuple, folded.collect())
+    )

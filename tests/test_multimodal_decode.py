@@ -67,6 +67,21 @@ def test_header_decode_real_formats():
     assert _header_decode(b"") is None
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes. A scanner that treats the fill byte as the marker reads
+    marker+length bytes as a garbage segment length (ADVICE r10)."""
+    base = _jpeg(1920, 1080)
+    # inject fill runs before BOTH segments (APP0: 18 bytes at offset 2,
+    # SOF0: 10 bytes after)
+    app0 = base[2:20]
+    sof = base[20:30]
+    padded = b"\xff\xd8" + b"\xff" * 3 + app0 + b"\xff" * 5 + sof + b"\x00" * 12
+    assert _header_decode(padded) == (1920, 1080, 3)
+    # fill bytes clipped by end-of-payload still fall back, never raise
+    assert _header_decode(b"\xff\xd8" + b"\xff" * 20) is None
+
+
 def test_wav_probe_real_and_fallback():
     assert _wav_probe(_wav(44100, 2, 16, 44100)) == (44100, 44100, 1000)
     assert _wav_probe(_wav(16000, 1, 16, 8000)) == (16000, 8000, 500)
