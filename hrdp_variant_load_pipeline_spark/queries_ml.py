@@ -794,25 +794,225 @@ def embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
+    # round-11: the composed search runs through the PERSISTED index path
+    # (operators/ann_store.py) — append_ivf_batch's bucket-clustered store
+    # + ivf_store_topk's footer-pruned `bucket IN` probe now face the
+    # DuckDB oracle directly, not just the pytest pin against ivf_topk.
+    # The store is built once per embeddings fixture (atomic-rename cache
+    # keyed on the source file stats) so repeated bench runs time the
+    # PROBE, not the build.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        append_ivf_batch,
+        ivf_store_topk,
+    )
+
     e = table(spark, sf, "embeddings")
     cents = SIM.train_centroids(
         e, n_centroids=4, n_iter=2, round_digits=6, centroid_round_digits=6
     )
-    return SIM.ivf_topk(
-        e, e.filter(F.col("vec_id") < 10), centroids=cents, nprobe=2, k=5
+    src = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:v1".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(tempfile.gettempdir(), f"graft_ann_store_{key}")
+    if not os.path.isdir(store):
+        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
+        append_ivf_batch(e, cents, tmp)
+        try:
+            os.rename(tmp, store)
+        except OSError:  # concurrent builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ivf_store_topk(
+        spark,
+        store,
+        e.filter(F.col("vec_id") < 10),
+        centroids=cents,
+        nprobe=2,
+        k=5,
     )
+
+
+# ------------------------------------------------------------------- WARC
+# WARC ingest driver gate (merged into multimodal_probe_battery to keep the
+# 50-row correctness window): every document is wrapped in a deterministic
+# 3-record WARC archive (warcinfo + HTTP response + conversion) whose
+# response body carries BOTH framing traps from tests/test_warc.py — a
+# blank line and a literal "WARC/1.0" inside the HTML — then parsed back
+# through the REAL ingest chain (sources/warc.py _iter_warc_records /
+# _split_http_payload, then the html_to_text operator for charset-aware
+# extraction). If framing ever regressed to blank-line/magic splitting,
+# every parsed column here would shear off the trap and hash-mismatch.
+
+_WINFO_BODY = b"software: graft-crawler/1.0\r\n"
+_WINFO_REC = (
+    b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+    + b"Content-Length: " + str(len(_WINFO_BODY)).encode() + b"\r\n\r\n"
+    + _WINFO_BODY + b"\r\n\r\n"
+)
+#: offset of the response record in every per-doc archive (constant: the
+#: warcinfo record's total length) — stated literally in the oracle
+_WARC_RESP_OFFSET = len(_WINFO_REC)
+
+_WARC_DOC_SCHEMA = (
+    "doc_id long, warc_url string, warc_status int, warc_ctype string, "
+    "payload binary, warc_conv_len long, warc_n_records int, "
+    "warc_resp_offset long"
+)
+
+
+def _warc_record(headers: list[tuple[str, str]], body: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (
+        head.encode("latin-1")
+        + f"Content-Length: {len(body)}\r\n\r\n".encode("latin-1")
+        + body + b"\r\n\r\n"
+    )
+
+
+def _warc_doc_probe(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> per-doc parsed-WARC columns via the real record
+    iterator; payload stays binary for the html_to_text stage."""
+    import pandas as pd
+
+    from hrdp_variant_load_pipeline_spark.sources.warc import (
+        _iter_warc_records,
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"http://ex.example/{doc_id}"
+                status = 404 if doc_id % 7 == 0 else 200
+                cs = "latin-1" if doc_id % 5 == 0 else "utf-8"
+                html = (
+                    '<html><head><script>var t="WARC/1.0\r\n\r\ntrap";'
+                    f"</script></head><body><p>{text}</p>\r\n\r\n"
+                    "<p>tail</p></body></html>"
+                ).encode(cs)
+                http = (
+                    f"HTTP/1.1 {status} X\r\n"
+                    f"Content-Type: text/html; charset={cs}\r\n"
+                    "X-Crawl: graft\r\n\r\n"
+                ).encode("latin-1") + html
+                buf = (
+                    _WINFO_REC
+                    + _warc_record(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Target-URI", url),
+                            ("Content-Type", "application/http; msgtype=response"),
+                        ],
+                        http,
+                    )
+                    + _warc_record(
+                        [
+                            ("WARC-Type", "conversion"),
+                            ("WARC-Target-URI", url + "#text"),
+                            ("Content-Type", "text/plain"),
+                        ],
+                        text.encode("utf-8"),
+                    )
+                )
+                recs = [
+                    r
+                    for r in _iter_warc_records(buf, "mem")
+                    if r["record_type"] in ("response", "conversion")
+                ]
+                resp = next(r for r in recs if r["record_type"] == "response")
+                conv = next(r for r in recs if r["record_type"] == "conversion")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "warc_url": resp["url"],
+                        "warc_status": resp["http_status"],
+                        "warc_ctype": resp["content_type"],
+                        "payload": resp["payload"],
+                        "warc_conv_len": len(conv["payload"]),
+                        "warc_n_records": len(recs),
+                        "warc_resp_offset": resp["record_offset"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.split()[0] for f in _WARC_DOC_SCHEMA.split(", ")],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, _WARC_DOC_SCHEMA)
+
+
+def _warc_fixture_dir() -> str:
+    """Write-once on-disk WARC fixture driving the real ``read_warc``
+    binaryFile entry point (recursive glob + multi-member gzip + the
+    truncated-tail member that must not kill intact leading records).
+    Literal contents; the battery pins its summary to literal constants:
+    3 response records, payload bytes 17+27+12=56, status sum 804."""
+    import gzip as _gzip
+    import os
+    import tempfile
+
+    final = os.path.join(tempfile.gettempdir(), "graft_warc_fixture_v1")
+    if os.path.isdir(final):
+        return final
+    resp = []
+    for url, status, body in [
+        ("http://fx.example/a", 200, b"<p>alpha beta</p>"),
+        # trap body: blank line + WARC magic inside the HTML
+        ("http://fx.example/b", 404, b"<p>WARC/1.0</p>\r\n\r\n<p>x</p>"),
+        ("http://fx.example/c", 200, b"<p>gz ok</p>"),
+        ("http://fx.example/d", 200, b"<p>never lands</p>"),
+    ]:
+        http = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n"
+        ).encode("latin-1") + body
+        resp.append(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Target-URI", url),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    req = _warc_record(
+        [("WARC-Type", "request"), ("WARC-Target-URI", "http://fx.example/a")],
+        b"GET /a HTTP/1.1\r\n\r\n",
+    )
+    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
+    os.makedirs(os.path.join(tmp, "sub"), exist_ok=True)
+    with open(os.path.join(tmp, "plain.warc"), "wb") as f:
+        f.write(resp[0] + resp[1] + req)  # request filtered by default
+    # nested dir exercises the recursive glob; one gzip member PER record
+    # (the standard .warc.gz layout), final member truncated mid-stream
+    member_c = _gzip.compress(resp[2])
+    member_d = _gzip.compress(resp[3])
+    with open(os.path.join(tmp, "sub", "crawl.warc.gz"), "wb") as f:
+        f.write(member_c + member_d[: len(member_d) // 2])
+    try:
+        os.rename(tmp, final)  # atomic: concurrent builders race safely
+    except OSError:
+        pass
+    return final
 
 
 # --------------------------------------------------------------- multimodal
 # multimodal battery (round-2's decode_stub/audio_probe merged round 2;
 # round-6 folds frame_sample in too, freeing a window slot for
-# corpus_prep_battery): image + audio mapInPandas probes over the same
+# corpus_prep_battery; round-11 folds the WARC ingest gate in — see the
+# WARC section above): image + audio mapInPandas probes over the same
 # binary payload, plus the video frame sampler aggregated per doc (count +
 # index sum keep the row per-doc and hash-stable while still running the
 # explode-and-select path end to end)
 @q(
     "multimodal_probe_battery",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id,
              octet_length(text::BLOB)::BIGINT AS byte_len,
@@ -829,12 +1029,34 @@ def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
     frames AS (
       SELECT doc_id, count(*)::BIGINT AS n_sampled_frames,
              sum(f.i)::BIGINT AS frame_idx_sum
-      FROM base, unnest(range(0, n_frames, 5)) f(i) GROUP BY doc_id)
-    SELECT base.*, frames.n_sampled_frames, frames.frame_idx_sum
-    FROM base JOIN frames USING (doc_id)
+      FROM base, unnest(range(0, n_frames, 5)) f(i) GROUP BY doc_id),
+    warc AS (
+      SELECT doc_id,
+             'http://ex.example/' || doc_id AS warc_url,
+             CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS warc_status,
+             'text/html; charset='
+               || CASE WHEN doc_id % 5 = 0 THEN 'latin-1' ELSE 'utf-8' END
+               AS warc_ctype,
+             octet_length(text::BLOB)::BIGINT AS warc_conv_len,
+             2 AS warc_n_records,
+             {_WARC_RESP_OFFSET}::BIGINT AS warc_resp_offset,
+             trim(text) || ' tail' AS warc_text
+      FROM documents)
+    SELECT base.*, frames.n_sampled_frames, frames.frame_idx_sum,
+           warc.warc_url, warc.warc_status, warc.warc_ctype,
+           warc.warc_conv_len, warc.warc_n_records, warc.warc_resp_offset,
+           warc.warc_text,
+           3 AS wfx_n_records, 56::BIGINT AS wfx_payload_bytes,
+           3::BIGINT AS wfx_url_count, 804::BIGINT AS wfx_status_sum
+    FROM base JOIN frames USING (doc_id) JOIN warc USING (doc_id)
     """,
 )
 def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.sources.warc import (
+        html_to_text,
+        read_warc,
+    )
+
     d = table(spark, sf, "documents")
     payload = MM.with_binary_payload(d, "doc_id", "text")
     img = MM.decode_image_features(payload)
@@ -850,7 +1072,29 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("frame_idx").cast("long").alias("frame_idx_sum"),
         )
     )
-    return img.join(aud, "doc_id").join(frames, "doc_id")
+    # per-doc WARC roundtrip: build → _iter_warc_records → html_to_text
+    # (charset-aware, the real extraction operator)
+    warc = html_to_text(
+        _warc_doc_probe(spread_for_cpu(d)),
+        payload_col="payload",
+        out_col="warc_text",
+        content_type_col="warc_ctype",
+    )
+    # fixed fixture through the real binaryFile entry point (read_warc):
+    # recursive glob + Content-Length framing + truncated-tail gzip; the
+    # 1-row summary broadcasts onto every battery row
+    wfx = read_warc(spark, _warc_fixture_dir()).agg(
+        F.count("*").cast("int").alias("wfx_n_records"),
+        F.sum(F.octet_length("payload")).cast("long").alias("wfx_payload_bytes"),
+        F.countDistinct("url").alias("wfx_url_count"),
+        F.sum("http_status").cast("long").alias("wfx_status_sum"),
+    )
+    return (
+        img.join(aud, "doc_id")
+        .join(frames, "doc_id")
+        .join(warc, "doc_id")
+        .crossJoin(F.broadcast(wfx))
+    )
 
 
 # skew-salted join (engine surface beside AQE skew handling): lineitem ⋈
