@@ -228,16 +228,35 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_semi_anti_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    # round-11 shape (best of 3 measured variants, BENCH_NOTES r11): both
+    # halves shuffle-hash with the SKINNY key projection as the hinted
+    # build side — no sort, no broadcast dependence (neither side
+    # broadcasts at the 100 TB target). The anti build additionally
+    # pre-distincts o_custkey: map-side combine shrinks the shuffle and
+    # the hash table (~1.5M orders -> <=100k keys at sf1, measured
+    # 1.14 -> 0.67 s for the anti half). The semi build keeps raw keys:
+    # its distinct costs more than the ~3x build shrink saves (measured
+    # 0.66 vs 0.85 s).
     p = table(spark, sf, "part")
-    li = table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_partkey")
+        .hint("shuffle_hash")
+    )
     semi = (
-        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        p.join(li, p.p_partkey == F.col("l_partkey"), "left_semi")
         .select(F.lit("part_shipped_45").alias("tag"), F.col("p_partkey").alias("key"))
     )
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
+    o = (
+        table(spark, sf, "orders")
+        .select("o_custkey")
+        .distinct()
+        .hint("shuffle_hash")
+    )
     anti = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(o, c.c_custkey == F.col("o_custkey"), "left_anti")
         .select(F.lit("cust_no_orders").alias("tag"), F.col("c_custkey").alias("key"))
     )
     return semi.unionByName(anti)
