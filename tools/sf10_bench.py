@@ -1,0 +1,106 @@
+"""sf10 crossover bench: the round-11 scale-trend directive.
+
+Runs the top headline rows (plus floor-calibration rows) at a 100x
+staged copy of sf0.1 (~sf10, `tools/make_scaled_sf.py 100 OUT`) —
+Spark side with bench.py's exact protocol (per-query table profile,
+noop sink, best-of-2), DuckDB side via tools/duck_bench.py (subprocess,
+pinned threads, best-of-2, hard timeout). Prints one JSON line.
+
+The claim under test: every floor-bound sf1 ratio shrinks or flips as
+data grows (DuckDB's advantage is fixed-cost, not algorithmic).
+
+Usage: python tools/sf10_bench.py [SF10_DIR] [DUCK_TIMEOUT_S]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+ROWS = [
+    # the six rows the r10 verdict named
+    "text_doc_profile",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "q5_nation_volume",
+    "insert_if_absent",
+    "corpus_stats_battery",
+    # floor-trend calibration rows
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "join_semi_anti_tagged",
+    "embedding_cosine_topk",
+]
+
+# same map as bench.py for the rows it carries; additions here
+QUERY_TABLES = {
+    "q1_pricing_summary": ["lineitem"],
+    "q5_nation_volume": [
+        "region", "nation", "customer", "supplier", "orders", "lineitem",
+    ],
+    "scan_filter_project": ["lineitem"],
+    "join_semi_anti_tagged": ["customer", "orders"],
+    "insert_if_absent": ["lineitem"],
+    "text_doc_profile": ["documents"],
+    "dedup_minhash_lsh": ["documents"],
+    "dedup_clusters": ["documents"],
+    "corpus_stats_battery": ["documents"],
+    "embedding_cosine_topk": ["embeddings"],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf10"
+    duck_timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
+
+    import duck_bench
+
+    import __spark_entry__ as entrymod
+    from hrdp_variant_load_pipeline_spark.session import (
+        get_spark,
+        tune_for_tables,
+    )
+
+    spark = get_spark("sf10-bench")
+    queries = entrymod.queries()
+    spark_times: dict[str, float] = {}
+    for name in ROWS:
+        fn = queries[name]
+        tune_for_tables(spark, sf_dir, QUERY_TABLES.get(name))
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+            spark.catalog.clearCache()
+        spark_times[name] = round(best, 3)
+        print(
+            f"# spark {name}: {spark_times[name]:.3f}s "
+            f"load1={os.getloadavg()[0]:.1f}",
+            file=sys.stderr, flush=True,
+        )
+    spark.stop()
+
+    duck = duck_bench.run(
+        sf_dir, ROWS, entrymod.oracle_sql(), timeout=duck_timeout
+    )
+    out = {
+        "metric": "sf10_crossover",
+        "sf_dir": sf_dir,
+        "spark": spark_times,
+        "duckdb": duck,
+        "duckdb_threads": duck_bench.effective_threads(),
+        "duck_timeout_s": duck_timeout,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
