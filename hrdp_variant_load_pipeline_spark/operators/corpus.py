@@ -77,6 +77,81 @@ def chunk_documents(
     )
 
 
+def densify_ids(
+    df: DataFrame,
+    id_col: str,
+    orig_col: str | None = None,
+    partitions: int | None = None,
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Deterministically remap arbitrary (e.g. hash-minted 60-bit WARC)
+    ids to dense ``0..n-1`` longs, ordered by the original id — the
+    precondition for ``chunk_uid = id * factor + chunk_idx`` arithmetic,
+    whose int64 capacity guard fails loud on wide ids.
+
+    Scale shape: ONE range exchange on the id + a per-partition
+    ``row_number`` (range partitions sort independently; no global
+    single-partition window), then a driver-side cumulative-offset table
+    of O(partitions) rows broadcast back as one array literal — the
+    zipWithIndex algorithm expressed in DataFrame ops. Deterministic for
+    a given id set (range partitioning and the within-partition order
+    both key on the ordering columns alone). Ids should be unique
+    (run after dedup) unless ``order_extra`` disambiguates;
+    null ids are rejected loudly; duplicate (id, *order_extra) keys
+    rank arbitrarily among themselves.
+
+    ``orig_col`` (default ``{id_col}_src``) preserves the original id
+    for provenance joins; pass ``orig_col=""`` to drop it.
+
+    Like RDD ``zipWithIndex``, the counts pass and the ranking pass are
+    two jobs over the same plan: correctness relies on the range
+    boundaries recomputing identically, which holds for a stable input
+    snapshot (Spark's range sampler is seeded per partition; the
+    curation chain feeds this from a pinned stage frame).
+
+    ``order_extra`` appends tie-break columns to the ordering (e.g. the
+    epoch column of an upsampled corpus, where the same id repeats once
+    per epoch and each copy must rank deterministically).
+    """
+    if orig_col is None:
+        orig_col = f"{id_col}_src"
+    if orig_col and orig_col in df.columns:
+        raise ValueError(f"densify_ids: column {orig_col!r} already exists")
+    spark = df.sparkSession
+    if partitions is None:
+        sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        partitions = max(1, int(sp) if str(sp).isdigit() else 32)
+    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"densify_ids: null {id_col!r} cannot be ranked")
+    order_cols = [id_col] + list(order_extra or [])
+    ranged = df.repartitionByRange(
+        partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    # O(partitions) driver rows: range partition ids are ordered by id
+    # range, so cumulating counts in pid order yields global offsets
+    counts = ranged.groupBy("__pid").count().collect()
+    if not counts:
+        out = df.withColumn(id_col, F.col(id_col).cast("long"))
+        return out if not orig_col else out.withColumn(
+            orig_col, F.col(id_col)
+        )
+    offsets: list[int] = [0] * (max(r["__pid"] for r in counts) + 1)
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("__pid") + 1
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    dense = (F.row_number().over(w) - 1 + off).cast("long")
+    keep = [c for c in df.columns if c != id_col]
+    cols = [dense.alias(id_col)] + [F.col(c) for c in keep]
+    if orig_col:
+        cols.append(F.col(id_col).alias(orig_col))
+    return ranged.select(*cols)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -657,20 +657,33 @@ def _chunk_pack_export(
     if ch is not None:
         from hrdp_variant_load_pipeline_spark.operators.corpus import (
             chunk_documents,
+            densify_ids,
             pack_sequences,
         )
         from hrdp_variant_load_pipeline_spark.sources.corpus_io import (
             write_shards,
         )
 
+        # hash-minted ids (e.g. the WARC source's 60-bit ids) are too
+        # wide for the chunk-uid arithmetic below: `chunk.densify_ids`
+        # remaps them to dense 0..n-1 (one range exchange + O(partitions)
+        # driver offsets; original id kept as `{id_col}_src` for
+        # provenance)
+        densified = bool(ch.get("densify_ids"))
+        if densified:
+            docs = densify_ids(
+                docs,
+                id_col,
+                order_extra=["epoch"] if "epoch" in docs.columns else None,
+            )
         # upsampled corpora carry an epoch column: fold it into the chunk
         # id so repeats of a doc mint distinct chunk_uids (guarded < 256
         # epochs at the mixture stage)
         has_epoch = "epoch" in docs.columns
         # uid capacity guard: chunk_uid = id * (256 if epochs) * 1e6 +
-        # chunk_idx must fit int64 — hash-minted ids (e.g. the WARC
-        # source's 60-bit ids) would WRAP and silently collide. One agg
-        # on the pinned stage frame; fail loud with the remap advice.
+        # chunk_idx must fit int64 — hash-minted ids would WRAP and
+        # silently collide. One agg on the pinned stage frame; fail loud
+        # with the remap advice.
         factor = 1_000_000 * (256 if has_epoch else 1)
         max_id = (
             docs.agg(F.max(F.abs(F.col(id_col)))).collect()[0][0] or 0
@@ -678,9 +691,9 @@ def _chunk_pack_export(
         if max_id >= (2**63 - 1) // factor:
             raise ValueError(
                 f"chunk export: max |{id_col}| {max_id} cannot mint unique "
-                f"int64 chunk uids (needs id*{factor}+chunk_idx); remap "
-                "ids densely first (hash-minted ids, e.g. the WARC "
-                "source's, are too wide to carry chunk/epoch offsets)"
+                f"int64 chunk uids (needs id*{factor}+chunk_idx); set "
+                'chunk {"densify_ids": true} to remap wide (hash-minted, '
+                "e.g. WARC) ids to dense longs first"
             )
         if has_epoch:
             base = docs.withColumn(
@@ -691,15 +704,17 @@ def _chunk_pack_export(
             base, cid = docs, id_col
         pk = cfg.get("pack", {})
         part_col = pk.get("partition_col", lang_col)
-        # part_col rides through the explode row-locally (carry_cols) —
+        # part_col (and, when densified, the original-id provenance
+        # column) ride through the explode row-locally (carry_cols) —
         # NOT a re-join back to the corpus: that join's build side is one
         # row per doc (x epoch), corpus-cardinality, and would OOM a
         # broadcast / force a corpus-wide shuffle at the 100 TB target.
+        carry = [part_col] + ([f"{id_col}_src"] if densified else [])
         chunks = chunk_documents(
             base, cid, text_col,
             chunk_tokens=int(ch.get("chunk_tokens", 2048)),
             overlap_tokens=int(ch.get("overlap_tokens", 128)),
-            carry_cols=[part_col],
+            carry_cols=carry,
         )
         with_part = chunks.withColumn(
             "chunk_uid", F.col(cid) * 1_000_000 + F.col("chunk_idx")

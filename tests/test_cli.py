@@ -342,3 +342,119 @@ def test_cli_run_corpus_chain(spark, tmp_path):
     assert m["corpus.chunks_packed"] > 0
     assert m["corpus.shard_dir"] == out_dir
     assert spark.read.parquet(out_dir).count() == m["corpus.chunks_packed"]
+
+
+def test_cli_run_corpus_warc_kill_resume_e2e(spark, tmp_path):
+    """The curation chain as a product, through the CLI: one --runCorpus
+    over a fixture crawl (WARC -> gates -> dedup -> LM gate -> densify ->
+    shards+manifest), SIGKILLed mid-chain after the first checkpoint
+    commit, then resumed by rerunning the SAME command — the resumed run
+    must report corpus.resumed_from, finish the chain, and produce shards
+    identical to an uninterrupted reference run."""
+    import gzip as _gzip
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+
+    def rec(body, url):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        h = [b"WARC/1.0", b"WARC-Type: response",
+             b"WARC-Target-URI: " + url.encode(),
+             b"Content-Type: application/http;msgtype=response",
+             b"Content-Length: " + str(len(http)).encode()]
+        return b"\r\n".join(h) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    # 300 pages + planted exact dups so every stage has real work
+    def page(i):
+        words = " ".join(
+            f"word{(i * 7 + j) % 97} the of and to in" for j in range(12)
+        )
+        return rec(
+            f"<html><body>page {i} says {words}</body></html>".encode(),
+            f"http://crawl.example/{i}",
+        )
+
+    blob = b"".join(page(i) for i in range(300))
+    dup = b"".join(page(i) for i in range(10))  # exact dups of 0..9
+    (warc_dir / "a.warc.gz").write_bytes(_gzip.compress(blob))
+    (warc_dir / "b.warc.gz").write_bytes(_gzip.compress(dup))
+
+    def cfg_for(tag):
+        return {
+            "corpus": {
+                "input": {"format": "warc", "path": str(warc_dir)},
+                "normalize": False,
+                "gates": {"gopher": {"min_words": 5, "min_stopword_hits": 1}},
+                "dedup": {"exact": True, "fuzzy": {"threshold": 0.9}},
+                "lm_gate": {"min_count": 2},
+                "chunk": {"chunk_tokens": 16, "overlap_tokens": 4,
+                          "densify_ids": True},
+                "pack": {"max_tokens": 64},
+                "output": {"dir": str(tmp_path / f"shards_{tag}"),
+                           "n_shards": 2},
+                "checkpoint": {"dir": str(tmp_path / f"ck_{tag}")},
+            }
+        }
+
+    import json as _json
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg_for("cli")))
+    cmd = [
+        sys.executable, "-m", "hrdp_variant_load_pipeline_spark.cli",
+        "--runCorpus", "--config", str(cfg_path),
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    # run 1: kill as soon as the first stage commits its marker
+    ck = tmp_path / "ck_cli"
+    p1 = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.DEVNULL, cwd="/root/repo")
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline and p1.poll() is None:
+        if ck.is_dir() and any(ck.glob("*/_STAGE_COMMITTED.json")):
+            p1.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.2)
+    p1.wait(timeout=60)
+    assert killed, "chain finished before the kill window — grow the fixture"
+    assert p1.returncode == -signal.SIGKILL
+
+    # run 2: SAME command resumes and completes
+    out2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=600, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    kv = dict(
+        line.split(": ", 1) for line in out2.stdout.splitlines() if ": " in line
+    )
+    assert "corpus.resumed_from" in kv, out2.stdout
+    assert int(kv["corpus.chunks_packed"]) > 0
+    assert kv["corpus.shard_dir"] == str(tmp_path / "shards_cli")
+
+    # shards + manifest on disk, lossless vs the reported count
+    shards = spark.read.parquet(str(tmp_path / "shards_cli"))
+    assert shards.count() == int(kv["corpus.chunks_packed"])
+    man = _json.loads((tmp_path / "shards_cli" / "_MANIFEST.json").read_text())
+    assert man["counts"]["chunks_packed"] == int(kv["corpus.chunks_packed"])
+    assert man["files"]
+
+    # identical to an uninterrupted in-process reference run
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    ref = run_corpus_pipeline(spark, cfg_for("ref")["corpus"])
+    ref_chunks = sorted(
+        r["chunk_text"]
+        for r in spark.read.parquet(str(tmp_path / "shards_ref"))
+        .select("chunk_text").collect()
+    )
+    got_chunks = sorted(r["chunk_text"] for r in shards.select("chunk_text").collect())
+    assert got_chunks == ref_chunks
+    ref.unpersist_all()

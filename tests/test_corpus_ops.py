@@ -553,3 +553,46 @@ def test_contamination_report_matches_python_model(spark):
     assert got == want
     assert got[200][0] == 0 and got[200][3] == 0.0  # clean row present
     assert 300 not in got  # shingle-less eval doc has no row
+
+
+def test_densify_ids_dense_ordered_and_distributed(spark):
+    """densify_ids: hash-wide ids -> dense 0..n-1 in id order, original
+    preserved, and the plan stays distributed (range exchange +
+    per-partition window — no single-partition global window)."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import densify_ids
+
+    wide = [(2**60 + 7 * i, f"d{i}") for i in range(200)]
+    df = spark.createDataFrame(wide, "doc_id long, text string")
+    out = densify_ids(df, "doc_id", partitions=8)
+    rows = sorted(map(tuple, out.select("doc_id", "doc_id_src").collect()))
+    assert [r[0] for r in rows] == list(range(200))  # dense 0..n-1
+    # order preserved: dense rank == original id rank
+    assert [r[1] for r in rows] == sorted(w[0] for w in wide)
+    # text rides along
+    m = {r["doc_id_src"]: r["text"] for r in out.collect()}
+    assert m[2**60] == "d0"
+    # deterministic across evaluations
+    again = sorted(map(tuple, densify_ids(df, "doc_id", partitions=8)
+                       .select("doc_id", "doc_id_src").collect()))
+    assert again == rows
+    # distributed: the ranking window partitions by __pid (never a
+    # global empty-partition window)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_densify_ids_null_and_collision_guards(spark):
+    from hrdp_variant_load_pipeline_spark.operators.corpus import densify_ids
+
+    with pytest.raises(ValueError, match="null"):
+        densify_ids(
+            spark.createDataFrame([(None, "x")], "doc_id long, text string"),
+            "doc_id",
+        ).count()
+    with pytest.raises(ValueError, match="already exists"):
+        densify_ids(
+            spark.createDataFrame(
+                [(1, 2)], "doc_id long, doc_id_src long"
+            ),
+            "doc_id",
+        )

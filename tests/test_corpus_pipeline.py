@@ -429,3 +429,54 @@ def test_torn_checkpoint_resumes_from_previous_commit(spark, tmp_path):
     assert r2.counts == r1.counts
     assert _os.path.exists(marker)  # recommitted
     r2.unpersist_all()
+
+
+def test_warc_chain_densify_ids_unlocks_chunk_export(spark, tmp_path):
+    """Hash-minted WARC ids are too wide for chunk-uid arithmetic: the
+    guard must fail loud WITHOUT chunk.densify_ids and the chain must
+    complete (lossless shards + provenance column) WITH it."""
+    import gzip
+
+    def rec(body, url):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        h = [b"WARC/1.0", b"WARC-Type: response",
+             b"WARC-Target-URI: " + url.encode(),
+             b"Content-Type: application/http;msgtype=response",
+             b"Content-Length: " + str(len(http)).encode()]
+        return b"\r\n".join(h) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    blob = b"".join(
+        rec(("<html><body>the page number %d has the usual words and "
+             "some more of the usual words</body></html>" % i).encode(),
+            f"http://w.example/{i}")
+        for i in range(6)
+    )
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(blob))
+    base = {
+        "input": {"format": "warc", "path": str(tmp_path)},
+        "normalize": False,
+        "chunk": {"chunk_tokens": 8, "overlap_tokens": 2},
+        "pack": {"max_tokens": 32},
+    }
+    with pytest.raises(ValueError, match="densify_ids"):
+        run_corpus_pipeline(spark, base)
+    cfg = dict(base)
+    cfg["chunk"] = dict(base["chunk"], densify_ids=True)
+    cfg["output"] = {"dir": str(tmp_path / "shards"), "n_shards": 2}
+    res = run_corpus_pipeline(spark, cfg)
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == res.packed.count() > 0
+    # shards carry DENSE chunk ids (0..5 doc range) plus the original
+    # hash-minted id as provenance (carried row-locally, no re-join)
+    assert sorted(
+        r["doc_id"] for r in back.select("doc_id").distinct().collect()
+    ) == list(range(6))
+    src_ids = {r["doc_id_src"] for r in back.select("doc_id_src").collect()}
+    assert len(src_ids) == 6 and all(i >= 2**40 for i in src_ids)
+    # dense <-> source mapping is order-preserving and 1:1
+    pairs = {
+        (r["doc_id"], r["doc_id_src"])
+        for r in back.select("doc_id", "doc_id_src").collect()
+    }
+    assert len(pairs) == 6
+    assert [p[1] for p in sorted(pairs)] == sorted(src_ids)
