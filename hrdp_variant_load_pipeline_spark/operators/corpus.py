@@ -89,29 +89,34 @@ def densify_ids(
     precondition for ``chunk_uid = id * factor + chunk_idx`` arithmetic,
     whose int64 capacity guard fails loud on wide ids.
 
-    Scale shape: ONE range exchange on the id + a per-partition
-    ``row_number`` (range partitions sort independently; no global
-    single-partition window), then a driver-side cumulative-offset table
-    of O(partitions) rows broadcast back as one array literal — the
-    zipWithIndex algorithm expressed in DataFrame ops. Deterministic for
-    a given id set (range partitioning and the within-partition order
-    both key on the ordering columns alone). Ids should be unique
-    (run after dedup) unless ``order_extra`` disambiguates;
-    null ids are rejected loudly; duplicate (id, *order_extra) keys
-    rank arbitrarily among themselves.
+    Scale shape: one stats pass (range exchange, O(partitions) driver
+    rows) + one ranking pass (hash exchange on a row-locally derived
+    bucket, per-bucket ``row_number`` — no global single-partition
+    window), with offsets broadcast back as one array literal — the
+    zipWithIndex algorithm expressed in DataFrame ops. Deterministic
+    for a given id set. Ids should be unique (run after dedup) unless
+    ``order_extra`` disambiguates; null ids are rejected loudly;
+    duplicate (id, *order_extra) keys rank arbitrarily among
+    themselves.
 
     ``orig_col`` (default ``{id_col}_src``) preserves the original id
     for provenance joins; pass ``orig_col=""`` to drop it.
 
-    Like RDD ``zipWithIndex``, the counts pass and the ranking pass are
-    two jobs over the same plan: correctness relies on the range
-    boundaries recomputing identically, which holds for a stable input
-    snapshot (Spark's range sampler is seeded per partition; the
-    curation chain feeds this from a pinned stage frame).
+    ``order_extra`` appends tie-break columns to the WITHIN-BUCKET rank
+    order (e.g. the epoch column of an upsampled corpus, where the same
+    id repeats once per epoch and each copy must rank deterministically);
+    bucketing itself keys on the id alone, so tied ids never straddle a
+    bucket boundary.
 
-    ``order_extra`` appends tie-break columns to the ordering (e.g. the
-    epoch column of an upsampled corpus, where the same id repeats once
-    per epoch and each copy must rank deterministically).
+    Two jobs, like RDD ``zipWithIndex`` — but unlike zipWithIndex the
+    second job does NOT trust the first job's physical partitioning to
+    recompute identically (range-exchange boundary sampling is not
+    stable across separate jobs; observed diverging at 5k rows): job 1
+    collects per-range (count, max id) stats, and job 2 re-derives each
+    row's bucket ROW-LOCALLY from the collected boundary values. The
+    result equals the global id-order rank under ANY ordered disjoint
+    bucketization, so it is deterministic even if the sampled ranges
+    shift between runs.
     """
     if orig_col is None:
         orig_col = f"{id_col}_src"
@@ -123,33 +128,52 @@ def densify_ids(
         partitions = max(1, int(sp) if str(sp).isdigit() else 32)
     if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
         raise ValueError(f"densify_ids: null {id_col!r} cannot be ranked")
-    order_cols = [id_col] + list(order_extra or [])
-    ranged = df.repartitionByRange(
-        partitions, *[F.col(c) for c in order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
-    # O(partitions) driver rows: range partition ids are ordered by id
-    # range, so cumulating counts in pid order yields global offsets
-    counts = ranged.groupBy("__pid").count().collect()
-    if not counts:
+    # job 1: O(partitions) driver rows of (count, max id) per range, in
+    # range order (equal ids compare equal -> never split across ranges)
+    stats = (
+        df.repartitionByRange(partitions, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("n"), F.max(id_col).alias("hi"))
+        .collect()
+    )
+    if not stats:
         out = df.withColumn(id_col, F.col(id_col).cast("long"))
         return out if not orig_col else out.withColumn(
             orig_col, F.col(id_col)
         )
-    offsets: list[int] = [0] * (max(r["__pid"] for r in counts) + 1)
-    acc = 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["count"]
-    off = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("__pid") + 1
+    stats = sorted(
+        (r for r in stats if r["n"] > 0), key=lambda r: r["__pid"]
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    offsets: list[int] = []
+    acc = 0
+    for r in stats:
+        offsets.append(acc)
+        acc += r["n"]
+    # bucket(id) = number of non-final range upper-bounds < id — a pure
+    # function of the id, O(partitions) per row against a literal array
+    bounds = [r["hi"] for r in stats[:-1]]
+    if bounds:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda x: x < F.col(id_col),
+            )
+        )
+    else:
+        bucket = F.lit(0)
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        F.col("__bucket") + 1,
+    )
+    order_cols = [id_col] + list(order_extra or [])
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
     dense = (F.row_number().over(w) - 1 + off).cast("long")
     keep = [c for c in df.columns if c != id_col]
     cols = [dense.alias(id_col)] + [F.col(c) for c in keep]
     if orig_col:
         cols.append(F.col(id_col).alias(orig_col))
-    return ranged.select(*cols)
+    return df.withColumn("__bucket", bucket).select(*cols)
 
 
 def pack_sequences(

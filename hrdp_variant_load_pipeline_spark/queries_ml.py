@@ -457,7 +457,11 @@ _PREP_BUDGET = 6000
     SELECT lang, bin_id, count(*)::BIGINT AS n_chunks,
            sum(n_tokens)::BIGINT AS bin_tokens,
            count(DISTINCT substr(md5('7' || chunk_uid::VARCHAR), 1, 1))::BIGINT
-             AS n_shard_keys
+             AS n_shard_keys,
+           (SELECT sum(chk)::BIGINT FROM (
+              SELECT (row_number() OVER (ORDER BY doc_id) - 1)
+                     * ((doc_id * 1099511627776 + 7) % 97) AS chk
+              FROM documents)) AS densify_chk
     FROM packed GROUP BY lang, bin_id
     """,
 )
@@ -509,12 +513,35 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
         shuffle_key,
     )
 
-    return packed.groupBy("lang", "bin_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("n_tokens").cast("long").alias("bin_tokens"),
-        F.count_distinct(
-            F.substring(shuffle_key("chunk_uid", 7), 1, 1)
-        ).alias("n_shard_keys"),
+    # densify_ids full-mapping pin (r11): remap artificially-widened ids
+    # (doc_id * 2^40 + 7 — the hash-minted-WARC-id shape the operator
+    # exists for) and fold the whole dense<->source mapping into one
+    # rank-weighted checksum the oracle states as a global-window scalar;
+    # any rank misassignment shifts the sum. Broadcast onto every row.
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        densify_ids,
+    )
+
+    den = densify_ids(
+        d.select((F.col("doc_id") * F.lit(2**40) + 7).alias("doc_id")),
+        "doc_id",
+        partitions=8,
+    )
+    chk = den.agg(
+        F.sum(F.col("doc_id") * (F.col("doc_id_src") % 97))
+        .cast("long")
+        .alias("densify_chk")
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.count_distinct(
+                F.substring(shuffle_key("chunk_uid", 7), 1, 1)
+            ).alias("n_shard_keys"),
+        )
+        .crossJoin(F.broadcast(chk))
     )
 
 

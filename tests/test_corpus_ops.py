@@ -596,3 +596,23 @@ def test_densify_ids_null_and_collision_guards(spark):
             ),
             "doc_id",
         )
+
+
+def test_densify_ids_stable_across_jobs_at_scale(spark):
+    """Regression (r11): v1 trusted repartitionByRange to recompute the
+    SAME sampled boundaries in the counts job and the ranking job; at
+    5k rows the boundaries diverged between jobs and dense ids silently
+    shifted. The rework derives buckets row-locally from collected
+    boundary values — the result must equal the global id-order rank
+    exactly, at a size where the v1 bug reproduced."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import densify_ids
+
+    df = spark.range(5000).selectExpr(
+        "id * 1099511627776 + 7 AS doc_id", "id AS payload"
+    )
+    out = densify_ids(df, "doc_id", partitions=8)
+    rows = out.select("doc_id", "doc_id_src", "payload").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(5000))
+    # dense rank == global id order, row for row
+    for r in rows:
+        assert r["doc_id"] == r["payload"], (r["doc_id"], r["payload"])
