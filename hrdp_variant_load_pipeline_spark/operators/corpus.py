@@ -126,22 +126,33 @@ def densify_ids(
     if partitions is None:
         sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
         partitions = max(1, int(sp) if str(sp).isdigit() else 32)
-    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
-        raise ValueError(f"densify_ids: null {id_col!r} cannot be ranked")
-    # job 1: O(partitions) driver rows of (count, max id) per range, in
-    # range order (equal ids compare equal -> never split across ranges)
+    # job 1: O(partitions) driver rows of (count, max id, null count) per
+    # range, in range order (equal ids compare equal -> never split
+    # across ranges). The null guard rides this same aggregate — a
+    # separate pre-scan would be a third full pass over the input.
     stats = (
         df.repartitionByRange(partitions, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid")
-        .agg(F.count("*").alias("n"), F.max(id_col).alias("hi"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max(id_col).alias("hi"),
+            F.sum(F.col(id_col).isNull().cast("long")).alias("n_null"),
+        )
         .collect()
     )
+    if any(r["n_null"] for r in stats):
+        raise ValueError(f"densify_ids: null {id_col!r} cannot be ranked")
+    keep = [c for c in df.columns if c != id_col]
     if not stats:
-        out = df.withColumn(id_col, F.col(id_col).cast("long"))
-        return out if not orig_col else out.withColumn(
-            orig_col, F.col(id_col)
-        )
+        # schema-identical to the non-empty path: dense id first (long),
+        # then the kept columns, then the untouched original id
+        cols = [F.col(id_col).cast("long").alias(id_col)] + [
+            F.col(c) for c in keep
+        ]
+        if orig_col:
+            cols.append(F.col(id_col).alias(orig_col))
+        return df.select(*cols)
     stats = sorted(
         (r for r in stats if r["n"] > 0), key=lambda r: r["__pid"]
     )
@@ -169,7 +180,6 @@ def densify_ids(
     order_cols = [id_col] + list(order_extra or [])
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
     dense = (F.row_number().over(w) - 1 + off).cast("long")
-    keep = [c for c in df.columns if c != id_col]
     cols = [dense.alias(id_col)] + [F.col(c) for c in keep]
     if orig_col:
         cols.append(F.col(id_col).alias(orig_col))

@@ -610,7 +610,7 @@ def run_corpus_pipeline(
     try:
         packed, shard_dir = _chunk_pack_export(
             spark, cfg, docs, counts, fingerprint, id_col, text_col,
-            lang_col, collect_counts,
+            lang_col, collect_counts, pinned,
         )
         report = None
         rep_cfg = cfg.get("report", False)
@@ -647,10 +647,12 @@ def _chunk_pack_export(
     text_col: str,
     lang_col: str,
     collect_counts: bool,
+    pinned: list[DataFrame] | None = None,
 ) -> tuple[DataFrame | None, str | None]:
     """Stage 9 (output side): chunk → pack → seeded-shuffle shard export.
     Split out so the executor can wrap it in pin cleanup; mutates
-    ``counts`` with chunks_packed."""
+    ``counts`` with chunks_packed and may append to ``pinned`` (the
+    densified frame — released by the caller with the stage pins)."""
     packed = None
     shard_dir = None
     ch = cfg.get("chunk")
@@ -671,19 +673,28 @@ def _chunk_pack_export(
         # provenance)
         densified = bool(ch.get("densify_ids"))
         if densified:
+            # persist the densified frame: its rank window (bucket
+            # exchange + per-bucket sort over the whole corpus) would
+            # otherwise recompute for EVERY downstream action (the guard
+            # agg, chunks_packed count, shard write). The guard agg
+            # below materializes the pin; the caller releases it with
+            # the stage pins.
             docs = densify_ids(
                 docs,
                 id_col,
                 order_extra=["epoch"] if "epoch" in docs.columns else None,
-            )
+            ).persist()
+            if pinned is not None:
+                pinned.append(docs)
         # upsampled corpora carry an epoch column: fold it into the chunk
         # id so repeats of a doc mint distinct chunk_uids (guarded < 256
         # epochs at the mixture stage)
         has_epoch = "epoch" in docs.columns
         # uid capacity guard: chunk_uid = id * (256 if epochs) * 1e6 +
         # chunk_idx must fit int64 — hash-minted ids would WRAP and
-        # silently collide. One agg on the pinned stage frame; fail loud
-        # with the remap advice.
+        # silently collide. One agg (on the densified pin when
+        # densify_ids is set — doubling as its materialization — else on
+        # the pinned stage frame); fail loud with the remap advice.
         factor = 1_000_000 * (256 if has_epoch else 1)
         max_id = (
             docs.agg(F.max(F.abs(F.col(id_col)))).collect()[0][0] or 0

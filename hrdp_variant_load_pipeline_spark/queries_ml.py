@@ -492,10 +492,12 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     mixed = apply_mixture(clean, "lang", "doc_id", plan, salt="mixprep").drop(
         "epoch", "n_tok"
     )
-    chunks = chunk_documents(mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16)
-    # chunking keeps only the id — rejoin the stratum key (broadcast: the
-    # projected (doc_id, lang) side is tiny relative to chunk_text)
-    with_lang = chunks.join(F.broadcast(mixed.select("doc_id", "lang")), "doc_id")
+    # the stratum key rides through the explode row-locally (carry_cols)
+    # — not a corpus-cardinality rejoin (the shape ADVICE r10 flagged)
+    with_lang = chunk_documents(
+        mixed, "doc_id", "text", chunk_tokens=64, overlap_tokens=16,
+        carry_cols=["lang"],
+    )
     packed = pack_sequences(
         with_lang.withColumn(
             "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_idx")
@@ -911,16 +913,32 @@ def _warc_doc_probe(docs: DataFrame) -> DataFrame:
         _iter_warc_records,
     )
 
+    import re
+
     def batches(it):
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 url = f"http://ex.example/{doc_id}"
                 status = 404 if doc_id % 7 == 0 else 200
-                cs = "latin-1" if doc_id % 5 == 0 else "utf-8"
+                raw = text or ""
+                # total over ANY regenerated fixture text: HTML
+                # metacharacters and control whitespace are blanked (the
+                # oracle mirrors the class), the visible text is wrapped
+                # in 'x' sentinels so no trim/strip semantics are in
+                # play, and the latin-1 charset branch only fires for
+                # ASCII text (ASCII <=> octet_length == length, which
+                # the oracle can state) — non-Latin-1 text would throw
+                # in encode() otherwise
+                clean = re.sub(r"[<>&\t\n\r\f\v]", " ", raw)
+                cs = (
+                    "latin-1"
+                    if doc_id % 5 == 0 and raw.isascii()
+                    else "utf-8"
+                )
                 html = (
                     '<html><head><script>var t="WARC/1.0\r\n\r\ntrap";'
-                    f"</script></head><body><p>{text}</p>\r\n\r\n"
+                    f"</script></head><body><p>x{clean}x</p>\r\n\r\n"
                     "<p>tail</p></body></html>"
                 ).encode(cs)
                 http = (
@@ -944,7 +962,7 @@ def _warc_doc_probe(docs: DataFrame) -> DataFrame:
                             ("WARC-Target-URI", url + "#text"),
                             ("Content-Type", "text/plain"),
                         ],
-                        text.encode("utf-8"),
+                        raw.encode("utf-8"),
                     )
                 )
                 recs = [
@@ -981,12 +999,11 @@ def _warc_fixture_dir() -> str:
     Literal contents; the battery pins its summary to literal constants:
     3 response records, payload bytes 17+27+12=56, status sum 804."""
     import gzip as _gzip
+    import hashlib
     import os
+    import shutil
     import tempfile
 
-    final = os.path.join(tempfile.gettempdir(), "graft_warc_fixture_v1")
-    if os.path.isdir(final):
-        return final
     resp = []
     for url, status, body in [
         ("http://fx.example/a", 200, b"<p>alpha beta</p>"),
@@ -1012,20 +1029,30 @@ def _warc_fixture_dir() -> str:
         [("WARC-Type", "request"), ("WARC-Target-URI", "http://fx.example/a")],
         b"GET /a HTTP/1.1\r\n\r\n",
     )
+    plain = resp[0] + resp[1] + req  # request filtered by default
+    # nested dir exercises the recursive glob; one gzip member PER record
+    # (the standard .warc.gz layout), final member truncated mid-stream.
+    # mtime=0 pins the gzip header so the content hash below is stable.
+    member_c = _gzip.compress(resp[2], mtime=0)
+    member_d = _gzip.compress(resp[3], mtime=0)
+    gz = member_c + member_d[: len(member_d) // 2]
+    # cache keyed by CONTENT, not a hand-bumped version tag: editing any
+    # record body invalidates automatically (a stale named cache would
+    # silently keep serving old bytes against the new oracle constants)
+    key = hashlib.md5(plain + gz).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"graft_warc_fixture_{key}")
+    if os.path.isdir(final):
+        return final
     tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
     os.makedirs(os.path.join(tmp, "sub"), exist_ok=True)
     with open(os.path.join(tmp, "plain.warc"), "wb") as f:
-        f.write(resp[0] + resp[1] + req)  # request filtered by default
-    # nested dir exercises the recursive glob; one gzip member PER record
-    # (the standard .warc.gz layout), final member truncated mid-stream
-    member_c = _gzip.compress(resp[2])
-    member_d = _gzip.compress(resp[3])
+        f.write(plain)
     with open(os.path.join(tmp, "sub", "crawl.warc.gz"), "wb") as f:
-        f.write(member_c + member_d[: len(member_d) // 2])
+        f.write(gz)
     try:
         os.rename(tmp, final)  # atomic: concurrent builders race safely
     except OSError:
-        pass
+        shutil.rmtree(tmp, ignore_errors=True)  # loser cleans up
     return final
 
 
@@ -1062,12 +1089,17 @@ def _warc_fixture_dir() -> str:
              'http://ex.example/' || doc_id AS warc_url,
              CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS warc_status,
              'text/html; charset='
-               || CASE WHEN doc_id % 5 = 0 THEN 'latin-1' ELSE 'utf-8' END
+               || CASE WHEN doc_id % 5 = 0
+                        AND octet_length(coalesce(text, '')::BLOB)
+                            = length(coalesce(text, ''))
+                       THEN 'latin-1' ELSE 'utf-8' END
                AS warc_ctype,
-             octet_length(text::BLOB)::BIGINT AS warc_conv_len,
+             octet_length(coalesce(text, '')::BLOB)::BIGINT AS warc_conv_len,
              2 AS warc_n_records,
              {_WARC_RESP_OFFSET}::BIGINT AS warc_resp_offset,
-             trim(text) || ' tail' AS warc_text
+             'x' || regexp_replace(coalesce(text, ''),
+                                   '[<>&\t\n\r\f\v]', ' ', 'g')
+                 || 'x tail' AS warc_text
       FROM documents)
     SELECT base.*, frames.n_sampled_frames, frames.frame_idx_sum,
            warc.warc_url, warc.warc_status, warc.warc_ctype,

@@ -204,3 +204,46 @@ def test_declared_charset_drives_decoding(spark, tmp_path):
     )
     t = {r["url"]: r["text"] for r in forced.collect()}["http://l1.example/"]
     assert "�" in t and "motif" in t
+
+
+def test_warc_doc_probe_total_over_adversarial_texts(spark):
+    """The driver battery's per-doc WARC roundtrip must be TOTAL over any
+    regenerated documents fixture: unicode (non-Latin-1) text, empty
+    text, null text, and HTML metacharacters must neither throw inside
+    mapInPandas nor diverge from the oracle's closed form (review r11:
+    the first version encoded latin-1 unconditionally for doc_id%5==0
+    and let '<' open a tag)."""
+    import re
+
+    from hrdp_variant_load_pipeline_spark.queries_ml import _warc_doc_probe
+    from hrdp_variant_load_pipeline_spark.sources.warc import html_to_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain ascii words"),          # %5==0 -> latin-1 branch
+            (5, "euro € and CJK 漢"),  # %5==0 but NOT ascii -> utf-8
+            (7, ""),                            # empty text, 404 branch
+            (10, None),                         # null text
+            (3, "a <script>alert(1)</script> & b\tc"),  # metachars + tab
+        ],
+        "doc_id long, text string",
+    )
+    out = html_to_text(
+        _warc_doc_probe(docs), payload_col="payload", out_col="warc_text",
+        content_type_col="warc_ctype",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+
+    def expect_text(t):
+        return "x" + re.sub(r"[<>&\t\n\r\f\v]", " ", t or "") + "x tail"
+
+    for i, t in [(0, "plain ascii words"), (5, "euro € and CJK 漢"),
+                 (7, ""), (10, None), (3, "a <script>alert(1)</script> & b\tc")]:
+        assert rows[i]["warc_text"] == expect_text(t), (i, rows[i]["warc_text"])
+    assert rows[0]["warc_ctype"].endswith("charset=latin-1")
+    assert rows[5]["warc_ctype"].endswith("charset=utf-8")  # ascii gate
+    assert rows[7]["warc_status"] == 404 and rows[7]["warc_conv_len"] == 0
+    assert rows[10]["warc_conv_len"] == 0
+    assert rows[5]["warc_conv_len"] == len("euro € and CJK 漢".encode())
+    assert all(r["warc_n_records"] == 2 for r in rows.values())
