@@ -9,7 +9,9 @@ pinned threads, best-of-2, hard timeout). Prints one JSON line.
 The claim under test: every floor-bound sf1 ratio shrinks or flips as
 data grows (DuckDB's advantage is fixed-cost, not algorithmic).
 
-Usage: python tools/sf10_bench.py [SF10_DIR] [DUCK_TIMEOUT_S]
+Usage: python tools/sf10_bench.py [SF10_DIR] [DUCK_TIMEOUT_S] [ROW,ROW,...]
+(third arg overrides the default row set — used to extend the pinned
+table to the full headline set without re-running the first batch)
 """
 
 from __future__ import annotations
@@ -41,23 +43,40 @@ ROWS = [
 # same map as bench.py for the rows it carries; additions here
 QUERY_TABLES = {
     "q1_pricing_summary": ["lineitem"],
+    "q3_shipping_priority": ["customer", "orders", "lineitem"],
     "q5_nation_volume": [
         "region", "nation", "customer", "supplier", "orders", "lineitem",
     ],
     "scan_filter_project": ["lineitem"],
     "join_semi_anti_tagged": ["customer", "orders"],
     "insert_if_absent": ["lineitem"],
+    "window_battery": ["lineitem"],
+    "agg_distinct_battery": ["lineitem"],
+    "grouping_sets_battery": ["lineitem"],
+    "events_tumbling_counts": ["events"],
+    "events_sessionize": ["events"],
+    "events_asof_last_purchase": ["events"],
+    "text_token_stats": ["documents"],
     "text_doc_profile": ["documents"],
+    "dedup_exact": ["documents"],
     "dedup_minhash_lsh": ["documents"],
     "dedup_clusters": ["documents"],
+    "corpus_clean_pipeline": ["documents"],
     "corpus_stats_battery": ["documents"],
     "embedding_cosine_topk": ["embeddings"],
+    "embedding_ivf_topk": ["embeddings"],
 }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf10"
     duck_timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
+    rows = ROWS
+    if len(sys.argv) > 3:
+        rows = [r for r in sys.argv[3].split(",") if r]
+        unknown = set(rows) - set(QUERY_TABLES)
+        if unknown:
+            raise SystemExit(f"unknown rows: {sorted(unknown)}")
 
     import duck_bench
 
@@ -70,7 +89,7 @@ def main() -> None:
     spark = get_spark("sf10-bench")
     queries = entrymod.queries()
     spark_times: dict[str, float] = {}
-    for name in ROWS:
+    for name in rows:
         fn = queries[name]
         tune_for_tables(spark, sf_dir, QUERY_TABLES.get(name))
         best = None
@@ -89,7 +108,7 @@ def main() -> None:
     spark.stop()
 
     duck = duck_bench.run(
-        sf_dir, ROWS, entrymod.oracle_sql(), timeout=duck_timeout
+        sf_dir, rows, entrymod.oracle_sql(), timeout=duck_timeout
     )
     out = {
         "metric": "sf10_crossover",
