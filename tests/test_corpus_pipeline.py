@@ -480,3 +480,37 @@ def test_warc_chain_densify_ids_unlocks_chunk_export(spark, tmp_path):
     }
     assert len(pairs) == 6
     assert [p[1] for p in sorted(pairs)] == sorted(src_ids)
+
+
+def test_language_major_struct_key_jsonl_export(spark, tmp_path):
+    """The r11 struct shard key (part_col, bin_id) must survive the gzip
+    JSONL export path: range partitioning and within-file ordering work
+    on the struct, and it serializes as a JSON object per row."""
+    import glob
+    import gzip
+    import json
+
+    out_dir = str(tmp_path / "shards")
+    res = run_corpus_pipeline(
+        spark,
+        {
+            "input": {"format": "parquet",
+                      "path": f"{SF_DIR}/documents.parquet"},
+            "chunk": {"chunk_tokens": 64, "overlap_tokens": 16},
+            "pack": {"max_tokens": 256},
+            "output": {"dir": out_dir, "n_shards": 2, "format": "jsonl"},
+        },
+    )
+    rows = []
+    for f in glob.glob(f"{out_dir}/*.json.gz"):
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == res.packed.count() > 0
+    ks = rows[0]["shard_key"]
+    assert isinstance(ks, dict) and set(ks) == {"part", "bin"}
+    # language-major: within each file, keys are sorted part-first
+    for f in glob.glob(f"{out_dir}/*.json.gz"):
+        with gzip.open(f, "rt") as fh:
+            parsed = [json.loads(line)["shard_key"] for line in fh]
+        keys = [(p["part"], p["bin"]) for p in parsed]
+        assert keys == sorted(keys), f
