@@ -94,19 +94,17 @@ def densify_ids(
     bucket, per-bucket ``row_number`` — no global single-partition
     window), with offsets broadcast back as one array literal — the
     zipWithIndex algorithm expressed in DataFrame ops. Deterministic
-    for a given id set. Ids should be unique (run after dedup) unless
-    ``order_extra`` disambiguates; null ids are rejected loudly;
-    duplicate (id, *order_extra) keys rank arbitrarily among
-    themselves.
+    for a given id set. Null ids are rejected loudly.
 
     ``orig_col`` (default ``{id_col}_src``) preserves the original id
     for provenance joins; pass ``orig_col=""`` to drop it.
 
-    ``order_extra`` appends tie-break columns to the WITHIN-BUCKET rank
-    order (e.g. the epoch column of an upsampled corpus, where the same
-    id repeats once per epoch and each copy must rank deterministically);
-    bucketing itself keys on the id alone, so tied ids never straddle a
-    bucket boundary.
+    Ids should be unique (run after dedup) unless ``order_extra``
+    appends tie-break columns to the within-bucket rank order (e.g. the
+    epoch column of an upsampled corpus, where the same id repeats once
+    per epoch); bucketing itself keys on the id alone, so tied ids never
+    straddle a bucket boundary, and remaining duplicate
+    (id, *order_extra) keys rank arbitrarily among themselves.
 
     Two jobs, like RDD ``zipWithIndex`` — but unlike zipWithIndex the
     second job does NOT trust the first job's physical partitioning to

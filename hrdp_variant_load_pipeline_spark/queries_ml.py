@@ -832,8 +832,6 @@ def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
     # PROBE, not the build.
     import hashlib
     import os
-    import shutil
-    import tempfile
 
     from hrdp_variant_load_pipeline_spark.operators.ann_store import (
         append_ivf_batch,
@@ -849,14 +847,9 @@ def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
     key = hashlib.md5(
         f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:v1".encode()
     ).hexdigest()[:16]
-    store = os.path.join(tempfile.gettempdir(), f"graft_ann_store_{key}")
-    if not os.path.isdir(store):
-        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
-        append_ivf_batch(e, cents, tmp)
-        try:
-            os.rename(tmp, store)
-        except OSError:  # concurrent builder won the race
-            shutil.rmtree(tmp, ignore_errors=True)
+    store = _cached_tmp_dir(
+        f"graft_ann_store_{key}", lambda tmp: append_ivf_batch(e, cents, tmp)
+    )
     return ivf_store_topk(
         spark,
         store,
@@ -877,6 +870,30 @@ def embedding_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
 # _split_http_payload, then the html_to_text operator for charset-aware
 # extraction). If framing ever regressed to blank-line/magic splitting,
 # every parsed column here would shear off the trap and hash-mismatch.
+
+def _cached_tmp_dir(key: str, build) -> str:
+    """Write-once /tmp fixture cache shared by the WARC fixture and the
+    ANN store gate: ``build(tmp_dir)`` populates a scratch dir which is
+    atomically renamed to the key-derived path; concurrent builders race
+    safely (the loser cleans up its scratch). ``key`` must encode the
+    CONTENT (hash of bytes / source-file stats), never a hand-bumped
+    tag — a stale named cache silently serves old bytes against new
+    oracle constants."""
+    import os
+    import shutil
+    import tempfile
+
+    final = os.path.join(tempfile.gettempdir(), key)
+    if os.path.isdir(final):
+        return final
+    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # concurrent builder won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
 
 _WINFO_BODY = b"software: graft-crawler/1.0\r\n"
 _WINFO_REC = (
@@ -1001,8 +1018,6 @@ def _warc_fixture_dir() -> str:
     import gzip as _gzip
     import hashlib
     import os
-    import shutil
-    import tempfile
 
     resp = []
     for url, status, body in [
@@ -1040,20 +1055,15 @@ def _warc_fixture_dir() -> str:
     # record body invalidates automatically (a stale named cache would
     # silently keep serving old bytes against the new oracle constants)
     key = hashlib.md5(plain + gz).hexdigest()[:16]
-    final = os.path.join(tempfile.gettempdir(), f"graft_warc_fixture_{key}")
-    if os.path.isdir(final):
-        return final
-    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
-    os.makedirs(os.path.join(tmp, "sub"), exist_ok=True)
-    with open(os.path.join(tmp, "plain.warc"), "wb") as f:
-        f.write(plain)
-    with open(os.path.join(tmp, "sub", "crawl.warc.gz"), "wb") as f:
-        f.write(gz)
-    try:
-        os.rename(tmp, final)  # atomic: concurrent builders race safely
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # loser cleans up
-    return final
+
+    def build(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "sub"), exist_ok=True)
+        with open(os.path.join(tmp, "plain.warc"), "wb") as f:
+            f.write(plain)
+        with open(os.path.join(tmp, "sub", "crawl.warc.gz"), "wb") as f:
+            f.write(gz)
+
+    return _cached_tmp_dir(f"graft_warc_fixture_{key}", build)
 
 
 # --------------------------------------------------------------- multimodal
