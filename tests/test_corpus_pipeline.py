@@ -514,3 +514,59 @@ def test_language_major_struct_key_jsonl_export(spark, tmp_path):
             parsed = [json.loads(line)["shard_key"] for line in fh]
         keys = [(p["part"], p["bin"]) for p in parsed]
         assert keys == sorted(keys), f
+
+
+def test_upsampled_epochs_with_densify_ids(spark, tmp_path):
+    """epoch x densify interaction (untested until r11): an upsampled
+    corpus repeats each doc once per epoch, so densify ranks on
+    (id, epoch) ties — every (doc, epoch) copy must mint its own dense
+    id, chunk_uids stay unique through the 256x epoch fold, and the
+    provenance column maps every dense id back to its wide source id."""
+    docs_dir = str(tmp_path / "docs")
+    # wide (hash-minted-shaped) ids force the densify path
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id") * F.lit(2**40) + 7
+    ).write.parquet(docs_dir)
+    zh_tokens = (
+        spark.read.parquet(docs_dir)
+        .filter(F.col("lang") == "zh")
+        .select(F.sum(F.size(F.split("text", r"\s+"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    out_dir = str(tmp_path / "shards")
+    cfg = {
+        "input": {"format": "parquet", "path": docs_dir},
+        "mixture": {
+            "weights": {"zh": 1.0},
+            "total_tokens": int(zh_tokens * 2.5),
+            "allow_upsample": True,
+        },
+        "chunk": {"chunk_tokens": 64, "overlap_tokens": 0,
+                  "densify_ids": True},
+        "pack": {"max_tokens": 256},
+        "output": {"dir": out_dir, "n_shards": 2},
+    }
+    # without densify the wide ids must fail loud at the uid guard
+    no_densify = {**cfg, "chunk": {"chunk_tokens": 64, "overlap_tokens": 0}}
+    with pytest.raises(ValueError, match="densify_ids"):
+        run_corpus_pipeline(spark, no_densify)
+    res = run_corpus_pipeline(spark, cfg)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res.counts["chunks_packed"] > 0
+    # unique uids across all epoch copies
+    assert back.select("chunk_uid").distinct().count() == back.count()
+    # epoch path exports the folded id as __cid = dense*256 + epoch;
+    # provenance: every folded id maps 1:1 to ONE wide source id, and
+    # some wide id appears under >=2 folded ids (its epoch copies)
+    pairs = back.select("__cid", "doc_id_src").distinct().collect()
+    cid_to_src = {}
+    for r in pairs:
+        cid_to_src.setdefault(r["__cid"], set()).add(r["doc_id_src"])
+    assert all(len(v) == 1 for v in cid_to_src.values())
+    src_counts: dict = {}
+    for v in cid_to_src.values():
+        (s,) = v
+        src_counts[s] = src_counts.get(s, 0) + 1
+    assert any(c >= 2 for c in src_counts.values())
+    assert all(s >= 2**40 for s in src_counts)
+    res.unpersist_all()
