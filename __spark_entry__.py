@@ -2,8 +2,10 @@
 
 ``entry`` runs the flagship query at sf0.001; ``queries`` exposes every
 implemented operator from SURVEY.md §2 (plus the training-data extensions);
-``oracle_sql`` gives the DuckDB-equivalent SQL for each (omitted only for
-the Structured Streaming entry, which is not SQL-expressible).
+``oracle_sql`` gives the DuckDB-equivalent SQL for each — including the
+Structured Streaming entries, whose outputs over the finite fixture are
+deterministic batch relations (complete-mode agg, single-micro-batch
+update totals, keys-only dedup).
 """
 
 from __future__ import annotations

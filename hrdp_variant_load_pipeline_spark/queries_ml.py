@@ -1297,10 +1297,23 @@ def bucketed_store_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- streaming
-# Structured Streaming variant of events_tumbling_counts; no SQL oracle
-# (driver records the weaker rows-only check). Uses the file stream source
-# with a memory sink, drained synchronously.
-@q("streaming_tumbling_counts", None)
+# Structured Streaming variant of events_tumbling_counts. Uses the file
+# stream source with a memory sink, drained synchronously. The oracle is
+# valid because the input is finite and the sink runs in COMPLETE mode:
+# once processAllAvailable() returns, the memory table holds exactly the
+# batch aggregate over the whole fixture — the same relation the batch
+# twin (events_tumbling_counts) computes, here with the window start
+# formatted as a string. Pinned value-equal to the batch twin in
+# tests/test_streaming_batch_equivalence.py as well.
+@q(
+    "streaming_tumbling_counts",
+    """
+    SELECT strftime(make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value)::DOUBLE, 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
 def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import uuid
@@ -1339,9 +1352,21 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
-# arbitrary per-key state via applyInPandasWithState (§2.10 extension);
-# rows-only check — group-state semantics are not SQL-expressible
-@q("streaming_stateful_totals", None)
+# arbitrary per-key state via applyInPandasWithState (§2.10 extension).
+# The oracle is valid because the fixture is ONE parquet file and the file
+# stream source (no maxFilesPerTrigger) ingests all available files in a
+# single micro-batch: UPDATE mode then emits each user exactly once, with
+# the final running total — i.e. the plain batch GROUP BY. The general
+# group-state semantics (per-batch emission across many batches) stay
+# covered by tests/test_streaming_batch_equivalence.py.
+@q(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value)::DOUBLE, 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import uuid
@@ -1371,11 +1396,15 @@ def streaming_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # streaming exact-dedup (streaming/stateful.py dedup_stream,
-# dropDuplicatesWithinWatermark); rows-only check — the emitted row per key
-# is first-arrival-wins, so only the KEY columns are projected (the winning
-# row's other fields depend on partition order). Row count is deterministic:
-# one row per distinct (user_id, event_type).
-@q("streaming_dedup_events", None)
+# dropDuplicatesWithinWatermark); the emitted row per key is
+# first-arrival-wins, so only the KEY columns are projected (the winning
+# row's other fields depend on partition order). With keys-only
+# projection the result IS SQL-expressible: exactly one row per distinct
+# (user_id, event_type), regardless of batching or arrival order.
+@q(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
 def streaming_dedup_events(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import uuid
