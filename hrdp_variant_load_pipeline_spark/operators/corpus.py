@@ -115,6 +115,15 @@ def densify_ids(
     result equals the global id-order rank under ANY ordered disjoint
     bucketization, so it is deterministic even if the sampled ranges
     shift between runs.
+
+    **Determinism precondition**: the input must produce the IDENTICAL
+    id multiset in both jobs — read from an immutable snapshot (parquet,
+    a pinned/checkpointed frame), never from a nondeterministic source
+    (upstream ``monotonically_increasing_id``, files mutated between
+    jobs, a live stream). Drift is not silent: job 2 cross-checks each
+    bucket's row count against the job-1 stats and raises mid-plan on
+    overflow — the direction that would otherwise mint colliding dense
+    ids (a shrunk bucket merely leaves a gap, keeping ids unique).
     """
     if orig_col is None:
         orig_col = f"{id_col}_src"
@@ -177,7 +186,28 @@ def densify_ids(
     )
     order_cols = [id_col] + list(order_extra or [])
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
-    dense = (F.row_number().over(w) - 1 + off).cast("long")
+    # drift guard (see docstring): a bucket ranking MORE rows than job 1
+    # counted means the source changed between jobs and offsets would
+    # collide — fail loud row-locally, no extra job
+    n_in_bucket = F.element_at(
+        F.array(*[F.lit(int(r["n"])).cast("long") for r in stats]),
+        F.col("__bucket") + 1,
+    )
+    rn = F.row_number().over(w)
+    rn = F.when(
+        rn > n_in_bucket,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "densify_ids: input changed between the stats and rank "
+                    "jobs (bucket overflow at id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit("); read from an immutable snapshot"),
+            )
+        ).cast("int"),
+    ).otherwise(rn)
+    dense = (rn - 1 + off).cast("long")
     cols = [dense.alias(id_col)] + [F.col(c) for c in keep]
     if orig_col:
         cols.append(F.col(id_col).alias(orig_col))

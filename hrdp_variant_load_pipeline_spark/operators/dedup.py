@@ -132,8 +132,14 @@ def shingle_sets(
 
 
 def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
-    """Candidate pairs sharing ≥1 shingle with exact Jaccard over the
-    distinct-shingle sets."""
+    """Candidate pairs sharing ≥1 shingle, with Jaccard over df-pruned
+    shingle sets: ``n_shared`` counts only shingles with document
+    frequency ≤ ``max_df`` while the union denominator uses the
+    UNFILTERED set sizes, so when documents share hot shingles above
+    ``max_df`` the reported value is a LOWER BOUND on the exact Jaccard
+    (equal when ``max_df is None``). df-pruning is the standard recall/
+    cost trade: hot shingles generate O(df²) candidate pairs while
+    contributing the least similarity evidence."""
     if max_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh_j = sh.join(rare.select("shingle"), "shingle")
@@ -169,7 +175,10 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_df: int | None = 100,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold."""
+    """Near-duplicate pairs by k-gram Jaccard ≥ threshold (exact when
+    ``max_df is None``; with the default df-pruning the score is a lower
+    bound — see ``_pair_jaccard`` — so the pair list errs toward fewer,
+    higher-precision matches)."""
     sh = shingle_sets(df, id_col, text_col, k)
     return (
         _pair_jaccard(sh, max_df)

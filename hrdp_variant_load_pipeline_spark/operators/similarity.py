@@ -770,6 +770,15 @@ def incremental_topk(
     batches is EXACTLY the full recompute over the union, rank for
     rank — pinned in tests/test_kmeans_ivf.py.
 
+    Re-ingestion contract — **best version seen, not last-write-wins**:
+    replayed identical rows collapse idempotently, but if an id is
+    re-ingested with a CHANGED embedding the fold keeps the MAX cosine
+    per (query, neighbor) across versions, so a neighbor whose vector
+    moved AWAY from a query retains its old (higher) score. Callers
+    re-ingesting corrected embeddings who need last-write-wins must
+    rebuild the standing top-k (or carry a batch sequence number and
+    keep the max-seq row) instead of folding.
+
     Output schema = brute_force_topk's: (query_id, neighbor_id, cosine,
     rank).
     """

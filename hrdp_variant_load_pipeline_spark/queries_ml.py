@@ -878,16 +878,36 @@ def _cached_tmp_dir(key: str, build) -> str:
     safely (the loser cleans up its scratch). ``key`` must encode the
     CONTENT (hash of bytes / source-file stats), never a hand-bumped
     tag — a stale named cache silently serves old bytes against new
-    oracle constants."""
+    oracle constants.
+
+    Caches live under a per-user mode-0700 subdirectory whose ownership
+    and permissions are verified before trust: on a shared host the key
+    paths are predictable, and a world-writable flat /tmp layout would
+    let another local user pre-create a key and feed the bench their
+    bytes. A failed ``build`` removes its scratch dir before re-raising.
+    """
     import os
     import shutil
+    import stat
     import tempfile
 
-    final = os.path.join(tempfile.gettempdir(), key)
+    base = os.path.join(tempfile.gettempdir(), f"graft-{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid() or stat.S_IMODE(st.st_mode) & 0o077:
+        raise RuntimeError(
+            f"refusing fixture cache {base}: uid={st.st_uid} "
+            f"mode={oct(stat.S_IMODE(st.st_mode))} (expected own uid, 0700)"
+        )
+    final = os.path.join(base, key)
     if os.path.isdir(final):
         return final
-    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
-    build(tmp)
+    tmp = tempfile.mkdtemp(dir=base)
+    try:
+        build(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, final)
     except OSError:  # concurrent builder won the race

@@ -598,6 +598,29 @@ def test_densify_ids_null_and_collision_guards(spark):
         )
 
 
+def test_densify_ids_drift_guard_fails_loud(spark, tmp_path):
+    """ADVICE r11: densify_ids evaluates its input in two separate jobs
+    (stats collect, then rank); a source whose id multiset changes
+    between them would otherwise silently mint colliding dense ids. The
+    row-local bucket-overflow guard must raise instead. Drift is
+    simulated with a nondeterministic UDF that collapses every id to 0
+    once a marker file appears — touched after the stats job, before
+    the rank job."""
+    from hrdp_variant_load_pipeline_spark.operators.corpus import densify_ids
+
+    marker = str(tmp_path / "drift_marker")
+    drifting = F.udf(
+        lambda i: 0 if os.path.exists(marker) else i, "long"
+    ).asNondeterministic()
+    df = spark.range(100).select(
+        drifting("id").alias("doc_id"), F.col("id").alias("payload")
+    )
+    out = densify_ids(df, "doc_id", partitions=8)  # stats job: ids 0..99
+    open(marker, "w").close()  # rank job will see 100 copies of id 0
+    with pytest.raises(Exception, match="input changed between"):
+        out.collect()
+
+
 def test_densify_ids_stable_across_jobs_at_scale(spark):
     """Regression (r11): v1 trusted repartitionByRange to recompute the
     SAME sampled boundaries in the counts job and the ranking job; at
