@@ -458,3 +458,27 @@ def test_cli_run_corpus_warc_kill_resume_e2e(spark, tmp_path):
     got_chunks = sorted(r["chunk_text"] for r in shards.select("chunk_text").collect())
     assert got_chunks == ref_chunks
     ref.unpersist_all()
+
+
+def test_cli_146_sample_production_shape(spark, tmp_path):
+    """The reference's deployed workload shape (AppConfigure.xml:10-159):
+    one joint VCF with 146 sample columns (plus an unknown column the
+    sample-dim join must drop). The generator computes the expected
+    metrics independently while emitting lines; the drill runs gzip load,
+    restaged load, idempotent re-run, and the genic-QC fixpoint through
+    the real CLI functions (tools/vcf146_bench.py is the timed version
+    of this at 20k lines)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from vcf146_bench import N_SAMPLES, drive, sample_config
+
+    assert N_SAMPLES == 146 and len(sample_config()) == 146
+    out = drive(spark, tmp_path, n_lines=120, n_files=2)
+    assert out["all_assertions_pass"], out
+    # the unpivot fan-out really happened: ~146 detail candidates/line
+    assert out["expected"]["sample_details_entered"] > 120 * 80
+    # first QC pass repairs the loader/QC multi-allelic probe divergence
+    # (a faithful reference quirk), second is a fixpoint
+    assert out["genic_qc_fixpoint_metrics"]["genic_status_updated"] == 0
