@@ -314,6 +314,17 @@ def lm_doc_score(
     aggregate with map-side partial (a doc's grams are partition-local
     after the explode). The corpus text itself never shuffles.
 
+    Hot-path layout (r12, measured at the 100x staging): grams enter the
+    probe joins as FLAT STRINGS (``concat_ws`` with an ASCII unit
+    separator) rather than ``array<string>`` keys — string hashing beats
+    per-row array hashing in the broadcast joins — and the per-gram
+    ``ln`` is precomputed INTO the model-sized score tables on the
+    stupid-backoff path (a seen gram's relative frequency and a word's
+    discounted backstop are pure functions of the counts table), so the
+    corpus-sized side evaluates only coalesce + avg. Tokens containing
+    the 0x1F separator would alias gram boundaries; whitespace
+    tokenization upstream cannot produce them.
+
     Output: input columns + ``out_col`` (double, rounded to 6; null ONLY
     for null text — a contract downstream filters rely on: a null score
     means "no text", never "text we failed to score").
@@ -329,6 +340,15 @@ def lm_doc_score(
             f"lm_doc_score: unknown smoothing {smoothing!r} "
             "(expected 'add_k' or 'stupid_backoff')"
         )
+    # pin the counts table before deriving: ctx / V-N / seen / backstop
+    # each materialize as their OWN broadcast job, and without a pin each
+    # one re-executes the counts PLAN — a full corpus ngram pass per
+    # broadcast (~5 passes; measured as the dominant term of the 100x
+    # staging battery, not the probe joins). The checkpoint is lazy and
+    # model-sized (counts is min_count-pruned by construction): the first
+    # broadcast pays the single corpus pass, the rest read the snapshot.
+    if not counts.isStreaming:
+        counts = counts.localCheckpoint(eager=False)
     ctx = counts.groupBy(F.slice("gram", 1, n - 1).alias("__ctx")).agg(
         F.sum("count").alias("__ctx_count")
     )
@@ -340,6 +360,7 @@ def lm_doc_score(
             F.sum("count").cast("double").alias("__N"),
         )
     )
+    sep = "\x1f"
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     padded = F.concat(
         F.array(*[F.lit(bos)] * (n - 1)), words, F.array(F.lit(eos))
@@ -349,38 +370,71 @@ def lm_doc_score(
         m >= n,
         F.transform(
             F.sequence(F.lit(1), m - (n - 1)),
-            lambda i: F.slice(padded, i, n),
+            lambda i: F.concat_ws(sep, F.slice(padded, i, n)),
         ),
-    ).otherwise(F.array().cast("array<array<string>>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
-    joined = (
-        exploded.join(F.broadcast(counts), "gram", "left")
-        .join(
-            F.broadcast(ctx),
-            F.slice("gram", 1, n - 1) == F.col("__ctx"),
-            "left",
-        )
-        .crossJoin(F.broadcast(vrow))
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     if smoothing == "stupid_backoff":
+        # seen grams: ln(count / ctx_count), precomputed model-side
+        # (counts ⨝ ctx is model-sized; every gram's context is in ctx
+        # by construction, so the inner join loses nothing)
+        seen = counts.join(
+            ctx, F.slice("gram", 1, n - 1) == F.col("__ctx"), "inner"
+        ).select(
+            F.concat_ws(sep, "gram").alias("__g"),
+            F.log(F.col("count") / F.col("__ctx_count")).alias("__seen_lp"),
+        )
+        # unseen grams back off to the continuation word, discounted —
+        # also a pure function of the counts table, precomputed per word
         uni = counts.groupBy(F.element_at("gram", n).alias("__w")).agg(
             F.sum("count").alias("__w_count")
         )
-        joined = joined.join(
-            F.broadcast(uni), F.element_at("gram", n) == F.col("__w"), "left"
+        back = uni.crossJoin(vrow).select(
+            "__w",
+            F.log(
+                F.lit(alpha)
+                * (F.col("__w_count") + F.lit(add_k))
+                / (
+                    F.coalesce(F.col("__N"), F.lit(0.0))
+                    + F.lit(add_k) * F.col("__V")
+                )
+            ).alias("__back_lp"),
         )
-        backstop = (
-            F.lit(alpha)
-            * (F.coalesce(F.col("__w_count"), F.lit(0)) + F.lit(add_k))
-            / (F.coalesce(F.col("__N"), F.lit(0.0)) + F.lit(add_k) * F.col("__V"))
+        # fully-OOV words share one constant: the backstop at count 0
+        oov = vrow.select(
+            F.log(
+                F.lit(alpha)
+                * F.lit(add_k)
+                / (
+                    F.coalesce(F.col("__N"), F.lit(0.0))
+                    + F.lit(add_k) * F.col("__V")
+                )
+            ).alias("__oov_lp")
         )
-        logp = F.log(
-            F.when(
-                F.col("count").isNotNull(),
-                F.col("count") / F.col("__ctx_count"),
-            ).otherwise(backstop)
+        logp = F.coalesce("__seen_lp", "__back_lp", "__oov_lp")
+        joined = (
+            exploded.join(F.broadcast(seen), "__g", "left")
+            .join(
+                F.broadcast(back),
+                F.substring_index("__g", sep, -1) == F.col("__w"),
+                "left",
+            )
+            .crossJoin(F.broadcast(oov))
         )
     else:
+        cts = counts.select(F.concat_ws(sep, "gram").alias("__g"), "count")
+        ctxs = ctx.select(
+            F.concat_ws(sep, "__ctx").alias("__cg"), "__ctx_count"
+        )
+        joined = (
+            exploded.join(F.broadcast(cts), "__g", "left")
+            .join(
+                F.broadcast(ctxs),
+                F.substring_index("__g", sep, n - 1) == F.col("__cg"),
+                "left",
+            )
+            .crossJoin(F.broadcast(vrow))
+        )
         logp = F.log(
             (F.coalesce(F.col("count"), F.lit(0)) + F.lit(add_k))
             / (

@@ -731,8 +731,12 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     # ONE bigram explode+aggregate feeds both the LM counts and (via a
     # filter — _CS_NG_MIN >= _CS_LM_MIN) the top-rows component; two
     # ngram_counts calls would pay the corpus-wide Generate+HashAggregate
-    # twice in the same action
-    counts = ngram_counts(docs, "text", n=2, min_count=_CS_LM_MIN)
+    # twice in the same action. Lazily checkpointed so the ngtop branch
+    # of the main action reads the same snapshot lm_doc_score's internal
+    # pin materializes, instead of re-running the corpus ngram pass.
+    counts = ngram_counts(docs, "text", n=2, min_count=_CS_LM_MIN).localCheckpoint(
+        eager=False
+    )
     ng = counts.filter(F.col("count") >= _CS_NG_MIN)
     ngtop = (
         ng.select(F.array_join("gram", " ").alias("s"), F.col("count").alias("n"))
