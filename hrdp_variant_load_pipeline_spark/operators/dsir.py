@@ -175,6 +175,14 @@ def bucket_logratio(
     )
     t = _bucket_counts(target, text_col, n_buckets, salt, target_buckets_col)
     r = _bucket_counts(raw, text_col, n_buckets, salt, raw_buckets_col)
+    # pin both (≤ n_buckets rows) count frames: the t_total/r_total
+    # broadcasts below otherwise re-execute each corpus-scale counting
+    # plan a second time beside the dom-join execution (same pathology
+    # as lm_doc_score's derived broadcasts, BENCH_NOTES r12)
+    if not t.isStreaming:
+        t = t.localCheckpoint(eager=False)
+    if not r.isStreaming:
+        r = r.localCheckpoint(eager=False)
     tt = t.agg(F.sum("c").alias("t_total"))
     rt = r.agg(F.sum("c").alias("r_total"))
     b = float(n_buckets)

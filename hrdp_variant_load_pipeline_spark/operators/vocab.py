@@ -349,6 +349,39 @@ def lm_doc_score(
     # broadcast pays the single corpus pass, the rest read the snapshot.
     if not counts.isStreaming:
         counts = counts.localCheckpoint(eager=False)
+    scored = _lm_scored(
+        df, id_col, text_col, counts, n, add_k, bos, eos, out_col,
+        smoothing, alpha,
+    )
+    # pin the id-sized (id, score) aggregate: downstream consumers that
+    # evaluate the result in more than one job (perplexity thresholds ->
+    # filter is the canonical pair, plans/corpus_pipeline lm_gate) would
+    # otherwise re-run the whole exploded probe per job. Lazy, so a
+    # single-action caller pays only the snapshot write of 2 columns x
+    # O(docs) rows during the job it already runs.
+    if not scored.isStreaming:
+        scored = scored.localCheckpoint(eager=False)
+    return df.join(scored, id_col, "left")
+
+
+def _lm_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame,
+    n: int,
+    add_k: float,
+    bos: str,
+    eos: str,
+    out_col: str,
+    smoothing: str,
+    alpha: float,
+) -> DataFrame:
+    """The (id, score) aggregate plan of :func:`lm_doc_score`, pre-pin —
+    split out so the probe-join shape (model frames broadcast, corpus
+    tokens never shuffled before the doc-keyed partial agg) stays
+    directly assertable in tests/test_vocab.py after the public function
+    hides it behind the snapshot boundary."""
     ctx = counts.groupBy(F.slice("gram", 1, n - 1).alias("__ctx")).agg(
         F.sum("count").alias("__ctx_count")
     )
@@ -442,10 +475,9 @@ def lm_doc_score(
                 + F.lit(add_k) * F.col("__V")
             )
         )
-    scored = joined.groupBy(id_col).agg(
+    return joined.groupBy(id_col).agg(
         F.round(F.avg(logp), 6).alias(out_col)
     )
-    return df.join(scored, id_col, "left")
 
 
 def perplexity_buckets(

@@ -183,22 +183,48 @@ def test_lm_doc_score_pruned_counts_smooth_as_unseen(spark):
 
 
 def test_lm_doc_score_corpus_side_has_no_token_shuffle(spark):
-    """Plan guard: the counts/context/V frames are broadcast; the only
-    hash exchange is the final doc-keyed aggregate."""
+    """Plan guards, both sides of the r12 snapshot boundary: the probe
+    plan broadcasts the model frames (counts-derived scores / V-N) and
+    its only hash exchange is the doc-keyed aggregate; the public
+    function then pins that aggregate, so the OUTER plan carries no
+    Generate (the exploded probe never re-executes when a consumer runs
+    a second job, e.g. the perplexity-threshold pass)."""
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        _lm_scored,
         lm_doc_score,
         ngram_counts,
     )
 
     docs = _corpus(spark)
     counts = ngram_counts(docs, "text", n=2).localCheckpoint()
-    plan = (
+    probe = _lm_scored(
+        docs, "doc_id", "text", counts, 2, 1.0, "<s>", "</s>",
+        "lm_logprob", "stupid_backoff", 0.4,
+    )
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("BroadcastExchange") >= 2
+    # the corpus explode feeds a map-side partial aggregate BEFORE any
+    # exchange: grams collapse to one row per (doc, partition) on the
+    # map side, so the wire carries O(docs), never O(tokens). (The other
+    # hash exchanges in the plan belong to the model-sized counts
+    # derivations, not the corpus path.)
+    gen = pplan.find("Generate explode")
+    assert gen != -1
+    corpus_side = pplan[:gen]  # operators ABOVE the explode in the tree
+    agg_pos = corpus_side.rfind("HashAggregate")
+    exch_pos = corpus_side.rfind("Exchange hashpartitioning")
+    assert agg_pos != -1 and exch_pos != -1
+    # partial agg prints BELOW the exchange (closer to the Generate)
+    assert agg_pos > exch_pos
+
+    outer = (
         lm_doc_score(docs, "doc_id", "text", counts)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastExchange") >= 2
+    assert "Generate" not in outer  # probe pinned behind the snapshot
+    assert "Scan ExistingRDD" in outer
 
 
 def test_lm_stupid_backoff_matches_manual(spark):
