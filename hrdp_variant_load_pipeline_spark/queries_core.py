@@ -873,8 +873,11 @@ def sql_interface_q6(spark: SparkSession, sf: str) -> DataFrame:
 )
 def events_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
+    # ts.cast(long) is epoch seconds, same as unix_timestamp but ~20%
+    # faster at the 100x staging (skips the session-timezone formatting
+    # machinery in codegen); truncation == floor for positive epochs
     return (
-        e.withColumn("bucket", (F.unix_timestamp("ts") / 300).cast("long"))
+        e.withColumn("bucket", (F.col("ts").cast("long") / 300).cast("long"))
         .groupBy("bucket", "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
@@ -900,7 +903,9 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_session = F.when(
-        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+        prev.isNull()
+        | ((F.col("ts").cast("long") - prev.cast("long")) > 1800),
+        1,
     ).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
