@@ -761,7 +761,9 @@ def paragraph_dedup(
     eligible = F.length(F.col("__para")) >= min_chars
     keepers = (
         paras.filter(eligible)
-        .groupBy(F.md5(F.col("__para")).alias("__h"))
+        # xxhash64: content-pure grouping like md5, long key instead of
+        # 32-char hex through the agg (see repeated_span_dedup)
+        .groupBy(F.xxhash64(F.col("__para")).alias("__h"))
         .agg(
             F.min(F.struct(F.col("__doc"), F.col("__idx"))).alias("__keep")
         )
