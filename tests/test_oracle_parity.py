@@ -64,12 +64,13 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_no_oracle_query_runs(spark, name):
-    """Weaker rows-only check for non-SQL-expressible queries (mirrors the
-    driver's behavior for entries without oracle_sql)."""
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() > 0
+def test_no_oracle_query_runs(spark):
+    """Weaker rows-only check for queries without oracle_sql (mirrors the
+    driver's fallback). Since r12 EVERY registered query declares an
+    oracle, so this passes vacuously — it stays as the net that catches
+    any future no-oracle entry."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        assert QUERIES[name](spark, SF_DIR).count() > 0
 
 
 def test_entry_smoke(spark):
