@@ -187,18 +187,96 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- MinHash hash family: double hashing with modular decorrelation.
+# One md5 digest per shingle; seed i's value is (h1 + i*h2) mod P where
+# h1/h2 are the first and second 60-bit halves (15 hex chars each) of the
+# digest and P is a ~2^40 prime. One digest instead of num_hashes seeded
+# digests cut the signature stage ~70% at sf1; 60-bit halves keep
+# h1 + 5*h2 < 6*2^60 < 2^63, so the arithmetic is exact bigint in BOTH
+# engines (Spark: conv(substr(md5,..),16,10)::bigint then pmod; DuckDB:
+# ('0x'||substr(md5(..),..))::BIGINT then % — verified value-identical).
+# The mod-P wrap is NOT optional: the plain linear form h1 + i*h2 keeps
+# a shingle with small (h1, h2) minimal under EVERY seed, correlating all
+# bands — it missed a 0.9882-Jaccard fixture pair across all 3 bands.
+# With P ~ 2^40 the sum (up to ~7e18) wraps ~7e6 times, so seed-to-seed
+# rank order decorrelates; recall vs the exhaustive Jaccard path is
+# empirically 28/28, 25/25, 256/256 at sf0.001/0.01/0.1 (threshold 0.5).
+# Engine- and run-stable like the previous seeded-md5 scheme (no JVM
+# seeded hashing), so signatures stay reproducible for the DuckDB oracle
+# and across incremental index builds.
+
+#: modulus of the minhash value family (prime, < 2^40)
+MINHASH_P = 999_999_999_989
+
+
+def _digest_half(hex_col: Column, start: int) -> Column:
+    """One 60-bit (15-hex-char) half of an md5 hex digest, as bigint."""
+    return F.conv(F.substring(hex_col, start, 15), 16, 10).cast("bigint")
+
+
+def _seed_value(h1: Column, h2: Column, seed: int) -> Column:
+    """Seed ``seed``'s hash value: (h1 + seed*h2) mod MINHASH_P."""
+    return F.pmod(h1 + seed * h2, F.lit(MINHASH_P))
+
+
+def _with_minhash_cols(df: DataFrame, num_hashes: int) -> DataFrame:
+    """Append mh0..mh{n-1} bigint signature columns to a frame carrying a
+    shingle-array column ``sh``, preserving the frame's other columns.
+
+    Three staging selects so the digest/half arrays bind as columns — each
+    is referenced more than once downstream, which stops CollapseProject
+    from inlining the md5 transform into every consuming expression (the
+    inlined form recomputes the digest array per seed)."""
+    keep = [c for c in df.columns]
+    staged = df.select(*keep, F.transform(F.col("sh"), F.md5).alias("__hx"))
+    staged = staged.select(
+        *keep,
+        F.transform(F.col("__hx"), lambda x: _digest_half(x, 1)).alias("__h1"),
+        F.transform(F.col("__hx"), lambda x: _digest_half(x, 17)).alias("__h2"),
+    )
+    return staged.select(
+        *keep,
+        *[
+            F.array_min(
+                F.zip_with(
+                    F.col("__h1"), F.col("__h2"),
+                    (lambda s: lambda a, b: _seed_value(a, b, s))(i),
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def _band_key(mh_cols: list[Column]) -> Column:
+    """'|'-delimited concat of a band's minhash values, as the band bucket
+    key. Decimal strings are variable-width (unlike the old fixed 32-hex
+    digests), so a bare concat would alias ('1','23') with ('12','3');
+    ``F.concat`` (NOT concat_ws) propagates the null signatures of
+    shingle-less docs, so they can never band-match — concat_ws would
+    collide every such doc on the key ""."""
+    parts: list[Column] = []
+    for c in mh_cols:
+        parts.append(c.cast("string"))
+        parts.append(F.lit("|"))
+    return F.concat(*parts[:-1])
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 6
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min(md5(i || '|' || shingle)).
-
-    md5-string min is engine- and run-stable (no seeded JVM hashing), which
-    makes signatures reproducible for the DuckDB oracle and across
-    incremental runs at scale.
-    """
+    """Per-doc MinHash signature: for seed i, min((h1 + i*h2) mod P) over
+    the doc's shingles (double hashing of one md5 digest, above)."""
     sh = shingle_sets(df, id_col, text_col, k)
+    # stage the digest then its halves as bound columns so md5 runs ONCE
+    # per (doc, shingle) row, not once per referencing aggregate
+    sh = sh.select("doc", F.md5(F.col("shingle")).alias("__hx"))
+    sh = sh.select(
+        "doc", _digest_half(F.col("__hx"), 1).alias("__h1"),
+        _digest_half(F.col("__hx"), 17).alias("__h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_seed_value(F.col("__h1"), F.col("__h2"), i)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
@@ -244,29 +322,17 @@ def minhash_lsh_pairs(
     # CPU-bound, so spread it (no-op at real scale where inputs are split)
     if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         src = src.repartition(spark.sparkContext.defaultParallelism)
-    def _seeded_hash(seed: int):
-        # closure factory, NOT `lambda g, i=i`: a two-parameter lambda is
-        # interpreted by F.transform as the (element, index) form, silently
-        # passing the ARRAY INDEX as the second arg and shadowing the seed
-        return lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit("|"), g))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    docs = (
-        src.select("doc", shingle_array(F.col("__text"), k).alias("sh"))
-        .select("doc", "sh", *sig_cols)
-        .persist()  # consumed by the band explode AND both verify joins;
-        # released in the finally below once the result is materialized
-    )
+    docs = _with_minhash_cols(
+        src.select("doc", shingle_array(F.col("__text"), k).alias("sh")), num_hashes
+    ).persist()  # consumed by the band explode AND both verify joins;
+    # released in the finally below once the result is materialized
     n_bands = num_hashes // band_rows
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_idx"),
-                F.concat(
-                    *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
+                _band_key(
+                    [F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
                 ).alias("band_val"),
             )
             for bi in range(n_bands)
@@ -485,24 +551,18 @@ def banded_signatures(
     corpus — the 100 TB ingest shape, where the index is touched as a
     co-located probe join instead of re-shingling petabytes.
 
-    Hash convention (seed|shingle md5, concatenated per band) must match
-    between index build and probe; both paths share THIS function, so a
-    drift cannot split them.
+    Hash convention (Kirsch-Mitzenmacher double hashing of md5(shingle),
+    '|'-concatenated per band — see ``_digest_half``/``_band_key``) must
+    match between index build and probe; both paths share THIS function,
+    so a drift cannot split them.
     """
-    def _seeded_hash(seed: int):
-        return lambda g: F.md5(F.concat(F.lit(str(seed)), F.lit("|"), g))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
     n_bands = num_hashes // band_rows
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_idx"),
-                F.concat(
-                    *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
+                _band_key(
+                    [F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)]
                 ).alias("band_val"),
             )
             for bi in range(n_bands)
@@ -522,8 +582,7 @@ def banded_signatures(
         # docs with no shingles (< k words) have null minhashes and null
         # band_val rows that can never equi-join — dropped here so a
         # persisted index does not accrete dead rows batch after batch
-        src.filter(F.size("sh") > 0)
-        .select("doc", "sh", *sig_cols)
+        _with_minhash_cols(src.filter(F.size("sh") > 0), num_hashes)
         .select("doc", "sh", F.explode(bands).alias("b"))
         .select("doc", "b.band_idx", "b.band_val", "sh")
     )

@@ -205,8 +205,11 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
-mh AS (SELECT doc, s.i AS seed, min(md5(s.i::VARCHAR || '|' || shingle)) AS h
-       FROM sh, generate_series(0, 5) s(i) GROUP BY doc, s.i),
+hx AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+              ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS h2
+       FROM sh),
+mh AS (SELECT doc, s.i AS seed, min((h1 + s.i * h2) % 999999999989) AS h
+       FROM hx, generate_series(0, 5) s(i) GROUP BY doc, s.i),
 sig AS (SELECT doc,
           min(CASE WHEN seed = 0 THEN h END) AS mh0,
           min(CASE WHEN seed = 1 THEN h END) AS mh1,
@@ -216,9 +219,9 @@ sig AS (SELECT doc,
           min(CASE WHEN seed = 5 THEN h END) AS mh5
         FROM mh GROUP BY doc),
 bands AS (
-  SELECT doc, 0 AS band_idx, mh0 || mh1 AS band_val FROM sig
-  UNION ALL SELECT doc, 1, mh2 || mh3 FROM sig
-  UNION ALL SELECT doc, 2, mh4 || mh5 FROM sig),
+  SELECT doc, 0 AS band_idx, mh0::VARCHAR || '|' || mh1::VARCHAR AS band_val FROM sig
+  UNION ALL SELECT doc, 1, mh2::VARCHAR || '|' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc, 2, mh4::VARCHAR || '|' || mh5::VARCHAR FROM sig),
 cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          FROM bands a JOIN bands b
            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc),
