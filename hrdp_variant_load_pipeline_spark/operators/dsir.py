@@ -42,34 +42,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+#: modulus combining the two word hashes of a bigram bucket (prime, <2^40
+#: — the same decorrelating modulus family as operators/dedup.MINHASH_P)
+DSIR_P = 999_999_999_989
+
+
+def _word_hashes(words: Column, salt: str) -> Column:
+    """60-bit md5-prefix hash per word: int(md5(salt||w)[:15], 16)."""
+    return F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), w)), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def _buckets_from_hashes(h: Column, n_words: Column, n_buckets: int) -> Column:
+    """Unigram + bigram bucket ids from a (bound) word-hash array.
+
+    unigram bucket = h(w) mod n_buckets; bigram bucket =
+    (h(a) + 3*h(b)) mod DSIR_P mod n_buckets — exact bigint in any
+    engine (h < 2^60 so h + 3*h < 2^62). ONE md5 per word total,
+    replacing one md5 per unigram AND per joined bigram string (the
+    gram construction was the measured dominant DSIR cost).
+    """
+    uni = F.transform(h, lambda x: x % n_buckets)
+    m = F.size(h)
+    # slice(start=..., length=0) is legal, but guard like shingle_array
+    # so single-word docs produce an explicit empty bigram array
+    big = F.when(
+        n_words >= 2,
+        F.zip_with(
+            F.slice(h, 1, m - 1),
+            F.slice(h, 2, m - 1),
+            lambda a, b: ((a + 3 * b) % DSIR_P) % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, big)
+
+
 def hashed_ngram_buckets(
     text: Column, n_buckets: int, salt: str = "dsir"
 ) -> Column:
     """Hashed feature-bucket ids (WITH multiplicity — bag, not set) for a
-    doc's word unigrams + bigrams, as an ``array<long>``.
+    doc's word unigrams + bigrams, as an ``array<long>``, uni then bi.
 
-    bucket(g) = first-8-hex-chars(md5(salt || g)) mod n_buckets — the
-    same md5-prefix hash family every cross-engine operator here uses,
-    so an ANSI-SQL oracle reproduces it exactly.
+    Hash family: one 60-bit md5-prefix hash per WORD (md5(salt || w)),
+    unigram bucket = h mod n_buckets, bigram bucket =
+    (h(a) + 3*h(b)) mod DSIR_P mod n_buckets — reproducible exactly by
+    an ANSI-SQL oracle (see the dbuck CTE in queries_model.py) and by
+    ~5 lines of Python (tests/test_dsir.py).
+
+    NOTE: as a single Column expression the word-hash array is evaluated
+    ~3x per row (once per referencing slice/transform — still far
+    cheaper than per-gram digests). :func:`featurize` binds it as a
+    staged column so the hot pipeline path pays ONE digest pass.
     """
     words = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    n = F.size(words)
-    # sequence(1, 0) would infer step -1 and DESCEND (see shingle_array's
-    # guard in operators/dedup.py) — docs of < 2 words have no bigrams
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(words, bigrams)
-    return F.transform(
-        grams,
-        lambda g: F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 8), 16, 10
-        ).cast("long")
-        % n_buckets,
+    return _buckets_from_hashes(
+        _word_hashes(words, salt), F.size(words), n_buckets
     )
 
 
@@ -130,19 +161,30 @@ def featurize(
     """Attach the hashed-n-gram bucket array as a real column so ONE
     gram-construction pass can feed every downstream consumer.
 
-    Gram construction (split + bigram slice/join + per-gram md5) is the
-    measured dominant cost of the DSIR chain — ~2.2 s/pass over 50k docs
-    at sf1 vs ~0.3 s for everything else (BENCH_NOTES.md) — and the
-    naive chain pays it once for raw counts and again for scoring (plus
-    again per re-score in a weight sweep). Callers that persist the
-    featurized frame and pass ``raw_buckets_col=``/``buckets_col=`` to
-    :func:`bucket_logratio` / :func:`dsir_log_weight` pay it once.
+    Gram hashing (split + per-word md5) is the measured dominant cost of
+    the DSIR chain (BENCH_NOTES.md) — and the naive chain pays it once
+    for raw counts and again for scoring (plus again per re-score in a
+    weight sweep). Callers that persist the featurized frame and pass
+    ``raw_buckets_col=``/``buckets_col=`` to :func:`bucket_logratio` /
+    :func:`dsir_log_weight` pay it once. The word-hash array is staged
+    as a bound column here, so this path runs ONE digest pass per doc
+    (the bare :func:`hashed_ngram_buckets` Column form pays ~3).
     """
     if buckets_col in docs.columns:
         docs = docs.drop(buckets_col)
-    return docs.select(
-        "*",
-        hashed_ngram_buckets(F.col(text_col), n_buckets, salt).alias(
+    keep = docs.columns
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    staged = docs.select(*keep, words.alias("__dsir_ws"))
+    staged = staged.select(
+        *keep,
+        F.size(F.col("__dsir_ws")).alias("__dsir_n"),
+        _word_hashes(F.col("__dsir_ws"), salt).alias("__dsir_h"),
+    )
+    return staged.select(
+        *keep,
+        _buckets_from_hashes(
+            F.col("__dsir_h"), F.col("__dsir_n"), n_buckets
+        ).alias(
             buckets_col,
             # consumers validate these against their own parameters —
             # a stale/mismatched featurization fails loud, not skewed

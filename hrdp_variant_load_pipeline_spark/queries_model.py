@@ -617,15 +617,15 @@ gbits AS (
   FROM gstat),
 
 dtok AS (SELECT doc_id, lang, unnest(w) AS t, generate_subscripts(w, 1) AS i FROM gw),
-dgrams AS (
-  SELECT doc_id, lang, t AS g FROM dtok
-  UNION ALL
-  SELECT a.doc_id, a.lang, a.t || ' ' || b.t
-  FROM dtok a JOIN dtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+dwh AS (
+  SELECT doc_id, lang, i,
+         ('0x' || substr(md5('{_CS_DSIR_SALT}' || t), 1, 15))::BIGINT AS h
+  FROM dtok),
 dbuck AS (
-  SELECT doc_id, lang,
-         ('0x' || substr(md5('{_CS_DSIR_SALT}' || g), 1, 8))::BIGINT % {_CS_DSIR_B} AS b
-  FROM dgrams),
+  SELECT doc_id, lang, h % {_CS_DSIR_B} AS b FROM dwh
+  UNION ALL
+  SELECT a.doc_id, a.lang, ((a.h + 3 * b2.h) % 999999999989) % {_CS_DSIR_B} AS b
+  FROM dwh a JOIN dwh b2 ON a.doc_id = b2.doc_id AND b2.i = a.i + 1),
 dtcnt AS (SELECT b, count(*) AS c FROM dbuck WHERE lang = 'en' GROUP BY b),
 drcnt AS (SELECT b, count(*) AS c FROM dbuck GROUP BY b),
 dttot AS (SELECT coalesce(sum(c), 0)::DOUBLE AS t FROM dtcnt),

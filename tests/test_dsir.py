@@ -33,12 +33,17 @@ RAW = TARGET + [
 ]
 
 
+DSIR_P = 999_999_999_989
+
+
 def _py_buckets(text: str, salt: str = "dsir", b: int = B) -> list[int]:
     words = [w for w in text.split() if w]
-    grams = words + [f"{a} {c}" for a, c in zip(words, words[1:])]
-    return [
-        int(hashlib.md5((salt + g).encode()).hexdigest()[:8], 16) % b
-        for g in grams
+
+    def h(w: str) -> int:
+        return int(hashlib.md5((salt + w).encode()).hexdigest()[:15], 16)
+
+    return [h(w) % b for w in words] + [
+        ((h(a) + 3 * h(c)) % DSIR_P) % b for a, c in zip(words, words[1:])
     ]
 
 
