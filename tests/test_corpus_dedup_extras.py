@@ -211,6 +211,29 @@ def test_repeated_span_dedup_short_docs_and_sub_k_repeats_survive(spark):
     assert out == {1: "tiny doc", 2: "tiny doc", 3: ""}
 
 
+def test_repeated_span_anchor_is_order_sensitive(spark):
+    """Regression guard on the rot-XOR window anchor family: windows
+    that are PERMUTATIONS of each other (same word multiset, different
+    order) must not anchor together — a plain (unrotated) XOR of word
+    hashes would collide them all and falsely dedup reordered spans."""
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "zeta epsilon delta gamma beta alpha"  # reversed: same multiset
+    c = "beta alpha gamma delta zeta epsilon"  # pairwise swaps
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text
+        for r in repeated_span_dedup(docs, "doc_id", "text", k=6).collect()
+    }
+    # no two docs share an ORDERED 6-gram, so every doc must survive whole
+    assert out == {1: a, 2: b, 3: c}
+
+
 def test_span_and_paragraph_dedup_plan_shapes(spark):
     """Scale-contract guards: both corpus-wide dedups are linear chains
     of hash aggregates/joins — no cartesian product, no broadcast of a
