@@ -887,7 +887,8 @@ def repeated_span_dedup(
     # the joined window text (2.43 -> 0.76 s for the anchor stage at sf1;
     # the join-string form built a ~40-char string per window). Grouping
     # is still by CONTENT: distinct position rotations (5i mod 64,
-    # injective for i < 13) make the key order-sensitive, and a cross-
+    # injective for i < 64 since gcd(5,64)=1 — far beyond any span
+    # window) make the key order-sensitive, and a cross-
     # window collision needs the XOR of rotated word-hash diffs to cancel
     # — ≤2^-56 for random 64-bit word hashes (the worst case is a
     # rotation-periodic diff), the same negligible-collision class as
