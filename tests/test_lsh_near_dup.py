@@ -3,6 +3,7 @@ verification, recall against brute force on separable data."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark.operators.similarity import (
@@ -85,20 +86,23 @@ def test_shingle_array_short_doc_is_empty_not_error(spark):
     assert "a b c" in out[3] and len(out[3]) == 3
 
 
-def test_minhash_lsh_precision_recall_vs_exact_jaccard(spark):
-    """Quality gate against ground truth: on the driver fixture the LSH
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_minhash_lsh_precision_recall_vs_exact_jaccard(spark, sf_dir):
+    """Quality gate against ground truth: on the driver fixtures the LSH
     path must return EXACTLY the pairs the exhaustive n-gram Jaccard path
     finds at the same threshold (precision 1.0 is guaranteed by the exact
     verify stage; recall 1.0 here because every >=0.5-Jaccard pair in the
-    fixture shares a full band — a banding change that silently drops
-    recall fails this)."""
+    fixtures shares a full band — a banding OR HASH-FAMILY change that
+    silently drops recall fails this: the un-modded Kirsch-Mitzenmacher
+    form missed a 0.9882-Jaccard pair on sf0.001 across all 3 bands,
+    see the family comment in operators/dedup.py)."""
     from hrdp_variant_load_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
     from hrdp_variant_load_pipeline_spark.sources.tables import table
 
-    d = table(spark, "/root/testdata/sf0.001", "documents")
+    d = table(spark, sf_dir, "documents")
     exact = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).collect()
