@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import threading
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: serializes every registry-diff window in this module: the diff
 #: attributes "RDDs that appeared since the snapshot" to the current call,
@@ -757,35 +757,86 @@ def incremental_minhash_dedup(
                 cands.unpersist()
 
 
-def _rebuild_text(
+def _merge_removed_intervals(spans: DataFrame) -> DataFrame:
+    """Merge per-doc removal spans ``(__doc, __lo, __hi)`` (0-based piece
+    positions, inclusive) into sorted disjoint intervals
+    ``(__doc, __ivs array<struct<lo,hi>>)``.
+
+    The merge is the classic running-max window over the
+    duplication-rate-sized span set — NOT a row-local fold, so a doc
+    with millions of overlapping spans (a long fully-duplicated doc)
+    merges in O(spans) distributed work and collapses to ONE interval.
+    The window partitions by ``__doc`` and the two follow-up aggregates
+    group by ``__doc``(+run), so the whole merge costs one exchange."""
+    w = Window.partitionBy("__doc").orderBy("__lo")
+    prev_hi = F.max("__hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    run = F.sum(
+        F.when(prev_hi >= F.col("__lo") - 1, 0).otherwise(1)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        spans.withColumn("__run", run)
+        .groupBy("__doc", "__run")
+        .agg(F.min("__lo").alias("lo"), F.max("__hi").alias("hi"))
+        .groupBy("__doc")
+        .agg(F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("__ivs"))
+    )
+
+
+def _remove_pieces_rowlocal(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    kept: DataFrame,
-    piece_col: str,
+    spans: DataFrame,
+    pieces: Column,
     sep: str,
 ) -> DataFrame:
-    """Shared reassembly tail for the corpus-wide dedups: group the
-    surviving ``(__doc, __idx, piece)`` rows back into in-order text,
-    left-join onto the original frame (a doc whose every piece was
-    removed keeps an empty string), preserving all other columns."""
-    rebuilt = kept.groupBy("__doc").agg(
+    """Shared reassembly tail for the corpus-wide dedups, REMOVAL-keyed:
+    ``spans`` holds the per-occurrence piece ranges to drop
+    (``(__doc, __lo, __hi)``, 0-based inclusive — docs with nothing to
+    drop are ABSENT). Spans are merged into disjoint intervals
+    (``_merge_removed_intervals``), the original frame left-joins that
+    (typically tiny, broadcastable) frame, and the text rebuilds
+    row-locally by filtering ``pieces`` (the split expression over
+    ``text_col``) on position against the interval list.
+
+    Scale contract — this is why the tail is removal-keyed rather than
+    survivor-keyed: the previous formulation exploded EVERY piece,
+    anti-joined the corpus-sized piece set against the covered set, and
+    re-aggregated pieces into docs — document text crossed two exchanges
+    and the explode tripled the row count. Here the only corpus-side
+    work is one join whose build side holds just the docs that actually
+    lose pieces, and the rebuild is a row-local positional filter whose
+    per-piece cost is the number of merged REMOVAL RUNS in that doc
+    (1 for a fully-duplicated doc; an index-set membership test instead
+    was measured quadratic — 10 s for one 20k-token duplicated pair).
+    At a realistic duplication rate the text never crosses an exchange
+    at all (broadcast build side); worst case it crosses once. A doc
+    whose every piece is removed keeps an empty string; a null text
+    stays '' (both match the previous formulation).
+    """
+    merged = _merge_removed_intervals(spans)
+    ivs = F.coalesce(
+        F.col("__ivs"), F.array().cast("array<struct<lo:int,hi:int>>")
+    )
+    new_text = F.coalesce(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", piece_col))),
-                lambda p: p[piece_col],
+            # two-parameter lambda = (element, 0-based index) — the index
+            # form is load-bearing here, matching posexplode numbering
+            F.filter(
+                pieces,
+                lambda p, i: ~F.exists(
+                    ivs, lambda s: (i >= s["lo"]) & (i <= s["hi"])
+                ),
             ),
             sep,
-        ).alias("__new_text")
+        ),
+        F.lit(""),
     )
     out_cols = [
-        F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
-        if c == text_col
-        else F.col(c)
-        for c in df.columns
+        new_text.alias(c) if c == text_col else F.col(c) for c in df.columns
     ]
     return df.join(
-        rebuilt, df[id_col] == rebuilt["__doc"], "left"
+        merged, df[id_col] == merged["__doc"], "left"
     ).select(*out_cols)
 
 
@@ -807,34 +858,41 @@ def paragraph_dedup(
     boilerplate fragments) from deduplication — they survive everywhere,
     matching production pipelines which only dedup substantial spans.
 
-    Scale shape: two hash-keyed shuffles, both O(paragraphs) — one
-    keyed on the paragraph hash (min_by picks the canonical occurrence;
-    map-side combine applies), one keyed on the doc id to reassemble.
-    Paragraph TEXT crosses the wire once per shuffle; nothing is
-    collected, nothing is quadratic, no window over the full corpus.
+    Scale shape: hash-keyed shuffles carry (hash, doc, idx) rows ONLY —
+    paragraph text never crosses an exchange. The canonical-occurrence
+    agg is keyed on the paragraph hash (min-struct pick, map-side
+    combine); the duplicate-occurrence join is hash-keyed and returns
+    just the occurrences to REMOVE (duplication-rate-sized, not
+    corpus-sized); the rebuild is a row-local positional filter of the
+    re-split text (``_remove_pieces_rowlocal``). Nothing is collected,
+    nothing is quadratic, no window over the full corpus.
     """
-    paras = df.select(
+    occ = df.select(
         F.col(id_col).alias("__doc"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
             "__idx", "__para"
         ),
-    )
-    eligible = F.length(F.col("__para")) >= min_chars
-    keepers = (
-        paras.filter(eligible)
+    ).filter(F.length(F.col("__para")) >= min_chars).select(
         # xxhash64: content-pure grouping like md5, long key instead of
-        # 32-char hex through the agg (see repeated_span_dedup)
-        .groupBy(F.xxhash64(F.col("__para")).alias("__h"))
-        .agg(
-            F.min(F.struct(F.col("__doc"), F.col("__idx"))).alias("__keep")
-        )
-        .select("__h", "__keep.__doc", "__keep.__idx")
-        .withColumn("__keeper", F.lit(True))
+        # 32-char hex through the agg (see repeated_span_dedup); the
+        # text itself is dropped HERE, before any exchange
+        "__doc", "__idx", F.xxhash64(F.col("__para")).alias("__h")
     )
-    tagged = paras.join(
-        keepers, ["__doc", "__idx"], "left"
-    ).filter(~eligible | F.col("__keeper").isNotNull())
-    return _rebuild_text(df, id_col, text_col, tagged, "__para", sep)
+    keepers = occ.groupBy("__h").agg(
+        F.min(F.struct(F.col("__doc"), F.col("__idx"))).alias("__keep")
+    )
+    spans = (
+        occ.join(keepers, "__h")
+        .filter(
+            (F.col("__doc") != F.col("__keep.__doc"))
+            | (F.col("__idx") != F.col("__keep.__idx"))
+        )
+        .select("__doc", F.col("__idx").alias("__lo"), F.col("__idx").alias("__hi"))
+    )
+    return _remove_pieces_rowlocal(
+        df, id_col, text_col, spans,
+        F.split(F.col(text_col), F.lit(sep), -1), sep,
+    )
 
 
 def repeated_span_dedup(
@@ -861,25 +919,21 @@ def repeated_span_dedup(
     between two otherwise-different texts removes exactly those k
     tokens, not a maximal match.
 
-    Scale shape: O(tokens) end-to-end — one explode to (doc, idx, word),
-    one row-local window construction, one hash aggregate on the window
-    hash (min-struct canonical pick, map-side combine; hot boilerplate
-    windows are exactly the skew a partial agg absorbs), one join of
-    window occurrences against the repeated set, an anti-join of tokens
-    vs covered positions, and one doc-keyed reassembly (the
-    ``paragraph_dedup`` shape). Nothing is collected; nothing is
-    quadratic in docs or in occurrence count.
+    Scale shape: O(tokens) row-local work, duplication-rate-sized
+    shuffles — one row-local window construction, one hash aggregate on
+    the window hash carrying (hash, doc, start) rows only (min-struct
+    canonical pick, map-side combine; hot boilerplate windows are
+    exactly the skew a partial agg absorbs), one hash-keyed join of
+    window occurrences against the repeated set yielding just the
+    occurrences to REMOVE, then the row-local positional rebuild
+    (``_remove_pieces_rowlocal`` — document text never crosses an
+    exchange). Nothing is collected; nothing is quadratic in docs or in
+    occurrence count.
 
     Output: the input frame with ``text_col`` rewritten (survivor
     tokens in original order; covered tokens removed). Documents
     entirely covered keep an empty string.
     """
-    toks = df.select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        ).alias("__idx", "__w"),
-    )
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     # window anchor = XOR of position-rotated per-word xxhash64 values:
     # ONE xxhash64 per word (staged as a bound array column), then k
@@ -935,11 +989,9 @@ def repeated_span_dedup(
         (F.col("__doc") != F.col("__keep.__doc"))
         | (F.col("__start") != F.col("__keep.__start"))
     )
-    covered = dup_occ.select(
+    spans = dup_occ.select(
         "__doc",
-        F.explode(
-            F.sequence(F.col("__start"), F.col("__start") + (k - 1))
-        ).alias("__idx"),
-    ).distinct()
-    kept = toks.join(covered, ["__doc", "__idx"], "left_anti")
-    return _rebuild_text(df, id_col, text_col, kept, "__w", " ")
+        F.col("__start").alias("__lo"),
+        (F.col("__start") + (k - 1)).alias("__hi"),
+    )
+    return _remove_pieces_rowlocal(df, id_col, text_col, spans, words, " ")
