@@ -255,6 +255,14 @@ def test_span_and_paragraph_dedup_plan_shapes(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # removal-keyed rebuild contract: the piece explode appears
+        # exactly twice (the occurrence frame feeds the keeper agg AND
+        # the dup join; re-running the row-local explode beats pinning a
+        # corpus-sized frame) and each drops the text column before any
+        # exchange. The old survivor-keyed tail had a THIRD corpus-sized
+        # explode plus a text-bearing reassembly shuffle — a regression
+        # back to that shape fails this count.
+        assert plan.count("Generate") == 2, plan
 
 
 def test_sparse_cosine_broadcasts_query_side_only(spark):
