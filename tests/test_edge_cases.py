@@ -95,6 +95,45 @@ def test_minhash_empty_and_single_doc(spark):
     assert minhash_lsh_pairs(one, "doc_id", "text").count() == 0
 
 
+def test_minhash_signature_forms_agree(spark):
+    """The exploded-rows signature form (minhash_signatures, the public
+    per-doc API) and the array-column form the LSH/banded-index paths use
+    (_with_minhash_cols) must compute IDENTICAL mh values — a drift
+    between them would silently split a persisted banded index from a
+    probe built through the other path."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        _with_minhash_cols,
+        minhash_signatures,
+        shingle_array,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox naps near the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    agg_form = {
+        r["doc"]: tuple(r[f"mh{i}"] for i in range(6))
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    arr_form = {
+        r["doc"]: tuple(r[f"mh{i}"] for i in range(6))
+        for r in _with_minhash_cols(
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                shingle_array(F.col("text"), 3).alias("sh"),
+            ),
+            6,
+        ).drop("sh").collect()
+    }
+    assert agg_form == arr_form and len(agg_form) == 3
+
+
 def test_connected_components_chain_and_star(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
