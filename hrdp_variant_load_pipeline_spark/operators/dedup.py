@@ -556,7 +556,10 @@ def banded_signatures(
     Hash convention (Kirsch-Mitzenmacher double hashing of md5(shingle),
     '|'-concatenated per band — see ``_digest_half``/``_band_key``) must
     match between index build and probe; both paths share THIS function,
-    so a drift cannot split them.
+    so a code drift cannot split them. A PERSISTED index outlives the
+    code, though: an index written under a different hash-family version
+    (e.g. the pre-r12 seeded-md5 scheme) makes every probe miss silently
+    — after a family change, rebuild stored indexes rather than append.
     """
     n_bands = num_hashes // band_rows
     bands = F.array(
