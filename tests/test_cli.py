@@ -410,20 +410,28 @@ def test_cli_run_corpus_warc_kill_resume_e2e(spark, tmp_path):
     ]
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
 
-    # run 1: kill as soon as the first stage commits its marker
+    # run 1: kill as soon as the first stage commits its marker. stderr
+    # goes to a file so a flake under a loaded host (this test spawns two
+    # extra JVMs beside the suite's) is diagnosable from the report.
     ck = tmp_path / "ck_cli"
-    p1 = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                          stderr=subprocess.DEVNULL, cwd="/root/repo")
-    deadline = time.time() + 300
-    killed = False
-    while time.time() < deadline and p1.poll() is None:
-        if ck.is_dir() and any(ck.glob("*/_STAGE_COMMITTED.json")):
-            p1.send_signal(signal.SIGKILL)
-            killed = True
-            break
-        time.sleep(0.2)
-    p1.wait(timeout=60)
-    assert killed, "chain finished before the kill window — grow the fixture"
+    err1_path = tmp_path / "run1.stderr"
+    with open(err1_path, "wb") as err1:
+        p1 = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                              stderr=err1, cwd="/root/repo")
+        deadline = time.time() + 300
+        killed = False
+        while time.time() < deadline and p1.poll() is None:
+            if ck.is_dir() and any(ck.glob("*/_STAGE_COMMITTED.json")):
+                p1.send_signal(signal.SIGKILL)
+                killed = True
+                break
+            time.sleep(0.2)
+        p1.wait(timeout=60)
+    assert killed, (
+        "chain finished (rc=%s) or timed out before the kill window — "
+        "grow the fixture; run-1 stderr tail: %s"
+        % (p1.returncode, err1_path.read_bytes()[-2000:])
+    )
     assert p1.returncode == -signal.SIGKILL
 
     # run 2: SAME command resumes and completes
