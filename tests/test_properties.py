@@ -516,3 +516,56 @@ def test_incremental_topk_fold_equals_recompute_bulk(spark):
             map(tuple, brute_force_topk(vecs, queries, k=k).collect())
         )
         assert got == want, (n, dim, k, seed, n_batches)
+
+
+def test_remove_pieces_rowlocal_matches_python_model(spark):
+    """The removal-keyed rebuild tail (interval merge + row-local
+    positional filter) against a brute-force Python model: random texts
+    and random (possibly overlapping, unsorted) removal spans must yield
+    exactly ' '.join(tokens whose index is covered by no span)."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        _remove_pieces_rowlocal,
+    )
+
+    cases = []
+
+    @settings(max_examples=60, derandomize=True, deadline=None)
+    @given(
+        words=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+        spans=st.lists(
+            st.tuples(st.integers(0, 22), st.integers(0, 5)),
+            min_size=0,
+            max_size=8,
+        ),
+    )
+    def gen(words, spans):
+        cases.append((words, [(lo, lo + ln) for lo, ln in spans]))
+
+    gen()
+
+    rows = [(i, " ".join(w)) for i, (w, _) in enumerate(cases)]
+    span_rows = [
+        (i, lo, hi) for i, (_, spans) in enumerate(cases) for lo, hi in spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        span_rows or [(-1, 0, 0)], "__doc long, __lo int, __hi int"
+    )
+    if not span_rows:
+        spans_df = spans_df.filter(F.col("__doc") >= 0)
+    pieces = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    out = {
+        r.doc_id: r.text
+        for r in _remove_pieces_rowlocal(
+            docs, "doc_id", "text", spans_df, pieces, " "
+        ).collect()
+    }
+    for i, (words, spans) in enumerate(cases):
+        want = " ".join(
+            w
+            for j, w in enumerate(words)
+            if not any(lo <= j <= hi for lo, hi in spans)
+        )
+        assert out[i] == want, (i, words, spans)
