@@ -97,10 +97,26 @@ def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Group identical texts: (content_hash, n_docs, keeper_id)."""
+    """Group identical texts: (content_hash, n_docs, keeper_id).
+
+    ``content_hash`` is part of the public output (md5 hex, matching the
+    SQL oracle); callers that only need the SURVIVOR id set should use
+    :func:`exact_dedup_keepers`, which anchors on a long key instead."""
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivor ids of exact-text dedup (lowest id per identical text),
+    as a 1-column frame. The grouping anchor is xxhash64 — internal,
+    never exposed, so the agg/exchange key is a LONG instead of md5's
+    32-char hex (the same anchor-class swap as paragraph/span dedup)."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
 
 

@@ -345,9 +345,7 @@ def run_corpus_pipeline(
     if dd.get("exact", True):
 
         def _b_exact(docs: DataFrame) -> DataFrame:
-            canon = DD.exact_dedup_groups(docs, id_col, text_col).select(
-                F.col("keeper_id").alias(id_col)
-            )
+            canon = DD.exact_dedup_keepers(docs, id_col, text_col)
             return docs.join(canon, id_col, "left_semi")
 
         plan.append(("exact_dedup", _b_exact, True))

@@ -373,10 +373,12 @@ def corpus_clean_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("quality") >= 0.5)
     # canonical row per exact-duplicate group (lowest doc_id) via min_by
     # hash-agg, NOT a window: partial aggregation combines map-side and the
-    # shuffle carries (md5, slim struct) — the window form exchanged every
-    # kept row WITH its full text as part of the partition sort
+    # shuffle carries (hash, slim struct) — the window form exchanged every
+    # kept row WITH its full text as part of the partition sort. The anchor
+    # is xxhash64 (internal, never exposed — the oracle's md5 grouping
+    # forms the same groups), a long key instead of 32-char hex
     canon = (
-        scored.groupBy(F.md5("text").alias("__h"))
+        scored.groupBy(F.xxhash64("text").alias("__h"))
         .agg(F.min_by(F.struct("lang", "n_tok", "quality"), "doc_id").alias("c"))
         .select("c.lang", "c.n_tok", "c.quality")
     )
