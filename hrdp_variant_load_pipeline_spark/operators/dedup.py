@@ -337,9 +337,11 @@ def minhash_lsh_pairs(
     reliable = resolve_reliable(df, reliable)
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     # single-file/tiny inputs arrive as 1 partition; the shingle+md5 work is
-    # CPU-bound, so spread it (no-op at real scale where inputs are split)
-    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        src = src.repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound, so spread it at full parallelism (no-op at real scale where
+    # inputs are split; scan-estimate based, so no plan-to-RDD probe job)
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    src = spread_for_cpu(src, spark.sparkContext.defaultParallelism)
     docs = _with_minhash_cols(
         src.select("doc", shingle_array(F.col("__text"), k).alias("sh")), num_hashes
     ).persist()  # consumed by the band explode AND both verify joins;
