@@ -528,6 +528,101 @@ def redact_pii(text: Column, kinds: tuple | None = None) -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+#: C4 line-drop phrases (Raffel et al. 2020 §2.2: lines with the word
+#: "Javascript" are removed; boilerplate policy lines likewise). Matched
+#: case-insensitively as substrings of the lowercased line.
+C4_LINE_DROP_PHRASES = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+#: a line "ends in terminal punctuation" (C4: period / exclamation /
+#: question mark / closing quotation mark), allowing trailing whitespace
+_C4_TERMINAL_LINE_RE = "[.!?\"']\\s*$"
+
+#: sentence boundary ≈ terminal punct (+ optional closing quote) then
+#: whitespace; callers append one space so a final sentence counts
+_C4_SENTENCE_RE = "[.!?][\"']?\\s"
+
+
+def c4_kept_lines(
+    text: Column,
+    min_words: int = 3,
+    drop_phrases: tuple[str, ...] = C4_LINE_DROP_PHRASES,
+) -> Column:
+    """The lines of ``text`` that survive C4's line-level filters
+    (Raffel et al. 2020 §2.2, arXiv:1910.10683), as ``array<string>``
+    in original order: a line is kept iff it ends in terminal
+    punctuation, has at least ``min_words`` whitespace words, and
+    contains none of ``drop_phrases`` (case-insensitive). Row-local —
+    at 100 TB this composes into the scan like every other gate here.
+    """
+    lines = F.split(text, r"\r\n|\r|\n")
+
+    def keep(l: Column) -> Column:
+        lw = F.lower(l)
+        ok = l.rlike(_C4_TERMINAL_LINE_RE)
+        ok = ok & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+            >= min_words
+        )
+        for p in drop_phrases:
+            ok = ok & ~lw.contains(p)
+        return ok
+
+    return F.filter(lines, keep)
+
+
+def c4_clean(
+    text: Column,
+    min_words: int = 3,
+    drop_phrases: tuple[str, ...] = C4_LINE_DROP_PHRASES,
+) -> Column:
+    """``text`` rebuilt from its C4-surviving lines (newline-joined;
+    empty string when no line survives)."""
+    return F.array_join(c4_kept_lines(text, min_words, drop_phrases), "\n")
+
+
+def c4_page_rules(
+    text: Column,
+    cleaned: Column,
+    min_sentences: int = 5,
+) -> Column:
+    """C4's page-level rules over the original text and its line-cleaned
+    form (Raffel et al. 2020 §2.2): one struct of per-rule booleans
+    (True = rule PASSES) mirroring :func:`gopher_rules`'s shape:
+
+      no_brace        the page contains no '{' (code-page proxy)
+      no_lorem        no 'lorem ipsum' placeholder text (case-insensitive)
+      enough_sentences  the CLEANED text still holds >= min_sentences
+                        sentences (terminal punct + whitespace boundary;
+                        the paper's "at least 5 sentences" retention rule)
+      passes          AND of the above
+      n_sentences     the boundary count (long)
+
+    The paper's bad-word blocklist is deliberately NOT bundled — pass
+    extra phrases through ``c4_kept_lines(drop_phrases=...)`` or filter
+    upstream; shipping a word list is a policy decision, not an engine
+    default.
+    """
+    n_sent = F.regexp_count(
+        F.concat(cleaned, F.lit(" ")), F.lit(_C4_SENTENCE_RE)
+    )
+    no_brace = ~text.contains("{")
+    no_lorem = ~F.lower(text).contains("lorem ipsum")
+    enough = n_sent >= min_sentences
+    return F.struct(
+        no_brace.alias("no_brace"),
+        no_lorem.alias("no_lorem"),
+        enough.alias("enough_sentences"),
+        (no_brace & no_lorem & enough).alias("passes"),
+        n_sent.cast("long").alias("n_sentences"),
+    )
+
+
 def gopher_rules(
     text: Column,
     min_words: int = 50,

@@ -337,6 +337,26 @@ def run_corpus_pipeline(
             ),
             True,
         ))
+    if gates.get("c4") is not None:
+        # C4 line + page cleaning (Raffel et al. 2020 §2.2): rewrite each
+        # doc to its surviving lines, then drop pages failing the page
+        # rules. Config: {"min_words_per_line": 3, "min_sentences": 5,
+        # "drop_phrases": [...]} — all optional; `true` uses defaults.
+        c4cfg = gates["c4"] if isinstance(gates["c4"], dict) else {}
+        c4_mw = int(c4cfg.get("min_words_per_line", 3))
+        c4_ms = int(c4cfg.get("min_sentences", 5))
+        c4_dp = tuple(
+            c4cfg.get("drop_phrases", TXT.C4_LINE_DROP_PHRASES)
+        )
+
+        def _b_c4(docs: DataFrame) -> DataFrame:
+            cleaned = TXT.c4_clean(t, min_words=c4_mw, drop_phrases=c4_dp)
+            rules = TXT.c4_page_rules(t, cleaned, min_sentences=c4_ms)
+            return docs.filter(rules["passes"]).withColumn(
+                text_col, cleaned
+            )
+
+        plan.append(("c4_gate", _b_c4, True))
 
     # ---- 4. dedup ----------------------------------------------------
     from hrdp_variant_load_pipeline_spark.operators import dedup as DD

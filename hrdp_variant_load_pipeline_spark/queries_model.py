@@ -658,7 +658,49 @@ ccb AS (
          CASE WHEN lp < t1 THEN 'tail'
               WHEN lp < t2 THEN 'middle'
               ELSE 'head' END AS bucket
-  FROM lmsc, ccq)
+  FROM lmsc, ccq),
+
+-- C4 line + page rules (Raffel et al. 2020 §2.2): keep lines ending in
+-- terminal punctuation with >=3 words and no drop phrase; page passes
+-- when brace-free, lorem-free, and the cleaned text keeps >=5 sentences.
+-- The fixture is single-line, so both engines first reshape it the same
+-- deterministic way (sentence breaks at ' line '/' row ', a terminal
+-- period, per-doc-id trap lines) — see the Spark side.
+c4s AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (line|row) ', '.' || chr(10), 'g') || '.'
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'Please enable Javascript to continue viewing.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'if (x) {{ return; }}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'Lorem Ipsum dolor sit amet filler text.'
+                 ELSE '' END AS t
+  FROM documents),
+c4l AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\r\n|\r|\n'),
+           l -> regexp_matches(l, '[.!?"'']\s*$')
+                AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                    x -> x <> '')) >= 3
+                AND NOT contains(lower(l), 'javascript')
+                AND NOT contains(lower(l), 'terms of use')
+                AND NOT contains(lower(l), 'privacy policy')
+                AND NOT contains(lower(l), 'cookie policy')
+                AND NOT contains(lower(l), 'uses cookies')) AS kept
+  FROM c4s),
+c4 AS (
+  SELECT doc_id,
+         md5(coalesce(array_to_string(kept, chr(10)), '')) AS s,
+         len(kept)::BIGINT AS n,
+         CASE WHEN NOT contains(t, '{{')
+                   AND NOT contains(lower(t), 'lorem ipsum')
+                   AND len(regexp_extract_all(
+                         coalesce(array_to_string(kept, chr(10)), '') || ' ',
+                         '[.!?]["'']?\s')) >= 5
+              THEN 1.0 ELSE 0.0 END AS x
+  FROM c4l)
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
 UNION ALL
@@ -678,12 +720,19 @@ UNION ALL
 SELECT 'dsirpick', doc_id, NULL, NULL, round(key, 6) FROM dpick
 UNION ALL
 SELECT 'ccnet', doc_id, bucket, NULL, NULL FROM ccb
+UNION ALL
+SELECT 'c4', doc_id, s, n, x FROM c4
 """
 
 
 @q("corpus_stats_battery", _CORPUS_STATS_SQL)
 def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
-    from hrdp_variant_load_pipeline_spark.functions.text import gopher_rules
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        c4_clean,
+        c4_kept_lines,
+        c4_page_rules,
+        gopher_rules,
+    )
     from hrdp_variant_load_pipeline_spark.operators.dedup import (
         paragraph_dedup,
         repeated_span_dedup,
@@ -817,6 +866,43 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("x"),
     )
 
+    # C4 line + page rules (Raffel et al. 2020 §2.2), row-local over the
+    # same scan. The driver fixture is single-line prose with no terminal
+    # punctuation — vacuous for line rules — so the component first
+    # RESHAPES it deterministically (both engines apply the identical
+    # transform): sentence breaks at ' line '/' row ' word boundaries, a
+    # terminal period, and per-doc-id injected trap lines (a Javascript
+    # boilerplate line, a brace, a lorem-ipsum placeholder) so every rule
+    # fires on real rows. Output: md5 of the line-cleaned text, the
+    # surviving-line count, and the page verdict.
+    c4_src = F.concat(
+        F.regexp_replace(F.col("text"), " (line|row) ", ".\n"),
+        F.lit("."),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nPlease enable Javascript to continue viewing."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nif (x) { return; }")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nLorem Ipsum dolor sit amet filler text."),
+        ).otherwise(F.lit("")),
+    )
+    c4_staged = docs.select(
+        "doc_id", c4_src.alias("__t"), c4_clean(c4_src).alias("__c4")
+    )
+    c4 = c4_staged.select(
+        F.lit("c4").alias("component"),
+        F.col("doc_id").alias("k"),
+        F.md5("__c4").alias("s"),
+        F.size(c4_kept_lines(F.col("__t"))).cast("long").alias("n"),
+        F.when(
+            c4_page_rules(F.col("__t"), F.col("__c4"))["passes"], 1.0
+        ).otherwise(0.0).alias("x"),
+    )
+
     # DSIR importance weights: target = the 'en' slice, raw = whole pool;
     # scoring is row-local against the collected (model-sized) log-ratio
     # LUT, the Gumbel top-k is TakeOrderedAndProject
@@ -868,6 +954,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(lm)
         .unionByName(ccnet)
         .unionByName(goph)
+        .unionByName(c4)
         .unionByName(dsir)
         .unionByName(pick)
     )

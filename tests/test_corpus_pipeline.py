@@ -570,3 +570,43 @@ def test_upsampled_epochs_with_densify_ids(spark, tmp_path):
     assert any(c >= 2 for c in src_counts.values())
     assert all(s >= 2**40 for s in src_counts)
     res.unpersist_all()
+
+
+def test_c4_gate_cleans_lines_and_drops_pages(spark, tmp_path):
+    """The optional C4 gate (Raffel et al. 2020 §2.2): line-level cleanup
+    rewrites surviving docs to their kept lines; page rules drop brace /
+    lorem-ipsum / under-sentenced pages; the stage ticks its counter."""
+    five_ok = "\n".join(
+        f"This is a perfectly good sentence number {i}." for i in range(5)
+    )
+    rows = [
+        # survives: 5 clean sentences + one droppable line
+        (1, five_ok + "\nEnable Javascript to see this content.", "en"),
+        # dropped: brace page
+        (2, five_ok + "\nfunction f() { return; }", "en"),
+        # dropped: lorem ipsum placeholder page
+        (3, five_ok + "\nLorem ipsum dolor sit amet today.", "en"),
+        # dropped: cleaned text keeps < 5 sentences
+        (4, "Only this one line survives the cleanup.", "en"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    cfg = {
+        "input": {"format": "parquet", "path": src},
+        "normalize": False,
+        "gates": {"c4": True},
+        "dedup": {"exact": False},
+        "chunk": {"chunk_tokens": 16, "overlap_tokens": 0},
+        "pack": {"max_tokens": 64},
+        "output": {"dir": str(tmp_path / "shards"), "n_shards": 1},
+    }
+    res = run_corpus_pipeline(spark, cfg)
+    assert res.counts["ingested"] == 4
+    assert res.counts["c4_gate"] == 1
+    kept = res.docs.collect()
+    assert [r.doc_id for r in kept] == [1]
+    # the droppable Javascript line is gone; the five sentences remain
+    assert "Javascript" not in kept[0].text
+    assert kept[0].text == five_ok

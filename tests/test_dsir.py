@@ -321,3 +321,63 @@ def test_mismatched_featurize_params_fail_loud(spark, frames):
     )
     got = dsir_log_weight(hand, lr, "text", B, buckets_col="b")
     assert got.count() == raw.count()
+
+
+# ---------------------------------------------------------------- C4 rules
+def test_c4_line_rules_per_rule(spark):
+    """Each C4 line rule (Raffel et al. 2020 §2.2) in isolation: terminal
+    punctuation required, >=3 words required, drop-phrase lines removed
+    (case-insensitive), survivors keep original order."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.functions.text import c4_clean
+
+    text = "\n".join([
+        "A perfectly fine sentence.",       # kept
+        "no terminal punctuation here",     # dropped: no terminal punct
+        "Too short.",                       # dropped: < 3 words
+        "Enable JAVASCRIPT to proceed.",    # dropped: phrase (case-insens)
+        "Read our Privacy Policy today.",   # dropped: phrase
+        "Does this survive as well?",       # kept (question mark)
+        'He said "yes indeed."',            # kept (closing quote)
+        "Trailing whitespace is fine.   ",  # kept (punct before spaces)
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(c4_clean(F.col("text")).alias("c")).collect()[0].c
+    assert got.split("\n") == [
+        "A perfectly fine sentence.",
+        "Does this survive as well?",
+        'He said "yes indeed."',
+        "Trailing whitespace is fine.   ",
+    ]
+
+
+def test_c4_page_rules_per_rule(spark):
+    """Page verdicts: brace pages, lorem-ipsum pages, and under-5-sentence
+    pages fail; a clean >=5-sentence page passes; empty text is safe."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.functions.text import (
+        c4_clean,
+        c4_page_rules,
+    )
+
+    five = "\n".join(f"This is sentence number {i} right here." for i in range(5))
+    cases = [
+        (1, five, True),
+        (2, five + "\nif (x) { y(); }", False),          # brace
+        (3, five + "\nLOREM IPSUM dolor sit amet.", False),  # placeholder
+        (4, "Only one real sentence survives here.", False),  # < 5 sentences
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            c4_page_rules(F.col("text"), c4_clean(F.col("text")))["passes"].alias("p"),
+        ).collect()
+    }
+    assert got == {i: want for i, _, want in cases}
