@@ -350,10 +350,22 @@ def run_corpus_pipeline(
         )
 
         def _b_c4(docs: DataFrame) -> DataFrame:
-            cleaned = TXT.c4_clean(t, min_words=c4_mw, drop_phrases=c4_dp)
-            rules = TXT.c4_page_rules(t, cleaned, min_sentences=c4_ms)
-            return docs.filter(rules["passes"]).withColumn(
-                text_col, cleaned
+            # bind the cleaned text once: the page rules AND the rewrite
+            # both consume it, and the kept-lines filter is the stage's
+            # whole per-row cost
+            staged = docs.select(
+                "*",
+                TXT.c4_clean(t, min_words=c4_mw, drop_phrases=c4_dp).alias(
+                    "__c4_text"
+                ),
+            )
+            kept = staged.filter(
+                TXT.c4_page_rules(
+                    t, F.col("__c4_text"), min_sentences=c4_ms
+                )["passes"]
+            )
+            return kept.withColumn(text_col, F.col("__c4_text")).drop(
+                "__c4_text"
             )
 
         plan.append(("c4_gate", _b_c4, True))
