@@ -521,3 +521,78 @@ def perplexity_buckets(
         )
         .drop("__t1", "__t2")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    bag (Robertson & Zaragoza 2009), with Lucene's non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — the ranking function behind
+    retrieval-based data selection and decontamination-by-search in
+    training-data pipelines.
+
+    Scale shape: the term list is query-sized (a handful of literals),
+    so each per-term tf is a ROW-LOCAL higher-order ``filter`` over the
+    one bound token array — the corpus never explodes and never
+    shuffles. Corpus statistics (N, avgdl, per-term df) reduce to ONE
+    single-row aggregate (map-side partial, O(partitions) wire) that is
+    broadcast back; scoring is then pure row-local arithmetic inside
+    codegen. Total cost: one scan + one scalar agg, independent of
+    ``len(terms)`` in shuffle volume.
+
+    Output: input columns plus ``out_col`` (double, 0.0 for documents
+    containing no query term). Duplicate query terms are rejected —
+    they would silently double-count their contribution.
+    """
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_scores: duplicate query terms")
+    if not terms:
+        raise ValueError("bm25_scores: empty query")
+    if out_col in df.columns:
+        raise ValueError(f"bm25_scores: output column {out_col!r} already exists")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    def _is(term):
+        # single-arg lambda via a closure: a default-arg capture would
+        # change the HOF signature to (element, index)
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("__w"), _is(term))).cast("double").alias(f"__tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    staged = df.select(*df.columns, toks.alias("__w")).select(
+        *df.columns, F.size("__w").cast("double").alias("__dl"), *tf_cols
+    )
+    stats = staged.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        score = score + idf * tf * (k1 + 1.0) / denom
+    internal = [c for c in (["__dl", "__n", "__avgdl"]
+                + [f"__tf{i}" for i in range(len(terms))]
+                + [f"__df{i}" for i in range(len(terms))])]
+    return (
+        staged.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, score)
+        .drop(*internal)
+    )

@@ -476,6 +476,48 @@ _CS_DSIR_B = 64
 _CS_DSIR_K = 25
 _CS_DSIR_SALT = "dsir"
 _CS_DSIR_PICK_SALT = "dsirpick"
+# BM25 (Robertson & Zaragoza 2009; Lucene's non-negative idf) against a
+# fixed 4-term query over the word-soup — the retrieval-scoring surface
+# (decontamination-by-search / data selection). k1/b at the universal
+# defaults; floating-point association mirrored term-by-term between the
+# Spark operator and the oracle so round(.,6) hashes agree.
+_CS_BM25_TERMS = ("join", "window", "spark", "stream")
+_CS_BM25_K1 = 1.2
+_CS_BM25_B = 0.75
+
+
+def _bm25_cte(terms: tuple[str, ...], k1: float, b: float) -> str:
+    """DuckDB CTE block for the bm25 component: per-term tf via row-local
+    list_filter (mirror of the operator's higher-order filter), ONE
+    scalar-stats CTE, left-associated score sum in term order."""
+    tfs = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(terms))
+    )
+    terms_sum = "\n           + ".join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""bmw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+bmt AS (
+  SELECT doc_id, len(w)::DOUBLE AS dl,
+         {tfs}
+  FROM bmw),
+bms AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+               {dfs}
+        FROM bmt),
+bm25 AS (
+  SELECT doc_id,
+         round(0.0 + {terms_sum}, 6) AS score
+  FROM bmt, bms)"""
 
 _CORPUS_STATS_SQL = rf"""
 WITH paras AS (
@@ -700,7 +742,9 @@ c4 AS (
                          coalesce(array_to_string(kept, chr(10)), '') || ' ',
                          '[.!?]["'']?\s')) >= 5
               THEN 1.0 ELSE 0.0 END AS x
-  FROM c4l)
+  FROM c4l),
+
+{_bm25_cte(_CS_BM25_TERMS, _CS_BM25_K1, _CS_BM25_B)}
 
 SELECT 'paradedup' AS component, k, s, n, CAST(NULL AS DOUBLE) AS x FROM parad
 UNION ALL
@@ -722,6 +766,8 @@ UNION ALL
 SELECT 'ccnet', doc_id, bucket, NULL, NULL FROM ccb
 UNION ALL
 SELECT 'c4', doc_id, s, n, x FROM c4
+UNION ALL
+SELECT 'bm25', doc_id, NULL, NULL, score FROM bm25 WHERE score > 0
 """
 
 
@@ -744,6 +790,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         featurize,
     )
     from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        bm25_scores,
         build_vocab,
         lm_doc_score,
         ngram_counts,
@@ -903,6 +950,27 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(0.0).alias("x"),
     )
 
+    # BM25 against the fixed query-term bag: row-local tf over one bound
+    # token array + ONE broadcast scalar-stats row — the corpus never
+    # shuffles (operator contract, test_bm25_plan_is_shuffle_free...).
+    # Filter on the ROUNDED score so both engines apply the identical
+    # score>0 predicate.
+    bm = (
+        bm25_scores(
+            docs, "doc_id", "text", list(_CS_BM25_TERMS),
+            k1=_CS_BM25_K1, b=_CS_BM25_B,
+        )
+        .select("doc_id", F.round("bm25", 6).alias("__x"))
+        .filter(F.col("__x") > 0)
+        .select(
+            F.lit("bm25").alias("component"),
+            F.col("doc_id").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("__x").alias("x"),
+        )
+    )
+
     # DSIR importance weights: target = the 'en' slice, raw = whole pool;
     # scoring is row-local against the collected (model-sized) log-ratio
     # LUT, the Gumbel top-k is TakeOrderedAndProject
@@ -955,6 +1023,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ccnet)
         .unionByName(goph)
         .unionByName(c4)
+        .unionByName(bm)
         .unionByName(dsir)
         .unionByName(pick)
     )

@@ -377,3 +377,73 @@ def test_perplexity_buckets_tiers_nulls_and_guards(spark):
         perplexity_buckets(df.withColumn("ppl_bucket", F.lit("x")), "lp")
     with pytest.raises(ValueError, match="fracs"):
         perplexity_buckets(df, "lp", fracs=(0.7, 0.3))
+
+
+# ------------------------------------------------------------------ bm25
+def _bm25_model(docs, terms, k1=1.2, b=0.75):
+    """Brute-force Python BM25 (Robertson & Zaragoza 2009, Lucene idf)."""
+    toks = {i: [w for w in t.split() if w] for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    out = {}
+    for i, _ in docs:
+        s = 0.0
+        dl = len(toks[i])
+        for term in terms:
+            tf = toks[i].count(term)
+            df = sum(1 for w in toks.values() if term in w)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out[i] = s
+    return out
+
+
+def test_bm25_matches_python_model(spark):
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog  sat"),
+        (3, "cat cat cat"),
+        (4, "dog runs far away from the cat and the dog"),
+        (5, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["cat", "dog", "mat"]
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    want = _bm25_model(rows, terms)
+    assert got.keys() == want.keys()
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    # no query term -> exactly 0.0; k1 saturation means the two-term
+    # match (cat + rare mat, doc 1) outranks the tf-3 single-term doc 3
+    assert got[5] == 0.0
+    assert got[1] > got[3] > 0.0
+
+
+def test_bm25_guards(spark):
+    import pytest as _pt
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    df = _corpus(spark)
+    with _pt.raises(ValueError, match="duplicate"):
+        bm25_scores(df, "doc_id", "text", ["cat", "cat"])
+    with _pt.raises(ValueError, match="empty"):
+        bm25_scores(df, "doc_id", "text", [])
+    with _pt.raises(ValueError, match="already exists"):
+        bm25_scores(df, "doc_id", "text", ["cat"], out_col="text")
+
+
+def test_bm25_plan_is_shuffle_free_after_scalar_agg(spark):
+    """The scoring side must be one scan + broadcast of the 1-row stats:
+    no Exchange keyed on the corpus, no explode of the token array."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    df = _corpus(spark)
+    plan = bm25_scores(df, "doc_id", "text", ["cat", "dog"])._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
