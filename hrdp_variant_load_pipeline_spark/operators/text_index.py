@@ -1,0 +1,246 @@
+"""Persisted inverted index (term → posting list): the text-retrieval
+twin of the ANN store (`operators/ann_store.py`), for standing keyword
+search over a corpus — retrieval-based data selection and
+decontamination-by-search without rescanning 100 TB of text per query.
+
+``bm25_scores`` (operators/vocab.py) re-tokenizes the whole corpus on
+every call — right for one-shot scoring, wrong for a standing index.
+Here the postings are MATERIALIZED: each ingest batch tokenizes once,
+reduces to (term, doc) term frequencies, and appends them to a store
+CLUSTERED BY (bucket, term) — ``bucket = pmod(xxhash64(term), n)`` is an
+engine-internal routing key (never compared across engines), so each
+parquet file covers a narrow, disjoint bucket range and a probe's
+``bucket IN (...)`` filter prunes at the footer level, with the
+secondary term sort narrowing row groups further. Corpus-wide BM25
+statistics (N, Σdl) reduce to ONE long-typed row per append in a side
+store, so probes never touch the corpus at all.
+
+A probe over a fully-built index returns EXACTLY the scores
+``bm25_scores`` computes over the same corpus (pinned in
+tests/test_text_index.py): term frequencies are the same integers, the
+per-term float association mirrors the operator term-for-term, and the
+per-document sum folds contributions in query-term order (absent terms
+contribute an exact +0.0, which IEEE addition ignores), so the two
+paths agree bit-for-bit, not approximately.
+
+Scale shape: an append pays one (doc, term)-keyed aggregate plus the
+store's bucket-range shuffle — O(tokens) wire, once per batch. A probe
+reads O(postings of the probed terms): the term→bucket mapping is
+computed on a query-sized frame, df arrives from ONE tiny aggregate
+over the already-pruned postings, and the top-k is a
+TakeOrderedAndProject, never a global sort. Ids must be unique across
+appends (same contract as the ANN store); re-ingesting a doc_id
+double-counts its postings. Run ``sources.store.compact_store(spark,
+postings_dir, sort_by=["bucket", "term"])`` periodically to re-tile —
+keep term as the secondary key or row-group pruning on the term IN
+filter silently degrades (probe parity across compaction is pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hrdp_variant_load_pipeline_spark.sources.store import (
+    append_to_store,
+    read_store,
+)
+
+_POSTINGS = "postings"
+_STATS = "stats"
+_POSTINGS_SCHEMA = (
+    "bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT"
+)
+_STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT"
+
+
+def _bucket_of(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("long")
+
+
+def _tokens(text_col):
+    # the one tokenization both the index and bm25_scores share
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def append_text_index_batch(
+    docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    cluster_partitions: int | None = None,
+) -> int:
+    """Tokenize a document batch, reduce to (term, doc) postings, and
+    append them clustered by (bucket, term). Also appends the batch's
+    (n_docs, Σdl) row to the side stats store — documents with no
+    tokens produce no postings but still count toward N/avgdl, exactly
+    as ``bm25_scores`` counts them. ``n_buckets`` defines the routing
+    space and must be the same every call. Returns docs ingested."""
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _tokens(F.col(text_col)).alias("__w"),
+    ).select("doc_id", F.size("__w").cast("long").alias("dl"), "__w")
+    stats = staged.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    postings = (
+        staged.select("doc_id", "dl", F.explode("__w").alias("term"))
+        .groupBy("doc_id", "dl", "term")  # dl rides the key (functionally
+        # dependent on doc_id) so no first()-style pick is needed
+        .agg(F.count("*").alias("tf"))
+        .select(
+            _bucket_of(F.col("term"), n_buckets).alias("bucket"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+    append_to_store(
+        postings,
+        f"{store_dir}/{_POSTINGS}",
+        cluster_by=["bucket", "term"],
+        cluster_partitions=cluster_partitions,
+    )
+    spark = docs.sparkSession
+    append_to_store(
+        spark.createDataFrame(
+            [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
+            _STATS_SCHEMA,
+        ),
+        f"{store_dir}/{_STATS}",
+    )
+    return int(stats["n_docs"])
+
+
+def text_index_scores(
+    spark: SparkSession,
+    store_dir: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 of every MATCHED document against a query-term bag, reading
+    ONLY the probed terms' postings (bucket IN + term IN pushed to the
+    parquet scan) and the model-sized stats store — the corpus text is
+    never touched.
+
+    Output: (doc_id, score). Only documents containing ≥1 query term
+    appear (everything else scores an exact 0.0 under BM25) — the same
+    relation as filtering ``bm25_scores`` output to score > 0, and
+    bit-equal to it row for row (tests/test_text_index.py)."""
+    if not terms:
+        raise ValueError("text_index_scores: empty query")
+    if len(set(terms)) != len(terms):
+        raise ValueError("text_index_scores: duplicate query terms")
+    # term → (fold position, bucket): computed on a query-sized frame so
+    # the bucket function stays the engine-side xxhash64 (never
+    # reimplemented driver-side, where a drift would silently mis-route)
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "ti INT, term STRING"
+    ).select("ti", "term", _bucket_of(F.col("term"), n_buckets).alias("bucket"))
+    trows = tdf.collect()
+    needed = sorted({r["bucket"] for r in trows})
+
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(st["n"] or 0)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+    # exact avg: integer-valued doubles below 2^53, same value avg() sees
+    avgdl = float(st["s"] or 0) / float(n_docs)
+
+    post = (
+        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+        .filter(F.col("bucket").isin(needed))
+        .filter(F.col("term").isin(list(terms)))
+    )
+    # df per probed term: ONE tiny aggregate over the pruned postings
+    # (ids unique across appends ⇒ one posting per (term, doc))
+    dfs = {r["term"]: r["df"] for r in
+           post.groupBy("term").agg(F.count("*").alias("df")).collect()}
+    tmeta = spark.createDataFrame(
+        [(r["ti"], r["term"], float(dfs.get(r["term"], 0))) for r in trows],
+        "ti INT, term STRING, df DOUBLE",
+    )
+    n_lit = F.lit(float(n_docs))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    # float association mirrors bm25_scores term-for-term (vocab.py)
+    idf = F.log(1.0 + (n_lit - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))
+    contrib = (
+        post.join(F.broadcast(tmeta), "term")
+        .select(
+            "doc_id",
+            F.col("ti"),
+            (idf * tf * (k1 + 1.0) / denom).alias("__c"),
+        )
+    )
+    # fold per-term contributions in query order: bm25_scores sums terms
+    # 0..m-1 from 0.0; skipping absent terms adds an exact 0.0, which
+    # cannot change the IEEE result, so this fold is bit-equal to it
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("ti", "__c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ).alias("score")
+        )
+    )
+
+
+def text_index_topk(
+    spark: SparkSession,
+    store_dir: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Top-k retrieval over ``text_index_scores``: (doc_id, score, rank),
+    rank dense from 1 by (score desc, doc_id asc). ``k`` past the match
+    set returns just the matches. The order-by + limit lowers to a
+    TakeOrderedAndProject (per-partition heaps, never a global sort)."""
+    scored = text_index_scores(
+        spark, store_dir, terms, k1=k1, b=b, n_buckets=n_buckets
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+
+
+def describe_text_index(spark: SparkSession, store_dir: str) -> dict:
+    """Operational snapshot: corpus stats plus posting/term/file counts
+    (one metadata-scale pass over the postings; no text is read)."""
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    p = read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+    agg = p.agg(
+        F.count("*").alias("postings"),
+        F.countDistinct("term").alias("terms"),
+        F.countDistinct("bucket").alias("buckets"),
+    ).collect()[0]
+    return {
+        "n_docs": int(st["n"] or 0),
+        "sum_dl": int(st["s"] or 0),
+        "postings": int(agg["postings"]),
+        "terms": int(agg["terms"]),
+        "buckets": int(agg["buckets"]),
+    }

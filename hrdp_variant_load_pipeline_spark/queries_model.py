@@ -768,6 +768,8 @@ UNION ALL
 SELECT 'c4', doc_id, s, n, x FROM c4
 UNION ALL
 SELECT 'bm25', doc_id, NULL, NULL, score FROM bm25 WHERE score > 0
+UNION ALL
+SELECT 'bm25_idx', doc_id, NULL, NULL, score FROM bm25 WHERE score > 0
 """
 
 
@@ -971,6 +973,50 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+    # The same scores via the PERSISTED inverted index (operators/
+    # text_index.py): the driver faces the store path — bucket/term
+    # pushdown over the clustered postings + the side stats store —
+    # against the same closed-form oracle rows. The index is built once
+    # per documents fixture (atomic-rename cache keyed on source-file
+    # stats) so repeated bench runs time the PROBE, not the build; probe
+    # scores are bit-equal to bm25_scores (tests/test_text_index.py), so
+    # both arms share the oracle CTE.
+    import hashlib
+    import os
+
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        append_text_index_batch,
+        text_index_scores,
+    )
+    from hrdp_variant_load_pipeline_spark.queries_ml import _cached_tmp_dir
+
+    src = os.path.join(sf, "documents.parquet")
+    st_ = os.stat(src)
+    ikey = hashlib.md5(
+        f"{os.path.realpath(src)}:{st_.st_size}:{st_.st_mtime_ns}:v1".encode()
+    ).hexdigest()[:16]
+    store = _cached_tmp_dir(
+        f"graft_text_index_{ikey}",
+        lambda tmp: append_text_index_batch(
+            table(spark, sf, "documents").select("doc_id", "text"), tmp
+        ),
+    )
+    bmidx = (
+        text_index_scores(
+            spark, store, list(_CS_BM25_TERMS),
+            k1=_CS_BM25_K1, b=_CS_BM25_B,
+        )
+        .select("doc_id", F.round("score", 6).alias("__x"))
+        .filter(F.col("__x") > 0)
+        .select(
+            F.lit("bm25_idx").alias("component"),
+            F.col("doc_id").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("__x").alias("x"),
+        )
+    )
+
     # DSIR importance weights: target = the 'en' slice, raw = whole pool;
     # scoring is row-local against the collected (model-sized) log-ratio
     # LUT, the Gumbel top-k is TakeOrderedAndProject
@@ -1024,6 +1070,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(goph)
         .unionByName(c4)
         .unionByName(bm)
+        .unionByName(bmidx)
         .unionByName(dsir)
         .unionByName(pick)
     )

@@ -1,0 +1,135 @@
+"""Persisted inverted index (operators/text_index.py): probe parity vs
+the batch BM25 operator, pushdown + clustering contracts, compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrdp_variant_load_pipeline_spark.operators.text_index import (
+    append_text_index_batch,
+    describe_text_index,
+    text_index_topk,
+)
+from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+TERMS = ["cat", "dog", "mat"]
+
+BATCH1 = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog  sat"),
+    (3, "cat cat cat"),
+    (4, ""),  # tokenless: no postings, still counts toward N/avgdl
+]
+BATCH2 = [
+    (5, "dog runs far away from the cat and the dog"),
+    (6, "nothing relevant here"),
+    (7, "mat mat dog"),
+]
+
+
+def _ingest(spark, tmp_path):
+    store = str(tmp_path / "tix")
+    for batch in (BATCH1, BATCH2):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        append_text_index_batch(df, store, cluster_partitions=3)
+    return store
+
+
+def test_probe_is_bit_equal_to_bm25_scores(spark, tmp_path):
+    """A probe over the fully-built index returns EXACTLY what the
+    one-shot operator computes over the same corpus — same tf integers,
+    mirrored float association, in-order fold."""
+    store = _ingest(spark, tmp_path)
+    corpus = spark.createDataFrame(BATCH1 + BATCH2, "doc_id long, text string")
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(corpus, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {
+        r.doc_id: r.score
+        for r in text_index_topk(spark, store, TERMS, k=100).collect()
+    }
+    assert got == want  # bit-equal, not approximately
+    # rank: dense from 1, by (score desc, doc_id asc)
+    ranked = text_index_topk(spark, store, TERMS, k=3).collect()
+    assert [r.rank for r in ranked] == [1, 2, 3]
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r.doc_id, r.score) for r in ranked] == order
+
+
+def test_probe_pushes_bucket_filter(spark, tmp_path):
+    store = _ingest(spark, tmp_path)
+    plan = (
+        text_index_topk(spark, store, ["cat", "dog"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    ).replace("\n", " ")
+    # single-bucket probes simplify In -> EqualTo; accept either form
+    assert "In(bucket" in plan or "EqualTo(bucket" in plan, plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+    assert "PushedFilters: [" in plan, plan
+
+
+def test_postings_files_are_bucket_disjoint(spark, tmp_path):
+    """Clustering contract: each appended file covers a narrow, disjoint
+    (bucket) range so footer min/max actually prunes."""
+    store = _ingest(spark, tmp_path)
+    per_file = (
+        spark.read.parquet(f"{store}/postings")
+        .select("bucket", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 4  # 2 appends x >=2 non-empty partitions
+    spans = sorted((r.lo, r.hi, r.f) for r in per_file)
+    full = (min(r.lo for r in per_file), max(r.hi for r in per_file))
+    assert any((r.lo, r.hi) != full for r in per_file), spans
+
+
+def test_compaction_keeps_probe_parity(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.sources.store import compact_store
+
+    store = _ingest(spark, tmp_path)
+    before = [(r.doc_id, r.score) for r in
+              text_index_topk(spark, store, TERMS, k=100).collect()]
+    compact_store(spark, f"{store}/postings", sort_by=["bucket", "term"])
+    after = [(r.doc_id, r.score) for r in
+             text_index_topk(spark, store, TERMS, k=100).collect()]
+    assert sorted(before) == sorted(after)
+
+
+def test_empty_index_and_guards(spark, tmp_path):
+    store = str(tmp_path / "empty")
+    assert text_index_topk(spark, store, ["cat"]).count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        text_index_topk(spark, store, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        text_index_topk(spark, store, ["cat", "cat"])
+
+
+def test_unmatched_terms_and_small_match_set(spark, tmp_path):
+    store = _ingest(spark, tmp_path)
+    # a term absent from the corpus contributes nothing and breaks nothing
+    rows = text_index_topk(spark, store, ["mat", "zzz_absent"], k=50).collect()
+    corpus = spark.createDataFrame(BATCH1 + BATCH2, "doc_id long, text string")
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(
+            corpus, "doc_id", "text", ["mat", "zzz_absent"]
+        ).collect()
+        if r.bm25 > 0
+    }
+    assert {r.doc_id: r.score for r in rows} == want
+    assert len(rows) == len(want)  # k past the match set returns matches
+
+
+def test_describe(spark, tmp_path):
+    store = _ingest(spark, tmp_path)
+    d = describe_text_index(spark, store)
+    assert d["n_docs"] == 7
+    assert d["sum_dl"] == sum(
+        len([w for w in t.split() if w]) for _, t in BATCH1 + BATCH2
+    )
+    assert d["postings"] > 0 and d["terms"] > 0 and d["buckets"] >= 1
