@@ -245,6 +245,55 @@ _QUALITY_SQL = f"""
             (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)))
     ) AS t(rule, violations))"""
 
+# k-center greedy coreset (operators/selection.py): unrolled greedy
+# steps — each CTE folds the rounded cosine distance to the newest
+# center into the standing min, then picks argmax (d desc, id asc),
+# mirroring the operator's 6dp-rounded trajectory exactly.
+_KC_K = 4
+
+
+def _kcenter_cte(k: int) -> tuple[str, str]:
+    parts = [
+        """kcb AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+kcd0 AS (
+  SELECT b.id, b.v, b.nrm,
+         CASE WHEN b.id = s.id THEN -1.0
+              ELSE round(1.0 - list_dot_product(b.v, s.v) / (b.nrm * s.nrm), 6)
+         END AS d
+  FROM kcb b, (SELECT id, v, nrm FROM kcb ORDER BY id LIMIT 1) s)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""kcp{i} AS (SELECT id, v, d FROM kcd{i - 1}
+         ORDER BY d DESC, id LIMIT 1),
+kcd{i} AS (
+  SELECT b.id, b.v, b.nrm,
+         CASE WHEN b.id = p.id THEN -1.0
+              ELSE least(b.d,
+                round(1.0 - list_dot_product(b.v, p.v) / (b.nrm * {_norm('p.v')}), 6))
+         END AS d
+  FROM kcd{i - 1} b, kcp{i} p)"""
+        )
+    arms = ["SELECT 'kcenter' AS component, 0::BIGINT AS k, "
+            "(SELECT id FROM kcb ORDER BY id LIMIT 1)::VARCHAR AS v, "
+            "CAST(NULL AS DOUBLE) AS x"]
+    arms += [
+        f"SELECT 'kcenter', {i}, id::VARCHAR, d FROM kcp{i} WHERE d > 0"
+        for i in range(1, k)
+    ]
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def _norm(v: str) -> str:
+    return f"sqrt(list_dot_product({v}, {v}))"
+
+
+_KC_CTES, _KC_ARMS = _kcenter_cte(_KC_K)
+
 _MODEL_OPS_SQL = f"""
 WITH bpe AS (
   SELECT lang, count(*) AS n_docs,
@@ -268,7 +317,8 @@ vocab AS (
          row_number() OVER (ORDER BY tf DESC, token) AS rank
   FROM vstats ORDER BY tf DESC, token LIMIT 50),
 {_QUALITY_SQL},
-{_pq_sql()}
+{_pq_sql()},
+{_KC_CTES}
 SELECT 'bpe' AS component, n_docs AS k, lang AS v, toks::DOUBLE AS x FROM bpe
 UNION ALL
 SELECT 'uni_pieces', n_docs, lang, np::DOUBLE FROM uni
@@ -283,6 +333,8 @@ SELECT 'quality', violations::BIGINT, rule, violations::DOUBLE FROM q_rows
 UNION ALL
 SELECT 'pq', query_id * 1000 + rank, neighbor_id::VARCHAR, approx_dist
 FROM pq_r WHERE rank <= {_PQ_K}
+UNION ALL
+{_KC_ARMS}
 """
 
 
@@ -425,12 +477,31 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("approx_dist").alias("x"),
     )
 
+    # k-center greedy coreset: the trajectory is model-sized driver
+    # state (it IS the selected set), so the component re-frames it —
+    # the distributed work is the k stateless argmax scans inside the
+    # operator (one action per step, no corpus shuffle/cache/join).
+    from hrdp_variant_load_pipeline_spark.operators.selection import (
+        kcenter_greedy,
+    )
+
+    traj = kcenter_greedy(e, "vec_id", "embedding", k=_KC_K)
+    kc = spark.createDataFrame(
+        [(s, str(i), d) for s, i, d in traj], "step long, id string, d double"
+    ).select(
+        F.lit("kcenter").alias("component"),
+        F.col("step").alias("k"),
+        F.col("id").alias("v"),
+        F.col("d").alias("x"),
+    )
+
     return (
         bpe.unionByName(uni)
         .unionByName(vocab_tf)
         .unionByName(vocab_df)
         .unionByName(quality)
         .unionByName(pq_rows)
+        .unionByName(kc)
     )
 
 
