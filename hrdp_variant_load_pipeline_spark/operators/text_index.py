@@ -153,6 +153,8 @@ def text_index_scores(
         return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
     # exact avg: integer-valued doubles below 2^53, same value avg() sees
     avgdl = float(st["s"] or 0) / float(n_docs)
+    if avgdl == 0.0:  # every ingested doc tokenless -> no postings exist
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
 
     post = (
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)

@@ -578,6 +578,13 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     )
+    # avgdl = 0 only when EVERY document is tokenless (then every tf is 0
+    # and the score is identically 0); guard the ratio or ANSI mode
+    # aborts the job on the division. Association stays (b*dl)/avgdl —
+    # the oracle-mirrored order.
+    b_dl_ratio = F.when(
+        F.col("__avgdl") > 0, b * F.col("__dl") / F.col("__avgdl")
+    ).otherwise(F.lit(0.0))
     score = F.lit(0.0)
     for i in range(len(terms)):
         tf = F.col(f"__tf{i}")
@@ -586,7 +593,7 @@ def bm25_scores(
             + (F.col("__n") - F.col(f"__df{i}") + 0.5)
             / (F.col(f"__df{i}") + 0.5)
         )
-        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        denom = tf + k1 * (1.0 - b + b_dl_ratio)
         score = score + idf * tf * (k1 + 1.0) / denom
     internal = [c for c in (["__dl", "__n", "__avgdl"]
                 + [f"__tf{i}" for i in range(len(terms))]

@@ -569,3 +569,57 @@ def test_remove_pieces_rowlocal_matches_python_model(spark):
             if not any(lo <= j <= hi for lo, hi in spans)
         )
         assert out[i] == want, (i, words, spans)
+
+
+def _collect_bm25_cases(n=6):
+    cases = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+            min_size=1,
+            max_size=8,
+        ),
+        terms=st.lists(
+            st.sampled_from("abcz"), min_size=1, max_size=3, unique=True
+        ),
+    )
+    def gen(docs, terms):
+        cases.append((docs, terms))
+
+    gen()
+    return cases
+
+
+def test_bm25_matches_bruteforce_bulk(spark):
+    """bm25_scores == the textbook formula over random corpora/queries
+    (incl. empty docs and a never-present query term 'z'): exact float
+    match, zero iff no query term present."""
+    import math
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    k1, b = 1.2, 0.75
+    for docs, terms in _collect_bm25_cases():
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.bm25
+            for r in bm25_scores(df, "doc_id", "text", list(terms)).collect()
+        }
+        n = len(docs)
+        avgdl = sum(len(ws) for ws in docs) / n
+        for i, ws in enumerate(docs):
+            want = 0.0
+            for t in terms:
+                tf = ws.count(t)
+                dfreq = sum(1 for w in docs if t in w)
+                idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                ratio = b * len(ws) / avgdl if avgdl > 0 else 0.0
+                want += (
+                    idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + ratio))
+                )
+            assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+            assert (got[i] == 0.0) == all(t not in ws for t in terms)
