@@ -37,6 +37,21 @@ def _vec_literal(vec) -> str:
     return "array(" + ", ".join(f"{float(x)!r}d" for x in vec) + ")"
 
 
+def _py_norm(vec) -> float:
+    """Driver-side mirror of ``_norm_sql`` over a literal: same IEEE
+    left-fold (acc + x*x in element order, doubles throughout), so the
+    inlined literal is bit-identical to what the per-row expression
+    would compute — lambda-bearing HOFs are not constant-folded by
+    Catalyst, and re-folding a 64-term aggregate per corpus row per
+    center would double every iteration's distance work."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def kcenter_greedy(
     df: DataFrame,
     id_col: str,
@@ -75,10 +90,11 @@ def kcenter_greedy(
     centers: list[tuple[int, list]] = [(int(seed["__id"]), list(seed["__v"]))]
     for step in range(1, k):
         # min over the literal center set, computed row-locally; picked
-        # ids masked to -1 so duplicates of a center can't re-enter
+        # ids masked to -1 so duplicates of a center can't re-enter;
+        # center norms inlined as scalar literals (see _py_norm)
         dists = ", ".join(
             f"round(1.0d - {_dot_sql('__v', _vec_literal(v))} / "
-            f"(__n * {_norm_sql(_vec_literal(v))}), {_ROUND})"
+            f"(__n * {_py_norm(v)!r}d), {_ROUND})"
             for _, v in centers
         )
         picked = ", ".join(f"{cid}L" for cid, _ in centers)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_tokens
 from hrdp_variant_load_pipeline_spark.sources.store import (
     append_to_store,
     read_store,
@@ -50,16 +51,31 @@ _STATS = "stats"
 _POSTINGS_SCHEMA = (
     "bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT"
 )
-_STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT"
+# n_buckets rides every stats row: the routing modulus is a property of
+# the STORE, not of a call site — a probe recomputing buckets under a
+# different modulus would silently filter out valid postings, so probes
+# derive it from here and appends refuse a drifted value.
+_STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, n_buckets BIGINT"
 
 
 def _bucket_of(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("long")
 
 
-def _tokens(text_col):
-    # the one tokenization both the index and bm25_scores share
-    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+def _store_n_buckets(spark: SparkSession, store_dir: str) -> int | None:
+    rows = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .select("n_buckets")
+        .distinct()
+        .collect()
+    )
+    vals = sorted({int(r["n_buckets"]) for r in rows})
+    if len(vals) > 1:
+        raise ValueError(
+            f"text index at {store_dir} has mixed n_buckets {vals}; "
+            "rebuild the store"
+        )
+    return vals[0] if vals else None
 
 
 def append_text_index_batch(
@@ -70,16 +86,32 @@ def append_text_index_batch(
     n_buckets: int = 64,
     cluster_partitions: int | None = None,
 ) -> int:
-    """Tokenize a document batch, reduce to (term, doc) postings, and
-    append them clustered by (bucket, term). Also appends the batch's
-    (n_docs, Σdl) row to the side stats store — documents with no
-    tokens produce no postings but still count toward N/avgdl, exactly
-    as ``bm25_scores`` counts them. ``n_buckets`` defines the routing
-    space and must be the same every call. Returns docs ingested."""
-    staged = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        _tokens(F.col(text_col)).alias("__w"),
-    ).select("doc_id", F.size("__w").cast("long").alias("dl"), "__w")
+    """Tokenize a document batch ONCE (the staged frame is pinned with
+    ``localCheckpoint`` — batch-sized by construction — so the stats
+    aggregate and the postings append share the same tokenization pass),
+    reduce to (term, doc) postings, and append them clustered by
+    (bucket, term). Also appends the batch's (n_docs, Σdl, n_buckets)
+    row to the side stats store — documents with no tokens (including
+    NULL text) produce no postings but still count toward N/avgdl,
+    exactly as ``bm25_scores`` counts them. ``n_buckets`` is persisted
+    with the store; an append under a different modulus than earlier
+    appends is refused (it would corrupt probe routing). Returns docs
+    ingested."""
+    spark = docs.sparkSession
+    existing = _store_n_buckets(spark, store_dir)
+    if existing is not None and existing != n_buckets:
+        raise ValueError(
+            f"append_text_index_batch: store was built with "
+            f"n_buckets={existing}, got {n_buckets}"
+        )
+    staged = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            bm25_tokens(F.col(text_col)).alias("__w"),
+        )
+        .select("doc_id", F.size("__w").cast("long").alias("dl"), "__w")
+        .localCheckpoint()
+    )
     stats = staged.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
@@ -102,10 +134,9 @@ def append_text_index_batch(
         cluster_by=["bucket", "term"],
         cluster_partitions=cluster_partitions,
     )
-    spark = docs.sparkSession
     append_to_store(
         spark.createDataFrame(
-            [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
+            [(int(stats["n_docs"]), int(stats["sum_dl"] or 0), n_buckets)],
             _STATS_SCHEMA,
         ),
         f"{store_dir}/{_STATS}",
@@ -119,7 +150,7 @@ def text_index_scores(
     terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 of every MATCHED document against a query-term bag, reading
     ONLY the probed terms' postings (bucket IN + term IN pushed to the
@@ -134,12 +165,23 @@ def text_index_scores(
         raise ValueError("text_index_scores: empty query")
     if len(set(terms)) != len(terms):
         raise ValueError("text_index_scores: duplicate query terms")
+    # routing modulus comes FROM the store (persisted per append): a
+    # probe recomputing buckets under a caller-guessed modulus would
+    # silently filter out valid postings. An explicit n_buckets is only
+    # accepted as a cross-check.
+    stored_nb = _store_n_buckets(spark, store_dir)
+    if n_buckets is not None and stored_nb is not None and n_buckets != stored_nb:
+        raise ValueError(
+            f"text_index_scores: store was built with n_buckets="
+            f"{stored_nb}, got {n_buckets}"
+        )
+    nb = stored_nb if stored_nb is not None else (n_buckets or 64)
     # term → (fold position, bucket): computed on a query-sized frame so
     # the bucket function stays the engine-side xxhash64 (never
     # reimplemented driver-side, where a drift would silently mis-route)
     tdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(terms)], "ti INT, term STRING"
-    ).select("ti", "term", _bucket_of(F.col("term"), n_buckets).alias("bucket"))
+    ).select("ti", "term", _bucket_of(F.col("term"), nb).alias("bucket"))
     trows = tdf.collect()
     needed = sorted({r["bucket"] for r in trows})
 
@@ -205,7 +247,7 @@ def text_index_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k retrieval over ``text_index_scores``: (doc_id, score, rank),
     rank dense from 1 by (score desc, doc_id asc). ``k`` past the match

@@ -523,6 +523,19 @@ def perplexity_buckets(
     )
 
 
+def bm25_tokens(text_col):
+    """THE BM25 tokenization — whitespace split, empties dropped, NULL
+    text coalesced to the empty array (dl 0, every tf 0, score exactly
+    0.0). `operators/text_index.py` imports this same expression for its
+    ingest path: the probe-vs-operator bit-equality contract requires
+    the two tokenizations to stay structurally identical, so neither
+    side declares its own copy."""
+    return F.coalesce(
+        F.filter(F.split(text_col, r"\s+"), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,
@@ -548,8 +561,10 @@ def bm25_scores(
     ``len(terms)`` in shuffle volume.
 
     Output: input columns plus ``out_col`` (double, 0.0 for documents
-    containing no query term). Duplicate query terms are rejected —
-    they would silently double-count their contribution.
+    containing no query term; NULL text counts as an empty document —
+    dl 0 in avgdl, score 0.0 — never a NULL score). Duplicate query
+    terms are rejected — they would silently double-count their
+    contribution.
     """
     if len(set(terms)) != len(terms):
         raise ValueError("bm25_scores: duplicate query terms")
@@ -557,7 +572,8 @@ def bm25_scores(
         raise ValueError("bm25_scores: empty query")
     if out_col in df.columns:
         raise ValueError(f"bm25_scores: output column {out_col!r} already exists")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = bm25_tokens(F.col(text_col))
+
     def _is(term):
         # single-arg lambda via a closure: a default-arg capture would
         # change the HOF signature to (element, index)
@@ -595,9 +611,11 @@ def bm25_scores(
         )
         denom = tf + k1 * (1.0 - b + b_dl_ratio)
         score = score + idf * tf * (k1 + 1.0) / denom
-    internal = [c for c in (["__dl", "__n", "__avgdl"]
-                + [f"__tf{i}" for i in range(len(terms))]
-                + [f"__df{i}" for i in range(len(terms))])]
+    internal = (
+        ["__dl", "__n", "__avgdl"]
+        + [f"__tf{i}" for i in range(len(terms))]
+        + [f"__df{i}" for i in range(len(terms))]
+    )
     return (
         staged.crossJoin(F.broadcast(stats))
         .withColumn(out_col, score)

@@ -1061,10 +1061,17 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
     from hrdp_variant_load_pipeline_spark.queries_ml import _cached_tmp_dir
 
+    import hrdp_variant_load_pipeline_spark.operators.text_index as _tix
+
     src = os.path.join(sf, "documents.parquet")
     st_ = os.stat(src)
+    # the key encodes the index CODE too (hash of text_index.py): any
+    # format/tokenization change invalidates the cache automatically —
+    # a hand-bumped tag here would silently serve a stale index
+    code_fp = hashlib.md5(open(_tix.__file__, "rb").read()).hexdigest()[:8]
     ikey = hashlib.md5(
-        f"{os.path.realpath(src)}:{st_.st_size}:{st_.st_mtime_ns}:v1".encode()
+        f"{os.path.realpath(src)}:{st_.st_size}:{st_.st_mtime_ns}:{code_fp}"
+        .encode()
     ).hexdigest()[:16]
     store = _cached_tmp_dir(
         f"graft_text_index_{ikey}",

@@ -133,3 +133,55 @@ def test_describe(spark, tmp_path):
         len([w for w in t.split() if w]) for _, t in BATCH1 + BATCH2
     )
     assert d["postings"] > 0 and d["terms"] > 0 and d["buckets"] >= 1
+
+
+def test_n_buckets_is_a_store_property(spark, tmp_path):
+    """The routing modulus persists with the store: appends under a
+    different modulus are refused, probes derive it (a caller-guessed
+    wrong modulus would silently drop valid postings), and an explicit
+    probe n_buckets is cross-checked."""
+    store = str(tmp_path / "tix")
+    df = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    append_text_index_batch(df, store, n_buckets=256)
+    with pytest.raises(ValueError, match="n_buckets=256"):
+        append_text_index_batch(
+            spark.createDataFrame(BATCH2, "doc_id long, text string"),
+            store,
+            n_buckets=64,
+        )
+    with pytest.raises(ValueError, match="n_buckets=256"):
+        text_index_topk(spark, store, ["cat"], n_buckets=64)
+    # derived probe under the non-default modulus matches the operator
+    corpus = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(corpus, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_scores,
+    )
+
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == want
+
+
+def test_null_text_counts_as_empty_doc_both_paths(spark, tmp_path):
+    """NULL text = empty document in BOTH paths (dl 0 in avgdl, score
+    exactly 0.0 from the operator, no postings in the index) — the
+    bit-equality contract holds with NULLs present."""
+    rows = BATCH1 + [(8, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "tix")
+    assert append_text_index_batch(df, store) == 5  # NULL row ingested
+    scored = {r.doc_id: r.bm25
+              for r in bm25_scores(df, "doc_id", "text", TERMS).collect()}
+    assert scored[8] == 0.0  # never NULL
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_scores,
+    )
+
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == {i: s for i, s in scored.items() if s > 0}
