@@ -506,11 +506,13 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ----------------------------------------------------- corpus stats battery
-# Driver-gates four r7/r8 operator families in one window slot:
+# Driver-gates the corpus operator families in one window slot:
 # corpus-wide paragraph dedup (exact reassembly pinned via md5), n-gram
-# count tables, sparse TF-IDF + broadcast sparse cosine, and
-# stupid-backoff n-gram LM document scoring (the CCNet perplexity-filter
-# chain end-to-end, with the Brants-2007 smoothing web-scale filters use).
+# count tables, sparse TF-IDF + broadcast sparse cosine, stupid-backoff
+# n-gram LM document scoring (the CCNet perplexity-filter chain
+# end-to-end, with the Brants-2007 smoothing web-scale filters use),
+# Gopher/C4/DSIR gates, and BM25 retrieval scoring — both the one-shot
+# operator and the persisted inverted-index probe (r12 continuation).
 # The documents texts are single-line word soup, so the "paragraph"
 # separator is the word boundary (sep=' ', min_chars=4): every token of
 # >= 4 chars is deduped corpus-wide to its first (doc, position)
