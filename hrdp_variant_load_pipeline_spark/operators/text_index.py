@@ -165,17 +165,39 @@ def text_index_scores(
         raise ValueError("text_index_scores: empty query")
     if len(set(terms)) != len(terms):
         raise ValueError("text_index_scores: duplicate query terms")
-    # routing modulus comes FROM the store (persisted per append): a
-    # probe recomputing buckets under a caller-guessed modulus would
-    # silently filter out valid postings. An explicit n_buckets is only
-    # accepted as a cross-check.
-    stored_nb = _store_n_buckets(spark, store_dir)
+    # ONE read of the model-sized stats store yields corpus stats AND
+    # the persisted routing modulus (a probe recomputing buckets under a
+    # caller-guessed modulus would silently filter out valid postings;
+    # an explicit n_buckets is only accepted as a cross-check)
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.collect_set("n_buckets").alias("nbs"),
+        )
+        .collect()[0]
+    )
+    nbs = sorted(int(v) for v in st["nbs"])
+    if len(nbs) > 1:
+        raise ValueError(
+            f"text index at {store_dir} has mixed n_buckets {nbs}; "
+            "rebuild the store"
+        )
+    stored_nb = nbs[0] if nbs else None
     if n_buckets is not None and stored_nb is not None and n_buckets != stored_nb:
         raise ValueError(
             f"text_index_scores: store was built with n_buckets="
             f"{stored_nb}, got {n_buckets}"
         )
     nb = stored_nb if stored_nb is not None else (n_buckets or 64)
+    n_docs = int(st["n"] or 0)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+    # exact avg: integer-valued doubles below 2^53, same value avg() sees
+    avgdl = float(st["s"] or 0) / float(n_docs)
+    if avgdl == 0.0:  # every ingested doc tokenless -> no postings exist
+        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
     # term → (fold position, bucket): computed on a query-sized frame so
     # the bucket function stays the engine-side xxhash64 (never
     # reimplemented driver-side, where a drift would silently mis-route)
@@ -184,19 +206,6 @@ def text_index_scores(
     ).select("ti", "term", _bucket_of(F.col("term"), nb).alias("bucket"))
     trows = tdf.collect()
     needed = sorted({r["bucket"] for r in trows})
-
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-        .collect()[0]
-    )
-    n_docs = int(st["n"] or 0)
-    if n_docs == 0:
-        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
-    # exact avg: integer-valued doubles below 2^53, same value avg() sees
-    avgdl = float(st["s"] or 0) / float(n_docs)
-    if avgdl == 0.0:  # every ingested doc tokenless -> no postings exist
-        return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
 
     post = (
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
