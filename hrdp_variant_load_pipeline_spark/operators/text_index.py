@@ -297,3 +297,123 @@ def describe_text_index(spark: SparkSession, store_dir: str) -> dict:
         "terms": int(agg["terms"]),
         "buckets": int(agg["buckets"]),
     }
+
+
+def text_index_topk_many(
+    spark: SparkSession,
+    store_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch retrieval: top-k per query over the persisted index in ONE
+    postings pass — the decontamination-by-search shape, where thousands
+    of eval prompts probe the corpus at once.
+
+    ``queries_df`` is (query_id, terms array<string>) and MODEL-SIZED by
+    contract (it is collected once for routing and broadcast back for
+    scoring — same discipline as every dim side in the engine). The
+    postings scan is pruned to the UNION of all queried terms' buckets
+    and terms; a term shared by multiple queries joins each of them, so
+    its postings are read ONCE regardless of how many queries carry it.
+    Per (query, doc) contributions fold in that query's term order, so
+    each query's scores are bit-equal to ``text_index_scores`` (and
+    hence to ``bm25_scores``) run alone with the same terms — pinned in
+    tests/test_text_index.py. The per-query top-k is a
+    rank-window (WindowGroupLimit keeps ~k rows per query ahead of the
+    one query-keyed exchange).
+
+    Output: (query_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id asc); queries whose terms are all absent from
+    the corpus produce no rows."""
+    qrows = queries_df.select(
+        F.col(query_id_col).alias("qid"), F.col(terms_col).alias("qterms")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, doc_id BIGINT, score DOUBLE, rank INT"
+        )
+    qmeta_py: list[tuple] = []
+    all_terms: set[str] = set()
+    for r in qrows:
+        terms = list(r["qterms"] or [])
+        if not terms:
+            raise ValueError(f"text_index_topk_many: empty query {r['qid']}")
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                f"text_index_topk_many: duplicate terms in query {r['qid']}"
+            )
+        for pos, t in enumerate(terms):
+            qmeta_py.append((int(r["qid"]), pos, t))
+            all_terms.add(t)
+
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.collect_set("n_buckets").alias("nbs"),
+        )
+        .collect()[0]
+    )
+    nbs = sorted(int(v) for v in st["nbs"])
+    if len(nbs) > 1:
+        raise ValueError(
+            f"text index at {store_dir} has mixed n_buckets {nbs}; "
+            "rebuild the store"
+        )
+    n_docs = int(st["n"] or 0)
+    avgdl = float(st["s"] or 0) / float(n_docs) if n_docs else 0.0
+    if n_docs == 0 or avgdl == 0.0:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, doc_id BIGINT, score DOUBLE, rank INT"
+        )
+    nb = nbs[0]
+
+    term_list = sorted(all_terms)
+    tdf = spark.createDataFrame(
+        [(t,) for t in term_list], "term STRING"
+    ).select("term", _bucket_of(F.col("term"), nb).alias("bucket"))
+    needed = sorted({r["bucket"] for r in tdf.collect()})
+    post = (
+        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+        .filter(F.col("bucket").isin(needed))
+        .filter(F.col("term").isin(term_list))
+    )
+    dfs = {r["term"]: r["df"] for r in
+           post.groupBy("term").agg(F.count("*").alias("df")).collect()}
+    qmeta = spark.createDataFrame(
+        [(qid, pos, t, float(dfs.get(t, 0))) for qid, pos, t in qmeta_py],
+        "qid BIGINT, qpos INT, term STRING, df DOUBLE",
+    )
+    n_lit = F.lit(float(n_docs))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(1.0 + (n_lit - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))
+    contrib = post.join(F.broadcast(qmeta), "term").select(
+        "qid",
+        F.col("doc_id"),
+        F.col("qpos"),
+        (idf * tf * (k1 + 1.0) / denom).alias("__c"),
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("qpos", "__c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__c"],
+        ).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "doc_id", "score", "rank"
+        )
+    )

@@ -185,3 +185,81 @@ def test_null_text_counts_as_empty_doc_both_paths(spark, tmp_path):
     got = {r.doc_id: r.score
            for r in text_index_scores(spark, store, TERMS).collect()}
     assert got == {i: s for i, s in scored.items() if s > 0}
+
+
+def test_topk_many_matches_per_query_operator(spark, tmp_path):
+    """Batch retrieval: each query's scores are bit-equal to running the
+    one-shot operator alone with that query's terms — overlapping terms
+    across queries included."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    corpus = spark.createDataFrame(BATCH1 + BATCH2, "doc_id long, text string")
+    queries = {
+        10: ["cat", "dog", "mat"],
+        11: ["dog"],            # overlaps query 10
+        12: ["mat", "the"],     # overlaps both
+        13: ["zzz_absent"],     # no rows expected
+    }
+    qdf = spark.createDataFrame(
+        [(qid, ts) for qid, ts in queries.items()],
+        "query_id long, terms array<string>",
+    )
+    got = text_index_topk_many(spark, store, qdf, k=100).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+    for qid, terms in queries.items():
+        want = {
+            r.doc_id: r.bm25
+            for r in bm25_scores(corpus, "doc_id", "text", terms).collect()
+            if r.bm25 > 0
+        }
+        assert by_q.get(qid, {}) == want, qid
+    # rank: 1..n per query, ordered by (score desc, doc_id asc)
+    for qid in (10, 11, 12):
+        rows = sorted(
+            [r for r in got if r.query_id == qid], key=lambda r: r.rank
+        )
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.score, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+    # k bounds each query independently
+    top1 = text_index_topk_many(spark, store, qdf, k=1).collect()
+    assert {r.query_id for r in top1} == {10, 11, 12}
+    assert all(r.rank == 1 for r in top1)
+
+
+def test_topk_many_guards_and_empty(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate terms in query 5"):
+        text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(5, ["cat", "cat"])], "query_id long, terms array<string>"
+            ),
+        )
+    with pytest.raises(ValueError, match="empty query 6"):
+        text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(6, [])], "query_id long, terms array<string>"
+            ),
+        )
+    empty_store = str(tmp_path / "none")
+    out = text_index_topk_many(
+        spark,
+        empty_store,
+        spark.createDataFrame(
+            [(1, ["cat"])], "query_id long, terms array<string>"
+        ),
+    )
+    assert out.count() == 0
