@@ -95,8 +95,11 @@ def append_text_index_batch(
     NULL text) produce no postings but still count toward N/avgdl,
     exactly as ``bm25_scores`` counts them. ``n_buckets`` is persisted
     with the store; an append under a different modulus than earlier
-    appends is refused (it would corrupt probe routing). Returns docs
-    ingested."""
+    appends is refused (it would corrupt probe routing). The two writes
+    (postings, then stats) are file-granular, not atomic — a crash
+    between them strands uncounted postings; run ``verify_text_index``
+    after unclean shutdowns, and rebuild on inconsistency (re-appending
+    would double-count). Returns docs ingested."""
     spark = docs.sparkSession
     existing = _store_n_buckets(spark, store_dir)
     if existing is not None and existing != n_buckets:
@@ -417,3 +420,34 @@ def text_index_topk_many(
             F.col("qid").alias("query_id"), "doc_id", "score", "rank"
         )
     )
+
+
+def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
+    """Integrity probe for the two-write append: each ingest appends the
+    postings FIRST and the stats row SECOND, so a crash between the two
+    leaves the last batch's postings present but uncounted in N/Σdl —
+    every subsequent score would use drifted corpus statistics. This
+    check is one-sided but decisive for that failure: with consistent
+    appends, distinct doc_ids in the postings can never EXCEED stats
+    n_docs (tokenless docs only push the inequality the other way), so
+    ``distinct_doc_ids > n_docs`` proves an orphaned postings batch.
+    Returns the counts and a boolean; on ``consistent=False`` the remedy
+    is to rebuild the store (re-appending the lost batch would
+    double-count its postings — ids are unique-once by contract)."""
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]
+    )
+    n_docs = int(st["n"] or 0)
+    posted = (
+        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()[0]
+    )
+    distinct_docs = int(posted["d"] or 0)
+    return {
+        "n_docs": n_docs,
+        "distinct_posted_docs": distinct_docs,
+        "consistent": distinct_docs <= n_docs,
+    }

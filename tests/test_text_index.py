@@ -263,3 +263,29 @@ def test_topk_many_guards_and_empty(spark, tmp_path):
         ),
     )
     assert out.count() == 0
+
+
+def test_verify_detects_orphaned_postings(spark, tmp_path):
+    """Crash drill: postings land, the stats append doesn't (simulated
+    by appending postings for a second batch directly). The one-sided
+    integrity probe must flag it; a healthy store (including one with
+    tokenless docs, where n_docs > posted docs) must pass."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        verify_text_index,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.store import append_to_store
+
+    store = _ingest(spark, tmp_path)  # BATCH1 has a tokenless doc
+    ok = verify_text_index(spark, store)
+    assert ok["consistent"] and ok["n_docs"] > ok["distinct_posted_docs"]
+    # orphan a batch: postings appended, stats write "crashed". The
+    # check is one-sided — the tokenless doc gives one doc of slack —
+    # so the orphaned batch must exceed that slack to be provable.
+    orphan = spark.createDataFrame(
+        [(0, "cat", 99, 1, 1), (0, "dog", 100, 1, 1)],
+        "bucket bigint, term string, doc_id bigint, tf bigint, dl bigint",
+    )
+    append_to_store(orphan, f"{store}/postings")
+    bad = verify_text_index(spark, store)
+    assert not bad["consistent"]
+    assert bad["distinct_posted_docs"] == bad["n_docs"] + 1
