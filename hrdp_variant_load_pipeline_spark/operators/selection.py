@@ -1,10 +1,10 @@
-"""Coreset selection: k-center greedy (farthest-point traversal) over an
-embedding column — the data-selection primitive behind coverage-driven
-subset picking (Sener & Savarese 2018, "Active Learning for CNNs: A
-Core-Set Approach"): iteratively add the point FARTHEST (max min-dist)
-from everything selected so far, giving a 2-approximation of the k-center
-cover. In a training-data pipeline this is the "pick k maximally diverse
-documents" op, the diversity counterpart of similarity top-k.
+"""Diversity-aware selection: k-center greedy coreset picking over an
+embedding column (Sener & Savarese 2018, "Active Learning for CNNs: A
+Core-Set Approach" — iteratively add the point FARTHEST (max min-dist)
+from everything selected so far, a 2-approximation of the k-center
+cover) and MMR re-ranking of a retrieval pool (Carbonell & Goldstein
+1998). In a training-data pipeline these are the "pick k maximally
+diverse documents" ops, the diversity counterpart of similarity top-k.
 
 Spark-first shape: the selected set is MODEL-SIZED (k vectors) and rides
 every pass as a literal array-of-centers, so each iteration is ONE
@@ -119,3 +119,69 @@ def kcenter_greedy(
         trajectory.append((step, int(pick["__id"]), float(pick["__d"])))
         centers.append((int(pick["__id"]), list(pick["__v"])))
     return trajectory
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rel_col: str = "score",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``MMR_i = lam*rel_i - (1-lam)*max_{s∈S}
+    cos(i, s)`` — the relevance/diversity composition applied on top of
+    a retrieval pool (``text_index_topk`` / ``cosine_topk`` output
+    joined back to its vectors).
+
+    The pool is MODEL-SIZED by contract (a re-ranker's input is a
+    previous top-N, not a corpus) so it is collected ONCE and the
+    greedy loop runs driver-side — O(k·N) rounded cosines over ≤N
+    in-memory vectors, zero further Spark jobs. For corpus-scale
+    diversity selection use ``kcenter_greedy`` instead. Returns
+    ``[(rank, id, mmr_score), ...]`` rank 1..k; cosines and the MMR
+    objective round to 6dp before comparison (the similarity-family
+    convention), ties to the smallest id. Zero-vector candidates are
+    rejected (undefined cosine)."""
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_rerank: lam must be in [0, 1]")
+    rows = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(rel_col).cast("double").alias("__r"),
+    ).collect()
+    if not rows:
+        return []
+    pool = {}
+    for r in rows:
+        vec = [float(x) for x in r["__v"]]
+        nrm = _py_norm(vec)
+        if nrm == 0.0:
+            raise ValueError(f"mmr_rerank: zero vector for id {r['__id']}")
+        pool[int(r["__id"])] = (vec, nrm, float(r["__r"]))
+
+    def cosd(a, b):
+        va, na, _ = pool[a]
+        vb, nb, _ = pool[b]
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc = acc + x * y
+        return round(acc / (na * nb), _ROUND)
+
+    out: list[tuple[int, int, float]] = []
+    selected: list[int] = []
+    while len(out) < k and len(selected) < len(pool):
+        best = None
+        for i in sorted(pool):
+            if i in selected:
+                continue
+            penalty = max((cosd(i, s) for s in selected), default=0.0)
+            mmr = round(lam * pool[i][2] - (1.0 - lam) * penalty, _ROUND)
+            if best is None or mmr > best[0] or (mmr == best[0] and i < best[1]):
+                best = (mmr, i)
+        out.append((len(out) + 1, best[1], best[0]))
+        selected.append(best[1])
+    return out
