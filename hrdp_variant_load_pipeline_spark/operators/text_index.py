@@ -54,8 +54,12 @@ _POSTINGS_SCHEMA = (
 # n_buckets rides every stats row: the routing modulus is a property of
 # the STORE, not of a call site — a probe recomputing buckets under a
 # different modulus would silently filter out valid postings, so probes
-# derive it from here and appends refuse a drifted value.
-_STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, n_buckets BIGINT"
+# derive it from here and appends refuse a drifted value. batch_key is
+# the at-least-once commit marker: the stats row is written AFTER the
+# postings, so a present key proves the batch fully landed and a replay
+# skips it; postings duplicated by a crashed attempt are neutralized by
+# the probes' (distinct) over the pruned frame.
+_STATS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, n_buckets BIGINT, batch_key STRING"
 
 
 def _bucket_of(term_col, n_buckets: int):
@@ -85,6 +89,7 @@ def append_text_index_batch(
     text_col: str = "text",
     n_buckets: int = 64,
     cluster_partitions: int | None = None,
+    batch_key: str | None = None,
 ) -> int:
     """Tokenize a document batch ONCE (the staged frame is pinned with
     ``localCheckpoint`` — batch-sized by construction — so the stats
@@ -96,10 +101,17 @@ def append_text_index_batch(
     exactly as ``bm25_scores`` counts them. ``n_buckets`` is persisted
     with the store; an append under a different modulus than earlier
     appends is refused (it would corrupt probe routing). The two writes
-    (postings, then stats) are file-granular, not atomic — a crash
-    between them strands uncounted postings; run ``verify_text_index``
-    after unclean shutdowns, and rebuild on inconsistency (re-appending
-    would double-count). Returns docs ingested."""
+    (postings, then stats) are file-granular, not atomic — pass
+    ``batch_key`` (a stable per-batch id, e.g. the micro-batch id) to
+    make the append REPLAY-IDEMPOTENT under at-least-once delivery: the
+    stats row doubles as the batch's commit marker, so a replay whose
+    key is already present skips entirely, and a crashed attempt's
+    orphaned postings are both uncounted-and-harmless (probes distinct
+    the pruned postings, so exact-duplicate rows score once). Without a
+    ``batch_key``, run ``verify_text_index`` after unclean shutdowns and
+    rebuild on inconsistency (blind re-appending would double-count).
+    Returns docs ingested (0 when the batch_key was already committed).
+    """
     spark = docs.sparkSession
     existing = _store_n_buckets(spark, store_dir)
     if existing is not None and existing != n_buckets:
@@ -107,6 +119,14 @@ def append_text_index_batch(
             f"append_text_index_batch: store was built with "
             f"n_buckets={existing}, got {n_buckets}"
         )
+    if batch_key is not None:
+        committed = (
+            read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+            .filter(F.col("batch_key") == batch_key)
+            .take(1)
+        )
+        if committed:
+            return 0
     staged = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -139,7 +159,8 @@ def append_text_index_batch(
     )
     append_to_store(
         spark.createDataFrame(
-            [(int(stats["n_docs"]), int(stats["sum_dl"] or 0), n_buckets)],
+            [(int(stats["n_docs"]), int(stats["sum_dl"] or 0), n_buckets,
+              batch_key)],
             _STATS_SCHEMA,
         ),
         f"{store_dir}/{_STATS}",
@@ -210,10 +231,14 @@ def text_index_scores(
     trows = tdf.collect()
     needed = sorted({r["bucket"] for r in trows})
 
+    # distinct over the PRUNED frame (probed terms only): exact-duplicate
+    # posting rows from a crashed-then-replayed batch append score once —
+    # O(probed postings) for crash-tolerance everywhere
     post = (
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
         .filter(F.col("bucket").isin(needed))
         .filter(F.col("term").isin(list(terms)))
+        .distinct()
     )
     # df per probed term: ONE tiny aggregate over the pruned postings
     # (ids unique across appends ⇒ one posting per (term, doc))
@@ -385,6 +410,8 @@ def text_index_topk_many(
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
         .filter(F.col("bucket").isin(needed))
         .filter(F.col("term").isin(term_list))
+        .distinct()  # crashed-replay duplicate rows score once (see
+        # text_index_scores)
     )
     dfs = {r["term"]: r["df"] for r in
            post.groupBy("term").agg(F.count("*").alias("df")).collect()}

@@ -60,6 +60,8 @@ def stream_corpus_ingest(
     on_batch: Callable[[int, dict], None] | None = None,
     broadcast_probe: bool = True,
     quality_filter: Column | None = None,
+    text_index_dir: str | None = None,
+    text_index_buckets: int = 64,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -77,6 +79,18 @@ def stream_corpus_ingest(
     per-batch metrics gain a ``rejected`` count. Quality gating a
     continuous ingest here is exactly the batch pipeline's stage-2 gate
     running per micro-batch.
+
+    ``text_index_dir`` (optional) maintains a persisted BM25 inverted
+    index (`operators/text_index.py`) over the accepted docs, one
+    batch-keyed append per micro-batch. Ordered BETWEEN the signature
+    append and the docs append, every crash point replays consistently:
+    before the text append, the ids are still absent from the docs store
+    so the replayed batch re-accepts and appends (the batch_key skips
+    nothing new); after it, the batch_key marker makes the replay a
+    no-op for the text index regardless of whether the docs append
+    landed. Probe-side distinct absorbs a crashed attempt's duplicate
+    posting rows, so index probes stay bit-equal to ``bm25_scores`` over
+    the accepted corpus throughout.
 
     ``broadcast_probe`` is forwarded to the index probe: the default
     assumes bounded micro-batches (set ``max_files_per_trigger``!); pass
@@ -191,6 +205,19 @@ def stream_corpus_ingest(
                     index_store_dir,
                     cluster_by=["doc"],
                 )
+                if text_index_dir is not None:
+                    from hrdp_variant_load_pipeline_spark.operators.text_index import (  # noqa: E501
+                        append_text_index_batch,
+                    )
+
+                    append_text_index_batch(
+                        accepted.select(id_col, text_col),
+                        text_index_dir,
+                        id_col=id_col,
+                        text_col=text_col,
+                        n_buckets=text_index_buckets,
+                        batch_key=f"batch-{batch_id}",
+                    )
                 append_to_store(accepted, docs_store_dir, cluster_by=[id_col])
             fresh.unpersist()
             if on_batch is not None:

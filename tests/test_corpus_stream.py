@@ -193,3 +193,49 @@ def test_quality_filter_gates_before_dedup_and_counts(spark, tmp_path):
         schema="band LONG, sig STRING, doc LONG",
     )
     assert idx.filter(F.col("doc") == 2).count() == 0
+
+
+def test_ingest_maintains_text_index(spark, tmp_path):
+    """text_index_dir: accepted docs land in the BM25 inverted index,
+    one batch-keyed append per micro-batch; probes over the index are
+    bit-equal to bm25_scores over the accepted docs store."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_scores,
+        verify_text_index,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    src = tmp_path / "in"
+    src.mkdir(exist_ok=True)
+    dirs = {k: str(tmp_path / k)
+            for k in ("docs", "index", "tix", "quarantine", "ckpt_t")}
+    q = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quarantine"],
+        dirs["ckpt_t"],
+        max_files_per_trigger=1,
+        text_index_dir=dirs["tix"],
+    )
+    try:
+        _write_batch(src, "b1.jsonl", _B1)
+        q.processAllAvailable()
+        _write_batch(src, "b2.jsonl", _B2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = read_store(spark, dirs["docs"]).select("doc_id", "text")
+    assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 11]
+    terms = ["quick", "spark", "words"]
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, dirs["tix"], terms).collect()}
+    assert got == want
+    assert verify_text_index(spark, dirs["tix"])["consistent"]
