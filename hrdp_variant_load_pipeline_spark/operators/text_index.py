@@ -233,12 +233,16 @@ def text_index_scores(
 
     # distinct over the PRUNED frame (probed terms only): exact-duplicate
     # posting rows from a crashed-then-replayed batch append score once —
-    # O(probed postings) for crash-tolerance everywhere
-    post = (
+    # O(probed postings) for crash-tolerance everywhere. Tombstoned docs
+    # drop out via a broadcast anti-join BEFORE df counting, so deleted
+    # docs neither appear nor inflate any term's df.
+    post = _live_postings(
+        spark,
+        store_dir,
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
         .filter(F.col("bucket").isin(needed))
         .filter(F.col("term").isin(list(terms)))
-        .distinct()
+        .distinct(),
     )
     # df per probed term: ONE tiny aggregate over the pruned postings
     # (ids unique across appends ⇒ one posting per (term, doc))
@@ -406,11 +410,13 @@ def text_index_topk_many(
         [(t,) for t in term_list], "term STRING"
     ).select("term", _bucket_of(F.col("term"), nb).alias("bucket"))
     needed = sorted({r["bucket"] for r in tdf.collect()})
-    post = (
+    post = _live_postings(
+        spark,
+        store_dir,
         read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
         .filter(F.col("bucket").isin(needed))
         .filter(F.col("term").isin(term_list))
-        .distinct()  # crashed-replay duplicate rows score once (see
+        .distinct(),  # crashed-replay duplicate rows score once (see
         # text_index_scores)
     )
     dfs = {r["term"]: r["df"] for r in
@@ -467,8 +473,16 @@ def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
         .collect()[0]
     )
     n_docs = int(st["n"] or 0)
+    # live view: tombstoned docs are excluded from BOTH sides of the
+    # inequality (their stats rows were already subtracted at delete)
     posted = (
-        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+        _live_postings(
+            spark,
+            store_dir,
+            read_store(
+                spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+            ),
+        )
         .agg(F.countDistinct("doc_id").alias("d"))
         .collect()[0]
     )
@@ -478,3 +492,74 @@ def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
         "distinct_posted_docs": distinct_docs,
         "consistent": distinct_docs <= n_docs,
     }
+
+
+_TOMBSTONES = "tombstones"
+_TOMBSTONES_SCHEMA = "doc_id BIGINT"
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Logical deletion: tombstone document ids so probes exclude them —
+    the removal path for dedup-driven drops and takedown requests
+    against a standing index, without rewriting the clustered postings.
+
+    Ids already tombstoned (or never ingested — postings-free AND
+    unknown) are ignored, so deletes are idempotent under replay and a
+    double delete cannot double-adjust the statistics. The corpus stats
+    shrink via a NEGATIVE stats row (−n_docs, −Σdl) computed from the
+    tombstoned ids' own postings, so post-delete probe scores are
+    bit-equal to ``bm25_scores`` over the surviving corpus (pinned in
+    tests/test_text_index.py). Physical purge = rebuild (compaction does
+    not consult tombstones). NOTE: a tokenless-but-ingested doc has no
+    postings to prove ingestion, so deleting it adjusts nothing — its
+    dl is 0 (harmless to Σdl) but its N slot survives; track tokenless
+    ids caller-side if exact-N deletion of empty docs matters.
+
+    Returns the number of ids newly tombstoned."""
+    req = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    prior = read_store(
+        spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
+    )
+    fresh = req.join(prior, "doc_id", "left_anti").localCheckpoint()
+    # per-id dl from the postings (one row per (doc, term); dl rides
+    # every posting, so a per-doc first() is exact)
+    post = read_store(
+        spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+    )
+    adj = (
+        post.join(F.broadcast(fresh), "doc_id", "left_semi")
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("k"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    n_del = int(adj["k"] or 0)
+    if n_del == 0:
+        return 0
+    deletable = post.join(F.broadcast(fresh), "doc_id", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    deletable = deletable.localCheckpoint()
+    nb = _store_n_buckets(spark, store_dir)
+    append_to_store(deletable, f"{store_dir}/{_TOMBSTONES}")
+    append_to_store(
+        spark.createDataFrame(
+            [(-n_del, -int(adj["s"] or 0), nb, None)], _STATS_SCHEMA
+        ),
+        f"{store_dir}/{_STATS}",
+    )
+    return n_del
+
+
+def _live_postings(spark: SparkSession, store_dir: str, pruned: DataFrame):
+    """Anti-join the pruned postings against the tombstone set (empty →
+    no-op plan)."""
+    tomb = read_store(
+        spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
+    )
+    return pruned.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti")

@@ -334,3 +334,47 @@ def test_batch_key_makes_append_replay_idempotent(spark, tmp_path):
     got = {r.doc_id: r.score
            for r in text_index_scores(spark, store, TERMS).collect()}
     assert got == want  # duplicates scored once, stats counted once
+
+
+def test_delete_tombstones_docs_and_restores_parity(spark, tmp_path):
+    """Deletion: tombstoned docs vanish from probes (single AND batch),
+    df/N/avgdl shrink accordingly, and probe scores are bit-equal to the
+    one-shot operator over the SURVIVING corpus. Double/unknown deletes
+    are no-ops."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_scores,
+        text_index_topk_many,
+        verify_text_index,
+    )
+
+    store = _ingest(spark, tmp_path)
+    victims = spark.createDataFrame([(1,), (5,)], "doc_id long")
+    assert delete_from_text_index(spark, store, victims) == 2
+    # idempotent: replay + a never-ingested id adjust nothing
+    again = spark.createDataFrame([(1,), (5,), (999,)], "doc_id long")
+    assert delete_from_text_index(spark, store, again) == 0
+    assert verify_text_index(spark, store)["consistent"]
+
+    survivors = spark.createDataFrame(
+        [r for r in BATCH1 + BATCH2 if r[0] not in (1, 5)],
+        "doc_id long, text string",
+    )
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(survivors, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == want  # N, avgdl, df all reflect the deletion
+    assert 1 not in got and 5 not in got
+    many = text_index_topk_many(
+        spark,
+        store,
+        spark.createDataFrame(
+            [(1, TERMS)], "query_id long, terms array<string>"
+        ),
+        k=100,
+    ).collect()
+    assert {r.doc_id: r.score for r in many} == want
