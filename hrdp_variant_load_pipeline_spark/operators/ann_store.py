@@ -145,12 +145,18 @@ def ivf_store_topk(
     needed = sorted(
         {r["bucket"] for r in probes.select("bucket").distinct().collect()}
     )
-    idx = read_store(
+    # bucket-pruned scan, then the tombstone anti-join: deleted vectors
+    # neither match nor rank (delete_from_ann_store)
+    idx = _live_vectors(
         spark,
         store_dir,
-        schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
-        "c_norm DOUBLE",
-    ).filter(F.col("bucket").isin(needed))
+        read_store(
+            spark,
+            store_dir,
+            schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
+            "c_norm DOUBLE",
+        ).filter(F.col("bucket").isin(needed)),
+    )
     scored = (
         idx.join(F.broadcast(probes), "bucket")
         .where("vec_id != query_id")
@@ -251,11 +257,15 @@ def ivfpq_store_topk(
     needed = sorted(
         {r["bucket"] for r in q.select("bucket").distinct().collect()}
     )
-    idx = read_store(
+    idx = _live_vectors(
         spark,
         store_dir,
-        schema="bucket INT, vec_id BIGINT, pq_codes ARRAY<INT>",
-    ).filter(F.col("bucket").isin(needed))
+        read_store(
+            spark,
+            store_dir,
+            schema="bucket INT, vec_id BIGINT, pq_codes ARRAY<INT>",
+        ).filter(F.col("bucket").isin(needed)),
+    )
     score = adc_score_expr(m, n_codes)
     return (
         idx.join(F.broadcast(q), "bucket")
@@ -331,6 +341,9 @@ def incremental_semantic_dedup(
     # IN filter (row-group pruning via the vec_id secondary clustering —
     # the incremental_minhash_dedup candidate-pushdown shape); oversized
     # batches fall back to the broadcast semi-join probe.
+    # RAW store read, deliberately NOT the tombstone-filtered live view:
+    # deletion removes a vector from search, it does not free its id —
+    # re-ingesting a deleted id is still a replay (delete_from_ann_store)
     store_ids = read_store(
         spark,
         store_dir,
@@ -449,3 +462,69 @@ def describe_ivf_index(spark: SparkSession, store_dir: str) -> dict:
             round(sum(r["nf"] for r in rows) / len(rows), 2) if rows else 0.0
         ),
     }
+
+
+# --------------------------------------------------------------- deletion
+# Tombstones live under `<store>/_tombstones`: the underscore prefix makes
+# the directory invisible to the index's own parquet scans (Hadoop's
+# default path filter skips `_`/`.`-prefixed paths), so the store read
+# stays one clean directory while deletion state rides alongside it.
+_TOMB = "_tombstones"
+
+
+def _ann_tombstones(spark: SparkSession, store_dir: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+
+    path = f"{store_dir}/{_TOMB}"
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(_jpath(jvm, path)):
+        return spark.createDataFrame([], "vec_id BIGINT")
+    return spark.read.parquet(path).select("vec_id")
+
+
+def _live_vectors(
+    spark: SparkSession, store_dir: str, idx: DataFrame
+) -> DataFrame:
+    """Anti-join the (already bucket-pruned) index scan against the
+    tombstone set — deleted vectors neither match nor rank."""
+    return idx.join(
+        F.broadcast(_ann_tombstones(spark, store_dir).distinct()),
+        "vec_id",
+        "left_anti",
+    )
+
+
+def delete_from_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Logical deletion for the persisted IVF / IVF-PQ index: tombstone
+    vector ids so probes (``ivf_store_topk`` / ``ivfpq_store_topk`` and
+    therefore ``incremental_semantic_dedup``'s history matching) exclude
+    them — the removal path when SemDeDup-flagged or taken-down
+    documents must stop matching, without rewriting the clustered store.
+
+    Ids not present in the store, or already tombstoned, are ignored —
+    deletes are idempotent under replay. The ID NAMESPACE STAYS
+    CONSUMED: ``incremental_semantic_dedup``'s exact-id replay probe
+    deliberately reads the raw store, so re-ingesting a deleted id is
+    still flagged as a replay (ids are unique-once; deletion removes a
+    vector from SEARCH, it does not free its id). Physical purge =
+    rebuild; ``compact_store`` preserves the tombstone dir (underscore
+    paths are not data files). Returns ids newly tombstoned."""
+    req = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    prior = _ann_tombstones(spark, store_dir)
+    fresh = req.join(F.broadcast(prior.distinct()), "vec_id", "left_anti")
+    present = (
+        read_store(spark, store_dir, schema="vec_id BIGINT")
+        .select("vec_id")
+        .join(F.broadcast(fresh), "vec_id", "left_semi")
+        .distinct()
+        .localCheckpoint()
+    )
+    n = present.count()
+    if n:
+        present.write.mode("append").parquet(f"{store_dir}/{_TOMB}")
+    return n

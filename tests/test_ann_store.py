@@ -211,3 +211,45 @@ def test_describe_ivf_index_reports_skew_and_fragmentation(spark, tmp_path):
     d2 = describe_ivf_index(spark, store)
     assert d2["n_vectors"] == d["n_vectors"]
     assert d2["files_per_bucket_max"] <= frag_before  # re-tiled
+
+
+def test_delete_tombstones_vectors_and_matches_filtered_recompute(
+    spark, tmp_path
+):
+    """Deletion: tombstoned vectors vanish from probes — the store probe
+    equals ivf_topk over the corpus WITHOUT the deleted rows; deletes
+    are idempotent, unknown ids are ignored, and the id namespace stays
+    consumed (a deleted id re-ingested through incremental_semantic_dedup
+    is still flagged as a replay)."""
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        delete_from_ann_store,
+        incremental_semantic_dedup,
+    )
+
+    e, cents, store = _setup(spark, tmp_path)
+    victims = e.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_victims = victims.count()
+    assert delete_from_ann_store(spark, store, victims) == n_victims
+    # replay + unknown id: no-op
+    extra = victims.union(
+        spark.createDataFrame([(999_999,)], "vec_id long")
+    )
+    assert delete_from_ann_store(spark, store, extra) == 0
+
+    queries = e.filter(F.col("vec_id") < 6)
+    got = sorted(map(tuple, ivf_store_topk(
+        spark, store, queries, cents, k=5, nprobe=2
+    ).collect()))
+    survivors = e.filter(F.col("vec_id") % 7 != 0)
+    want = sorted(map(tuple, ivf_topk(
+        survivors, queries, k=5, nprobe=2, centroids=cents
+    ).collect()))
+    assert got == want and got
+    assert all(t[1] % 7 != 0 for t in got)  # no tombstoned neighbor
+
+    # id namespace: a deleted id re-submitted is flagged as replay
+    reingest = e.filter(F.col("vec_id") == 0)  # vec 0 was deleted (0%7==0)
+    flagged = incremental_semantic_dedup(
+        reingest, cents, store, append_kept=False
+    )
+    assert [r.is_semantic_dup for r in flagged.collect()] == [True]
