@@ -253,3 +253,35 @@ def test_delete_tombstones_vectors_and_matches_filtered_recompute(
         reingest, cents, store, append_kept=False
     )
     assert [r.is_semantic_dup for r in flagged.collect()] == [True]
+
+
+def test_delete_applies_to_ivfpq_probe_too(spark, tmp_path):
+    """The second probe path: after deletion the ADC probe equals
+    ivfpq_topk over the surviving corpus."""
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        append_ivfpq_batch,
+        delete_from_ann_store,
+        ivfpq_store_topk,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(EMB)
+    coarse = train_pq_codebooks(e, m=1, n_codes=8, n_iter=3)
+    cb = train_pq_codebooks(e, m=4, n_codes=16, n_iter=3)
+    store = str(tmp_path / "ivfpq")
+    append_ivfpq_batch(e, coarse, cb, store)
+    victims = e.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+    assert delete_from_ann_store(spark, store, victims) == victims.count()
+    queries = e.filter(F.col("vec_id") < 6)
+    got = sorted(map(tuple, ivfpq_store_topk(
+        spark, store, queries, coarse, cb, k=5, nprobe=2
+    ).collect()))
+    want = sorted(map(tuple, ivfpq_topk(
+        e.filter(F.col("vec_id") % 6 != 0), queries, coarse, cb,
+        nprobe=2, k=5,
+    ).collect()))
+    assert got == want and got
+    assert all(t[1] % 6 != 0 for t in got)
