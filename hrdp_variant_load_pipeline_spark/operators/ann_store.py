@@ -341,15 +341,18 @@ def incremental_semantic_dedup(
     # IN filter (row-group pruning via the vec_id secondary clustering —
     # the incremental_minhash_dedup candidate-pushdown shape); oversized
     # batches fall back to the broadcast semi-join probe.
-    # RAW store read, deliberately NOT the tombstone-filtered live view:
-    # deletion removes a vector from search, it does not free its id —
-    # re-ingesting a deleted id is still a replay (delete_from_ann_store)
+    # RAW store ids ∪ tombstoned ids, deliberately NOT the filtered live
+    # view: deletion removes a vector from search, it does not free its
+    # id — re-ingesting a deleted id is still a replay. The tombstone
+    # union makes this hold even after vacuum_ann_store physically
+    # purges the deleted rows (the tombstone file IS the consumed-id
+    # registry, which is why vacuum keeps it).
     store_ids = read_store(
         spark,
         store_dir,
         schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
         "c_norm DOUBLE",
-    ).select("vec_id")
+    ).select("vec_id").unionByName(_ann_tombstones(spark, store_dir))
     # bound the collect itself (limit cap+1), not just the branch — an
     # unthrottled backfill batch must never materialize its full id set
     # on the driver (the incremental_minhash_dedup pushdown shape)
@@ -528,3 +531,36 @@ def delete_from_ann_store(
     if n:
         present.write.mode("append").parquet(f"{store_dir}/{_TOMB}")
     return n
+
+
+def vacuum_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Physically purge tombstoned vectors: commit a new store version
+    containing only live rows (clustered on ``sort_by``, default
+    ``["bucket", "vec_id"]`` — keep vec_id secondary or the replay
+    probe's row-group pruning degrades). The tombstone file is KEPT — it
+    is the consumed-id registry ``incremental_semantic_dedup``'s replay
+    probe unions in, so a deleted id stays a replay even after its rows
+    are gone. Returns rows purged. No-op (returns 0) when nothing is
+    tombstoned."""
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        commit_store_version,
+    )
+
+    tomb = _ann_tombstones(spark, store_dir).distinct().localCheckpoint()
+    if not tomb.take(1):
+        return 0
+    idx = read_store(spark, store_dir)
+    n_dead = idx.join(F.broadcast(tomb), "vec_id", "left_semi").count()
+    if n_dead == 0:  # stale registry, nothing to purge: skip the rewrite
+        return 0
+    live = idx.join(F.broadcast(tomb), "vec_id", "left_anti")
+    keys = sort_by or ["bucket", "vec_id"]
+    live = live.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    # localCheckpoint BEFORE the commit: live's lineage reads the store
+    # the commit supersedes (same rule as every store-mutating path)
+    commit_store_version(live.localCheckpoint(), store_dir)
+    return int(n_dead)

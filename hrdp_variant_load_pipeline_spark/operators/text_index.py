@@ -563,3 +563,60 @@ def _live_postings(spark: SparkSession, store_dir: str, pruned: DataFrame):
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
     )
     return pruned.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti")
+
+
+def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
+    """Physically purge the index: commit a postings version holding
+    only live, de-duplicated rows (tombstoned docs and crashed-replay
+    duplicates gone), collapse the stats ledger to ONE summed row, and
+    clear the tombstones. Probe results are unchanged (the logical view
+    was already live-and-distinct); what changes is the storage — scans
+    stop paying the anti-join input and the duplicate rows.
+
+    Crash-safe at every boundary: postings commit first (live view —
+    identical logical content), then the summed stats row (sums equal
+    the multi-row ledger), then the tombstone clear (stale tombstones
+    against purged postings anti-join to a no-op). Returns posting rows
+    removed."""
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        _fs,
+        _jpath,
+        commit_store_version,
+    )
+
+    post = read_store(
+        spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+    )
+    n_before = post.count()
+    live = _live_postings(spark, store_dir, post.distinct())
+    live = live.repartitionByRange("bucket", "term").sortWithinPartitions(
+        "bucket", "term"
+    )
+    commit_store_version(live.localCheckpoint(), f"{store_dir}/{_POSTINGS}")
+    n_after = read_store(
+        spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+    ).count()
+
+    st = (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.collect_set("n_buckets").alias("nbs"),
+        )
+        .collect()[0]
+    )
+    nbs = sorted(int(v) for v in st["nbs"])
+    commit_store_version(
+        spark.createDataFrame(
+            [(int(st["n"] or 0), int(st["s"] or 0),
+              nbs[0] if nbs else None, None)],
+            _STATS_SCHEMA,
+        ),
+        f"{store_dir}/{_STATS}",
+    )
+    fs, jvm = _fs(spark, store_dir)
+    tpath = _jpath(jvm, f"{store_dir}/{_TOMBSTONES}")
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
+    return int(n_before - n_after)

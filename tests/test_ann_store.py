@@ -285,3 +285,40 @@ def test_delete_applies_to_ivfpq_probe_too(spark, tmp_path):
     ).collect()))
     assert got == want and got
     assert all(t[1] % 6 != 0 for t in got)
+
+
+def test_vacuum_purges_rows_but_keeps_consumed_ids(spark, tmp_path):
+    """Vacuum physically removes tombstoned rows; probe results are
+    unchanged, and the consumed-id registry survives — a deleted id
+    re-submitted through incremental_semantic_dedup is STILL a replay
+    after the purge."""
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        delete_from_ann_store,
+        incremental_semantic_dedup,
+        vacuum_ann_store,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.store import read_store
+
+    e, cents, store = _setup(spark, tmp_path)
+    victims = e.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    n = victims.count()
+    assert delete_from_ann_store(spark, store, victims) == n
+    queries = e.filter(F.col("vec_id") < 6)
+    before = sorted(map(tuple, ivf_store_topk(
+        spark, store, queries, cents, k=5, nprobe=2
+    ).collect()))
+
+    assert vacuum_ann_store(spark, store) == n
+    assert vacuum_ann_store(spark, store) == 0  # registry kept, rows gone
+
+    after = sorted(map(tuple, ivf_store_topk(
+        spark, store, queries, cents, k=5, nprobe=2
+    ).collect()))
+    assert after == before
+    assert read_store(spark, store).filter("vec_id % 9 = 0").count() == 0
+    # consumed namespace survives the purge
+    reingest = e.filter(F.col("vec_id") == 9)
+    flagged = incremental_semantic_dedup(
+        reingest, cents, store, append_kept=False
+    )
+    assert [r.is_semantic_dup for r in flagged.collect()] == [True]

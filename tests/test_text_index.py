@@ -378,3 +378,50 @@ def test_delete_tombstones_docs_and_restores_parity(spark, tmp_path):
         k=100,
     ).collect()
     assert {r.doc_id: r.score for r in many} == want
+
+
+def test_vacuum_purges_tombstones_and_duplicates(spark, tmp_path):
+    """Vacuum: probe results unchanged, but tombstoned docs' postings
+    and crashed-replay duplicates are physically gone, the stats ledger
+    collapses to one row, and the tombstone dir is cleared."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_scores,
+        vacuum_text_index,
+        verify_text_index,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        append_to_store,
+        read_store,
+    )
+
+    store = _ingest(spark, tmp_path)
+    # plant a crashed-replay duplicate of an existing posting row
+    one = read_store(spark, f"{store}/postings").limit(1)
+    append_to_store(one, f"{store}/postings")
+    delete_from_text_index(
+        spark, store, spark.createDataFrame([(5,)], "doc_id long")
+    )
+    before = {r.doc_id: r.score
+              for r in text_index_scores(spark, store, TERMS).collect()}
+
+    removed = vacuum_text_index(spark, store)
+    assert removed >= 1  # at least the planted duplicate or doc 5's rows
+
+    after = {r.doc_id: r.score
+             for r in text_index_scores(spark, store, TERMS).collect()}
+    assert after == before and 5 not in after
+    post = read_store(spark, f"{store}/postings")
+    assert post.filter("doc_id = 5").count() == 0  # physically gone
+    assert post.count() == post.distinct().count()  # duplicates gone
+    stats = read_store(
+        spark, f"{store}/stats",
+        schema="n_docs BIGINT, sum_dl BIGINT, n_buckets BIGINT, batch_key STRING",
+    )
+    assert stats.count() == 1
+    assert verify_text_index(spark, store)["consistent"]
+    # a second vacuum is a no-op for content
+    vacuum_text_index(spark, store)
+    again = {r.doc_id: r.score
+             for r in text_index_scores(spark, store, TERMS).collect()}
+    assert again == before
