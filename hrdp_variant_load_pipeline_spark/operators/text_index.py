@@ -66,20 +66,34 @@ def _bucket_of(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("long")
 
 
-def _store_n_buckets(spark: SparkSession, store_dir: str) -> int | None:
-    rows = (
+def _stats_summary(spark: SparkSession, store_dir: str) -> dict:
+    """ONE read of the model-sized stats ledger: corpus totals, the
+    persisted routing modulus (mixed moduli fail loud — rebuild), and
+    the set of commit-marker keys (append batch_keys + delete del_keys).
+    Every stats consumer goes through here so the validation cannot
+    drift between call sites."""
+    st = (
         read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .select("n_buckets")
-        .distinct()
-        .collect()
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.collect_set("n_buckets").alias("nbs"),
+            F.collect_set("batch_key").alias("keys"),
+        )
+        .collect()[0]
     )
-    vals = sorted({int(r["n_buckets"]) for r in rows})
-    if len(vals) > 1:
+    nbs = sorted(int(v) for v in st["nbs"] if v is not None)
+    if len(nbs) > 1:
         raise ValueError(
-            f"text index at {store_dir} has mixed n_buckets {vals}; "
+            f"text index at {store_dir} has mixed n_buckets {nbs}; "
             "rebuild the store"
         )
-    return vals[0] if vals else None
+    return {
+        "n": int(st["n"] or 0),
+        "s": int(st["s"] or 0),
+        "nb": nbs[0] if nbs else None,
+        "keys": set(st["keys"] or []),
+    }
 
 
 def append_text_index_batch(
@@ -113,20 +127,14 @@ def append_text_index_batch(
     Returns docs ingested (0 when the batch_key was already committed).
     """
     spark = docs.sparkSession
-    existing = _store_n_buckets(spark, store_dir)
-    if existing is not None and existing != n_buckets:
+    st = _stats_summary(spark, store_dir)
+    if st["nb"] is not None and st["nb"] != n_buckets:
         raise ValueError(
             f"append_text_index_batch: store was built with "
-            f"n_buckets={existing}, got {n_buckets}"
+            f"n_buckets={st['nb']}, got {n_buckets}"
         )
-    if batch_key is not None:
-        committed = (
-            read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-            .filter(F.col("batch_key") == batch_key)
-            .take(1)
-        )
-        if committed:
-            return 0
+    if batch_key is not None and batch_key in st["keys"]:
+        return 0
     staged = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -193,33 +201,18 @@ def text_index_scores(
     # the persisted routing modulus (a probe recomputing buckets under a
     # caller-guessed modulus would silently filter out valid postings;
     # an explicit n_buckets is only accepted as a cross-check)
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("sum_dl").alias("s"),
-            F.collect_set("n_buckets").alias("nbs"),
-        )
-        .collect()[0]
-    )
-    nbs = sorted(int(v) for v in st["nbs"])
-    if len(nbs) > 1:
-        raise ValueError(
-            f"text index at {store_dir} has mixed n_buckets {nbs}; "
-            "rebuild the store"
-        )
-    stored_nb = nbs[0] if nbs else None
-    if n_buckets is not None and stored_nb is not None and n_buckets != stored_nb:
+    st = _stats_summary(spark, store_dir)
+    if n_buckets is not None and st["nb"] is not None and n_buckets != st["nb"]:
         raise ValueError(
             f"text_index_scores: store was built with n_buckets="
-            f"{stored_nb}, got {n_buckets}"
+            f"{st['nb']}, got {n_buckets}"
         )
-    nb = stored_nb if stored_nb is not None else (n_buckets or 64)
-    n_docs = int(st["n"] or 0)
+    nb = st["nb"] if st["nb"] is not None else (n_buckets or 64)
+    n_docs = st["n"]
     if n_docs == 0:
         return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
     # exact avg: integer-valued doubles below 2^53, same value avg() sees
-    avgdl = float(st["s"] or 0) / float(n_docs)
+    avgdl = float(st["s"]) / float(n_docs)
     if avgdl == 0.0:  # every ingested doc tokenless -> no postings exist
         return spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
     # term → (fold position, bucket): computed on a query-sized frame so
@@ -311,11 +304,7 @@ def text_index_topk(
 def describe_text_index(spark: SparkSession, store_dir: str) -> dict:
     """Operational snapshot: corpus stats plus posting/term/file counts
     (one metadata-scale pass over the postings; no text is read)."""
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-        .collect()[0]
-    )
+    st = _stats_summary(spark, store_dir)
     p = read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
     agg = p.agg(
         F.count("*").alias("postings"),
@@ -323,8 +312,8 @@ def describe_text_index(spark: SparkSession, store_dir: str) -> dict:
         F.countDistinct("bucket").alias("buckets"),
     ).collect()[0]
     return {
-        "n_docs": int(st["n"] or 0),
-        "sum_dl": int(st["s"] or 0),
+        "n_docs": st["n"],
+        "sum_dl": st["s"],
         "postings": int(agg["postings"]),
         "terms": int(agg["terms"]),
         "buckets": int(agg["buckets"]),
@@ -368,42 +357,35 @@ def text_index_topk_many(
         return spark.createDataFrame(
             [], "query_id BIGINT, doc_id BIGINT, score DOUBLE, rank INT"
         )
+    seen_qids: set[int] = set()
     qmeta_py: list[tuple] = []
     all_terms: set[str] = set()
     for r in qrows:
+        qid = int(r["qid"])
+        if qid in seen_qids:
+            # two rows under one id would silently blend their term
+            # lists into a fold neither query asked for
+            raise ValueError(f"text_index_topk_many: duplicate query_id {qid}")
+        seen_qids.add(qid)
         terms = list(r["qterms"] or [])
         if not terms:
-            raise ValueError(f"text_index_topk_many: empty query {r['qid']}")
+            raise ValueError(f"text_index_topk_many: empty query {qid}")
         if len(set(terms)) != len(terms):
             raise ValueError(
-                f"text_index_topk_many: duplicate terms in query {r['qid']}"
+                f"text_index_topk_many: duplicate terms in query {qid}"
             )
         for pos, t in enumerate(terms):
-            qmeta_py.append((int(r["qid"]), pos, t))
+            qmeta_py.append((qid, pos, t))
             all_terms.add(t)
 
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("sum_dl").alias("s"),
-            F.collect_set("n_buckets").alias("nbs"),
-        )
-        .collect()[0]
-    )
-    nbs = sorted(int(v) for v in st["nbs"])
-    if len(nbs) > 1:
-        raise ValueError(
-            f"text index at {store_dir} has mixed n_buckets {nbs}; "
-            "rebuild the store"
-        )
-    n_docs = int(st["n"] or 0)
-    avgdl = float(st["s"] or 0) / float(n_docs) if n_docs else 0.0
+    st = _stats_summary(spark, store_dir)
+    n_docs = st["n"]
+    avgdl = float(st["s"]) / float(n_docs) if n_docs else 0.0
     if n_docs == 0 or avgdl == 0.0:
         return spark.createDataFrame(
             [], "query_id BIGINT, doc_id BIGINT, score DOUBLE, rank INT"
         )
-    nb = nbs[0]
+    nb = st["nb"]
 
     term_list = sorted(all_terms)
     tdf = spark.createDataFrame(
@@ -466,13 +448,11 @@ def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
     ``distinct_doc_ids > n_docs`` proves an orphaned postings batch.
     Returns the counts and a boolean; on ``consistent=False`` the remedy
     is to rebuild the store (re-appending the lost batch would
-    double-count its postings — ids are unique-once by contract)."""
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(F.sum("n_docs").alias("n"))
-        .collect()[0]
-    )
-    n_docs = int(st["n"] or 0)
+    double-count its postings — ids are unique-once by contract).
+    Crashed DELETES, by contrast, are repairable and repaired here
+    first (``_repair_crashed_deletes``)."""
+    _repair_crashed_deletes(spark, store_dir)
+    n_docs = _stats_summary(spark, store_dir)["n"]
     # live view: tombstoned docs are excluded from BOTH sides of the
     # inequality (their stats rows were already subtracted at delete)
     posted = (
@@ -495,7 +475,43 @@ def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
 
 
 _TOMBSTONES = "tombstones"
-_TOMBSTONES_SCHEMA = "doc_id BIGINT"
+# del_key: the delete's commit marker, mirrored into the stats ledger's
+# batch_key column AFTER the tombstones land — a tombstoned del_key with
+# no matching stats row is a crashed delete, repaired (from the dl each
+# tombstone carries) at the start of the next delete or verify.
+_TOMBSTONES_SCHEMA = "doc_id BIGINT, dl BIGINT, del_key STRING"
+
+
+def _repair_crashed_deletes(spark: SparkSession, store_dir: str) -> int:
+    """Append the missing negative stats row for any delete that crashed
+    between its tombstone write and its stats write. Idempotent and
+    cheap: key sets are ledger-sized."""
+    tomb = read_store(
+        spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
+    )
+    st = _stats_summary(spark, store_dir)
+    tomb_keys = {
+        r["del_key"]
+        for r in tomb.select("del_key").distinct().collect()
+        if r["del_key"] is not None
+    }
+    missing = sorted(tomb_keys - st["keys"])
+    for key in missing:
+        adj = (
+            tomb.filter(F.col("del_key") == key)
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("k"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        append_to_store(
+            spark.createDataFrame(
+                [(-int(adj["k"]), -int(adj["s"] or 0), st["nb"], key)],
+                _STATS_SCHEMA,
+            ),
+            f"{store_dir}/{_STATS}",
+        )
+    return len(missing)
 
 
 def delete_from_text_index(
@@ -512,44 +528,68 @@ def delete_from_text_index(
     unknown) are ignored, so deletes are idempotent under replay and a
     double delete cannot double-adjust the statistics. The corpus stats
     shrink via a NEGATIVE stats row (−n_docs, −Σdl) computed from the
-    tombstoned ids' own postings, so post-delete probe scores are
-    bit-equal to ``bm25_scores`` over the surviving corpus (pinned in
-    tests/test_text_index.py). Physical purge = rebuild (compaction does
-    not consult tombstones). NOTE: a tokenless-but-ingested doc has no
-    postings to prove ingestion, so deleting it adjusts nothing — its
-    dl is 0 (harmless to Σdl) but its N slot survives; track tokenless
-    ids caller-side if exact-N deletion of empty docs matters.
+    tombstoned ids' own postings. The tombstones land FIRST carrying a
+    deterministic ``del_key``; the stats row mirrors that key as its
+    commit marker, so a crash between the two writes is detected and
+    repaired (``_repair_crashed_deletes`` — each tombstone carries its
+    dl) on the next delete or ``verify_text_index`` call, keeping
+    post-delete probe scores bit-equal to ``bm25_scores`` over the
+    surviving corpus through every crash point (pinned in
+    tests/test_text_index.py). Physical purge = ``vacuum_text_index``.
+    NOTE: a tokenless-but-ingested doc has no postings to prove
+    ingestion, so deleting it adjusts nothing — its dl is 0 (harmless to
+    Σdl) but its N slot survives; track tokenless ids caller-side if
+    exact-N deletion of empty docs matters.
 
     Returns the number of ids newly tombstoned."""
+    _repair_crashed_deletes(spark, store_dir)
+    st = _stats_summary(spark, store_dir)
+    if st["nb"] is None:
+        raise ValueError(
+            f"delete_from_text_index: no committed appends at {store_dir}"
+        )
     req = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     prior = read_store(
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
-    )
+    ).select("doc_id")
     fresh = req.join(prior, "doc_id", "left_anti").localCheckpoint()
-    # per-id dl from the postings (one row per (doc, term); dl rides
-    # every posting, so a per-doc first() is exact)
+    # ONE semi-join against the (doc-unprunable) postings serves the
+    # adjustment aggregate AND the tombstone rows; dl rides every posting
+    # of a doc, so the per-doc distinct is exact
     post = read_store(
         spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
     )
-    adj = (
+    deletable = (
         post.join(F.broadcast(fresh), "doc_id", "left_semi")
         .select("doc_id", "dl")
         .distinct()
-        .agg(F.count("*").alias("k"), F.sum("dl").alias("s"))
-        .collect()[0]
+        .localCheckpoint()
     )
+    adj = deletable.agg(
+        F.count("*").alias("k"),
+        F.sum("dl").alias("s"),
+        # bit_xor, not sum: an order-independent digest of the DISTINCT
+        # id set that cannot hit ANSI long overflow (a plain sum of
+        # xxhash64 values aborts after a handful of rows)
+        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
     n_del = int(adj["k"] or 0)
     if n_del == 0:
         return 0
-    deletable = post.join(F.broadcast(fresh), "doc_id", "left_semi").select(
-        "doc_id"
-    ).distinct()
-    deletable = deletable.localCheckpoint()
-    nb = _store_n_buckets(spark, store_dir)
-    append_to_store(deletable, f"{store_dir}/{_TOMBSTONES}")
+    # deterministic over the id set → a replay of the same crashed
+    # request converges on the same marker
+    del_key = f"del-{n_del}-{int(adj['h'])}-{int(adj['lo'])}-{int(adj['hi'])}"
+    if del_key in st["keys"]:  # fully committed by an earlier attempt
+        return 0
+    append_to_store(
+        deletable.withColumn("del_key", F.lit(del_key)),
+        f"{store_dir}/{_TOMBSTONES}",
+    )
     append_to_store(
         spark.createDataFrame(
-            [(-n_del, -int(adj["s"] or 0), nb, None)], _STATS_SCHEMA
+            [(-n_del, -int(adj["s"] or 0), st["nb"], del_key)], _STATS_SCHEMA
         ),
         f"{store_dir}/{_STATS}",
     )
@@ -561,29 +601,34 @@ def _live_postings(spark: SparkSession, store_dir: str, pruned: DataFrame):
     no-op plan)."""
     tomb = read_store(
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
-    )
+    ).select("doc_id")
     return pruned.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti")
 
 
 def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
     """Physically purge the index: commit a postings version holding
     only live, de-duplicated rows (tombstoned docs and crashed-replay
-    duplicates gone), collapse the stats ledger to ONE summed row, and
-    clear the tombstones. Probe results are unchanged (the logical view
-    was already live-and-distinct); what changes is the storage — scans
-    stop paying the anti-join input and the duplicate rows.
+    duplicates gone), collapse the stats ledger to one summed row PLUS
+    one zero-row per commit-marker key, and clear the tombstones. Probe
+    results are unchanged (the logical view was already
+    live-and-distinct); what changes is the storage — scans stop paying
+    the anti-join input and the duplicate rows.
 
-    Crash-safe at every boundary: postings commit first (live view —
-    identical logical content), then the summed stats row (sums equal
-    the multi-row ledger), then the tombstone clear (stale tombstones
-    against purged postings anti-join to a no-op). Returns posting rows
-    removed."""
+    The marker keys are PRESERVED (as zero-valued ledger rows): they are
+    what makes append/delete replays idempotent, and dropping them would
+    let an at-least-once replay of a pre-vacuum batch double-count its
+    stats after the vacuum. Crash-safe at every boundary: crashed
+    deletes are repaired first; the postings commit is logically
+    identical to the live view; the stats commit preserves both sums
+    and keys; stale tombstones against purged postings anti-join to a
+    no-op until the final clear. Returns posting rows removed."""
     from hrdp_variant_load_pipeline_spark.sources.store import (
         _fs,
         _jpath,
         commit_store_version,
     )
 
+    _repair_crashed_deletes(spark, store_dir)
     post = read_store(
         spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
     )
@@ -597,24 +642,15 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
         spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
     ).count()
 
-    st = (
-        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
-        .agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("sum_dl").alias("s"),
-            F.collect_set("n_buckets").alias("nbs"),
+    st = _stats_summary(spark, store_dir)
+    if st["nb"] is not None:  # no stats ledger -> nothing to collapse
+        rows = [(st["n"], st["s"], st["nb"], None)] + [
+            (0, 0, st["nb"], key) for key in sorted(st["keys"])
+        ]
+        commit_store_version(
+            spark.createDataFrame(rows, _STATS_SCHEMA),
+            f"{store_dir}/{_STATS}",
         )
-        .collect()[0]
-    )
-    nbs = sorted(int(v) for v in st["nbs"])
-    commit_store_version(
-        spark.createDataFrame(
-            [(int(st["n"] or 0), int(st["s"] or 0),
-              nbs[0] if nbs else None, None)],
-            _STATS_SCHEMA,
-        ),
-        f"{store_dir}/{_STATS}",
-    )
     fs, jvm = _fs(spark, store_dir)
     tpath = _jpath(jvm, f"{store_dir}/{_TOMBSTONES}")
     if fs.exists(tpath):

@@ -572,6 +572,10 @@ def bm25_scores(
         raise ValueError("bm25_scores: empty query")
     if out_col in df.columns:
         raise ValueError(f"bm25_scores: output column {out_col!r} already exists")
+    if k1 < 0:
+        raise ValueError(f"bm25_scores: k1 must be >= 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"bm25_scores: b must be in [0, 1], got {b}")
     toks = bm25_tokens(F.col(text_col))
 
     def _is(term):
@@ -610,7 +614,13 @@ def bm25_scores(
             / (F.col(f"__df{i}") + 0.5)
         )
         denom = tf + k1 * (1.0 - b + b_dl_ratio)
-        score = score + idf * tf * (k1 + 1.0) / denom
+        # tf = 0 contributes an EXACT 0.0 without touching the division:
+        # at b=1 a tokenless doc (or k1=0, any non-matching doc) makes
+        # denom 0 and 0.0/0.0 would poison the sum with NaN. For tf > 0
+        # the expression is unchanged, so index-probe bit-equality holds.
+        score = score + F.when(
+            tf > 0, idf * tf * (k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
     internal = (
         ["__dl", "__n", "__avgdl"]
         + [f"__tf{i}" for i in range(len(terms))]

@@ -99,6 +99,31 @@ def stream_corpus_ingest(
     instead of broadcasting a too-large batch.
     """
 
+    _sid_cache: dict = {}
+
+    def _stream_id() -> str:
+        """Namespace for the text-index batch_key: the streaming query's
+        STABLE id from the checkpoint metadata — unchanged across
+        restarts of the same checkpoint (so replays are still skipped),
+        fresh after a checkpoint wipe (batch ids restart at 0 there, and
+        an un-namespaced 'batch-0' marker from the previous incarnation
+        would silently skip indexing genuinely new docs). Falls back to
+        a hash of the checkpoint path for non-local checkpoint stores —
+        same restart semantics, minus wipe detection."""
+        if "id" not in _sid_cache:
+            import hashlib
+            import json as _json
+            import os as _os
+
+            try:
+                with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                    _sid_cache["id"] = _json.load(fh)["id"][:8]
+            except (OSError, KeyError, ValueError):
+                _sid_cache["id"] = hashlib.md5(
+                    checkpoint_dir.encode()
+                ).hexdigest()[:8]
+        return _sid_cache["id"]
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs, quarantine = split_jsonl_lines(batch_df, schema)
         n_rej = 0
@@ -216,7 +241,7 @@ def stream_corpus_ingest(
                         id_col=id_col,
                         text_col=text_col,
                         n_buckets=text_index_buckets,
-                        batch_key=f"batch-{batch_id}",
+                        batch_key=f"{_stream_id()}-{batch_id}",
                     )
                 append_to_store(accepted, docs_store_dir, cluster_by=[id_col])
             fresh.unpersist()

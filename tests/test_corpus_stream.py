@@ -239,3 +239,53 @@ def test_ingest_maintains_text_index(spark, tmp_path):
            for r in text_index_scores(spark, dirs["tix"], terms).collect()}
     assert got == want
     assert verify_text_index(spark, dirs["tix"])["consistent"]
+
+
+def test_text_index_survives_checkpoint_wipe(spark, tmp_path):
+    """A wiped checkpoint restarts batch ids at 0; the batch_key
+    namespace (the stream's stable id) must change with it, or the new
+    stream's batches would be silently skipped against the old stream's
+    markers and the index would diverge from the docs store."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_scores,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    src = tmp_path / "in"
+    src.mkdir(exist_ok=True)
+    dirs = {k: str(tmp_path / k)
+            for k in ("docs", "index", "tix", "quarantine", "ck1", "ck2")}
+    q = stream_corpus_ingest(
+        spark, str(src), dirs["docs"], dirs["index"], dirs["quarantine"],
+        dirs["ck1"], max_files_per_trigger=1, text_index_dir=dirs["tix"],
+    )
+    try:
+        _write_batch(src, "b1.jsonl", _B1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # "wipe": a NEW checkpoint over the same stores; batch ids restart
+    q2 = stream_corpus_ingest(
+        spark, str(src), dirs["docs"], dirs["index"], dirs["quarantine"],
+        dirs["ck2"], max_files_per_trigger=1, text_index_dir=dirs["tix"],
+    )
+    try:
+        _write_batch(src, "b2.jsonl", _B2)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    docs = read_store(spark, dirs["docs"]).select("doc_id", "text")
+    # the fresh stream re-reads b1 (new checkpoint) as its batch 0, but
+    # the docs-store replay filter drops those ids; batch 1 (=_B2) must
+    # still be INDEXED despite the old stream having used batch ids 0/1
+    terms = ["quick", "spark", "words"]
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, dirs["tix"], terms).collect()}
+    assert got == want
+    assert 11 in got  # _B2's fresh doc made it into the index

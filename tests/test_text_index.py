@@ -417,11 +417,104 @@ def test_vacuum_purges_tombstones_and_duplicates(spark, tmp_path):
     stats = read_store(
         spark, f"{store}/stats",
         schema="n_docs BIGINT, sum_dl BIGINT, n_buckets BIGINT, batch_key STRING",
-    )
-    assert stats.count() == 1
+    ).collect()
+    # collapsed to ONE summed row + zero-rows preserving replay markers
+    summed = [r for r in stats if r.batch_key is None]
+    markers = [r for r in stats if r.batch_key is not None]
+    assert len(summed) == 1
+    assert all(r.n_docs == 0 and r.sum_dl == 0 for r in markers)
     assert verify_text_index(spark, store)["consistent"]
     # a second vacuum is a no-op for content
     vacuum_text_index(spark, store)
     again = {r.doc_id: r.score
              for r in text_index_scores(spark, store, TERMS).collect()}
     assert again == before
+
+
+def test_crashed_delete_is_repaired(spark, tmp_path):
+    """Crash drill for deletion: tombstones landed, the negative stats
+    row did not. The next entry point (here: verify) repairs the ledger
+    from the dl each tombstone carries, restoring bit-equality over the
+    surviving corpus; a replay of the same request stays a no-op."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_scores,
+        verify_text_index,
+    )
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        append_to_store,
+        read_store,
+    )
+
+    store = _ingest(spark, tmp_path)
+    # simulate the crash: run a real delete in a scratch store to obtain
+    # the exact tombstone rows it writes, then append ONLY those (no
+    # stats row) to the store under test
+    scratch = _ingest(spark, tmp_path / "scratch")
+    delete_from_text_index(
+        spark, scratch, spark.createDataFrame([(5,), (7,)], "doc_id long")
+    )
+    crashed_tomb = read_store(spark, f"{scratch}/tombstones")
+    append_to_store(crashed_tomb, f"{store}/tombstones")
+
+    # probes already exclude the docs, but stats drifted — verify repairs
+    assert verify_text_index(spark, store)["consistent"]
+    survivors = spark.createDataFrame(
+        [r for r in BATCH1 + BATCH2 if r[0] not in (5, 7)],
+        "doc_id long, text string",
+    )
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(survivors, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == want
+    # replaying the original request after the repair adjusts nothing
+    assert delete_from_text_index(
+        spark, store, spark.createDataFrame([(5,), (7,)], "doc_id long")
+    ) == 0
+    assert {r.doc_id: r.score
+            for r in text_index_scores(spark, store, TERMS).collect()} == want
+
+
+def test_vacuum_preserves_replay_markers(spark, tmp_path):
+    """An at-least-once replay of a pre-vacuum batch must STILL be
+    skipped after the vacuum — the marker keys survive as zero-rows."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_scores,
+        vacuum_text_index,
+    )
+
+    store = str(tmp_path / "tix")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    assert append_text_index_batch(b1, store, batch_key="b1") == 4
+    vacuum_text_index(spark, store)
+    # replay of the pre-vacuum batch: skipped, stats unchanged
+    assert append_text_index_batch(b1, store, batch_key="b1") == 0
+    corpus_scores = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(b1, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == corpus_scores
+
+
+def test_topk_many_rejects_duplicate_query_ids(spark, tmp_path):
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate query_id 1"):
+        text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(1, ["cat"]), (1, ["dog"])],
+                "query_id long, terms array<string>",
+            ),
+        )

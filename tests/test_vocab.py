@@ -447,3 +447,29 @@ def test_bm25_plan_is_shuffle_free_after_scalar_agg(spark):
     plan = bm25_scores(df, "doc_id", "text", ["cat", "dog"])._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_extreme_params_never_nan(spark):
+    """b=1.0 (full length normalization) with a tokenless doc, and k1=0:
+    non-matching docs must score an exact 0.0, never NaN; parameters
+    outside the legal range are rejected."""
+    import math
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, ""), (3, "bird")], "doc_id long, text string"
+    )
+    for k1, b in ((1.2, 1.0), (0.0, 0.75), (0.0, 1.0)):
+        got = {r.doc_id: r.bm25
+               for r in bm25_scores(df, "doc_id", "text", ["cat"], k1=k1, b=b)
+               .collect()}
+        assert not any(math.isnan(v) for v in got.values()), (k1, b, got)
+        assert got[2] == 0.0 and got[3] == 0.0
+        assert got[1] > 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="b must be"):
+        bm25_scores(df, "doc_id", "text", ["cat"], b=1.5)
+    with _pt.raises(ValueError, match="k1 must be"):
+        bm25_scores(df, "doc_id", "text", ["cat"], k1=-1)
