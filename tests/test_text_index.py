@@ -518,3 +518,72 @@ def test_topk_many_rejects_duplicate_query_ids(spark, tmp_path):
                 "query_id long, terms array<string>",
             ),
         )
+
+
+def test_lifecycle_random_walk_matches_model(spark, tmp_path):
+    """Stateful drill: a seeded random interleaving of keyed appends,
+    deletes, and vacuums; after EVERY op the probe must be bit-equal to
+    bm25_scores over the currently-live corpus. Catches interleaving
+    bugs no single-op test can (stats drift across op boundaries)."""
+    import random
+
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_scores,
+        vacuum_text_index,
+        verify_text_index,
+    )
+
+    rng = random.Random(42)
+    words = ["cat", "dog", "mat", "sun", "sky", "run"]
+    store = str(tmp_path / "walk")
+    live: dict[int, str] = {}
+    next_id = 0
+
+    def check():
+        if not live:
+            return
+        corpus = spark.createDataFrame(
+            sorted(live.items()), "doc_id long, text string"
+        )
+        want = {
+            r.doc_id: r.bm25
+            for r in bm25_scores(corpus, "doc_id", "text", TERMS).collect()
+            if r.bm25 > 0
+        }
+        got = {r.doc_id: r.score
+               for r in text_index_scores(spark, store, TERMS).collect()}
+        assert got == want
+        assert verify_text_index(spark, store)["consistent"]
+
+    ops = 0
+    for step in range(8):
+        op = rng.choice(["append", "append", "delete", "vacuum"])
+        if op == "append" or not live:
+            batch = {}
+            for _ in range(rng.randint(1, 4)):
+                batch[next_id] = " ".join(
+                    rng.choices(words, k=rng.randint(0, 7))
+                )
+                next_id += 1
+            df = spark.createDataFrame(
+                sorted(batch.items()), "doc_id long, text string"
+            )
+            append_text_index_batch(df, store, batch_key=f"walk-{step}")
+            live.update(batch)
+        elif op == "delete":
+            victims = rng.sample(sorted(live), k=min(2, len(live)))
+            delete_from_text_index(
+                spark, store,
+                spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+            )
+            # tokenless docs stay in N (documented caveat): keep them in
+            # the model too, drop only the tokenized victims
+            for v in victims:
+                if live[v].split():
+                    del live[v]
+        else:
+            vacuum_text_index(spark, store)
+        ops += 1
+        check()
+    assert ops == 8
