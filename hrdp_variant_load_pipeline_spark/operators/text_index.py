@@ -159,10 +159,40 @@ def append_text_index_batch(
             "dl",
         )
     )
+    postings = postings.localCheckpoint()  # one tf-aggregate feeds both
+    # the inverted append and the forward (doc → term-vector) rollup
     append_to_store(
         postings,
         f"{store_dir}/{_POSTINGS}",
         cluster_by=["bucket", "term"],
+        cluster_partitions=cluster_partitions,
+    )
+    forward = (
+        postings.groupBy("doc_id", "dl")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("term", "tf"))
+            ).alias("__p")
+        )
+        .select(
+            "doc_id",
+            # explicit casts: collect_list yields containsNull=false
+            # array types, which parquet reads back as containsNull=true
+            # — without the cast the SECOND append trips the store's
+            # schema-drift refusal on that invisible difference
+            F.transform("__p", lambda p: p["term"])
+            .cast("array<string>")
+            .alias("terms"),
+            F.transform("__p", lambda p: p["tf"])
+            .cast("array<bigint>")
+            .alias("tfs"),
+            "dl",
+        )
+    )
+    append_to_store(
+        forward,
+        f"{store_dir}/{_FORWARD}",
+        cluster_by=["doc_id"],
         cluster_partitions=cluster_partitions,
     )
     append_to_store(
@@ -642,6 +672,19 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
         spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
     ).count()
 
+    # forward substore: same live-and-distinct purge, clustered on doc_id
+    tomb_ids = read_store(
+        spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
+    ).select("doc_id").distinct()
+    fwd_live = (
+        read_store(spark, f"{store_dir}/{_FORWARD}", schema=_FORWARD_SCHEMA)
+        .distinct()
+        .join(F.broadcast(tomb_ids), "doc_id", "left_anti")
+        .repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    commit_store_version(fwd_live.localCheckpoint(), f"{store_dir}/{_FORWARD}")
+
     st = _stats_summary(spark, store_dir)
     if st["nb"] is not None:  # no stats ledger -> nothing to collapse
         rows = [(st["n"], st["s"], st["nb"], None)] + [
@@ -656,3 +699,115 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
     if fs.exists(tpath):
         fs.delete(tpath, True)
     return int(n_before - n_after)
+
+
+# ---------------------------------------------------------- forward index
+# doc → term-vector substore: the complement of the inverted postings.
+# Clustered by doc_id, so an `id IN (...)` fetch prunes at the parquet
+# footer — per-document term vectors in O(requested docs), the access
+# path pseudo-relevance feedback and doc-similarity need (the inverted
+# postings are (bucket, term)-clustered; a doc-keyed filter over them
+# cannot prune and would scan the store).
+_FORWARD = "forward"
+_FORWARD_SCHEMA = (
+    "doc_id BIGINT, terms ARRAY<STRING>, tfs ARRAY<BIGINT>, dl BIGINT"
+)
+
+
+def doc_vectors(
+    spark: SparkSession, store_dir: str, ids: DataFrame | list[int]
+) -> DataFrame:
+    """Fetch (doc_id, terms, tfs, dl) for the requested ids from the
+    forward substore — `doc_id IN` pushed to the clustered scan, so cost
+    is O(requested docs' rows), never O(corpus). Tombstoned docs are
+    excluded; crashed-replay duplicate rows collapse via distinct (rows
+    of a replayed batch are identical: terms sort by term). Ids absent
+    from the store (never ingested, tokenless, or deleted) simply
+    produce no row."""
+    fwd = read_store(
+        spark, f"{store_dir}/{_FORWARD}", schema=_FORWARD_SCHEMA
+    )
+    if isinstance(ids, list):
+        fwd = fwd.filter(F.col("doc_id").isin([int(i) for i in ids]))
+    else:
+        fwd = fwd.join(
+            F.broadcast(
+                ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    tomb = read_store(
+        spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
+    ).select("doc_id")
+    return fwd.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti").distinct()
+
+
+def prf_expand_terms(
+    spark: SparkSession,
+    store_dir: str,
+    terms: list[str],
+    k_docs: int = 10,
+    n_expand: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[str]:
+    """Pseudo-relevance feedback (Rocchio/RM3 family): expand a query
+    with the most informative terms of its own top-k documents, entirely
+    from the index — (1) inverted top-k probe, (2) forward fetch of the
+    k winners' term vectors (id pushdown, O(k) rows), (3) one pruned
+    inverted probe for the candidate terms' dfs, (4) rank candidates by
+    feedback-tf × idf. The original terms are excluded; ties break to
+    the lexicographically smaller term, so expansion is deterministic.
+    Returns ``terms + [up to n_expand new terms]``; an empty match set
+    returns the original query unchanged. Requires a store built with
+    the forward substore (``append_text_index_batch(forward=True)``, the
+    default)."""
+    top = text_index_topk(spark, store_dir, terms, k=k_docs, k1=k1, b=b)
+    ids = [int(r["doc_id"]) for r in top.select("doc_id").collect()]
+    if not ids:
+        return list(terms)
+    fb = (
+        doc_vectors(spark, store_dir, ids)
+        .select(F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
+        .select(
+            F.col("z.terms").alias("term"), F.col("z.tfs").alias("tf")
+        )
+        .filter(~F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .localCheckpoint()  # candidate set: bounded by k docs' vocab
+    )
+    cands = [r["term"] for r in fb.select("term").collect()]
+    if not cands:
+        return list(terms)
+    st = _stats_summary(spark, store_dir)
+    nb = st["nb"] if st["nb"] is not None else 64
+    cdf = spark.createDataFrame([(t,) for t in cands], "term STRING").select(
+        "term", _bucket_of(F.col("term"), nb).alias("bucket")
+    )
+    needed = sorted({r["bucket"] for r in cdf.collect()})
+    dfs = _live_postings(
+        spark,
+        store_dir,
+        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
+        .filter(F.col("bucket").isin(needed))
+        .filter(F.col("term").isin(cands))
+        .distinct(),
+    ).groupBy("term").agg(F.count("*").alias("df"))
+    n_lit = F.lit(float(st["n"]))
+    scored = fb.join(dfs, "term").select(
+        "term",
+        (
+            F.col("fb_tf").cast("double")
+            * F.log(
+                1.0
+                + (n_lit - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+        ).alias("w"),
+    )
+    picked = (
+        scored.orderBy(F.desc("w"), F.asc("term")).limit(n_expand).collect()
+    )
+    return list(terms) + [r["term"] for r in picked]

@@ -587,3 +587,71 @@ def test_lifecycle_random_walk_matches_model(spark, tmp_path):
         ops += 1
         check()
     assert ops == 8
+
+
+def test_forward_index_vectors_and_pushdown(spark, tmp_path):
+    """doc_vectors: per-doc (terms, tfs, dl) parity with tokenization,
+    id-pushdown into the clustered scan, deletion/vacuum interplay."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        doc_vectors,
+        vacuum_text_index,
+    )
+
+    store = _ingest(spark, tmp_path)
+    got = {r.doc_id: (list(r.terms), list(r.tfs), r.dl)
+           for r in doc_vectors(spark, store, [1, 5, 4, 999]).collect()}
+    # tokenless doc 4 and unknown 999 produce no rows
+    assert set(got) == {1, 5}
+    for did, text in [(1, BATCH1[0][1]), (5, BATCH2[0][1])]:
+        toks = text.split()
+        want = sorted({(t, toks.count(t)) for t in toks})
+        assert got[did][0] == [t for t, _ in want]
+        assert got[did][1] == [c for _, c in want]
+        assert got[did][2] == len(toks)
+    plan = (
+        doc_vectors(spark, store, [1, 5])
+        ._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
+    )
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan, plan
+    # deletion hides the vector; vacuum purges it physically
+    delete_from_text_index(
+        spark, store, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert {r.doc_id for r in doc_vectors(spark, store, [1, 5]).collect()} == {5}
+    vacuum_text_index(spark, store)
+    from hrdp_variant_load_pipeline_spark.sources.store import read_store
+
+    assert read_store(spark, f"{store}/forward").filter(
+        "doc_id = 1"
+    ).count() == 0
+    assert {r.doc_id for r in doc_vectors(spark, store, [1, 5]).collect()} == {5}
+
+
+def test_prf_expansion_is_deterministic_and_sensible(spark, tmp_path):
+    """PRF: terms co-occurring with the query in its top docs are
+    appended, idf keeps ubiquitous terms from dominating, originals are
+    never repeated, and the expansion is deterministic."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        prf_expand_terms,
+    )
+
+    rows = [
+        (1, "cat mat whiskers purr"),
+        (2, "cat whiskers purr nap"),
+        (3, "dog bark fetch"),
+        (4, "stock market prices fall"),
+        (5, "cat purr whiskers"),
+    ]
+    store = str(tmp_path / "tix")
+    append_text_index_batch(
+        spark.createDataFrame(rows, "doc_id long, text string"), store
+    )
+    out = prf_expand_terms(spark, store, ["cat"], k_docs=3, n_expand=2)
+    assert out[0] == "cat" and len(out) == 3
+    assert "cat" not in out[1:]
+    # cat's top docs are 1/2/5: whiskers+purr dominate the feedback mass
+    assert set(out[1:]) == {"whiskers", "purr"}
+    assert out == prf_expand_terms(spark, store, ["cat"], k_docs=3, n_expand=2)
+    # no matches -> unchanged query
+    assert prf_expand_terms(spark, store, ["zzz"], k_docs=3) == ["zzz"]
