@@ -497,10 +497,32 @@ def verify_text_index(spark: SparkSession, store_dir: str) -> dict:
         .collect()[0]
     )
     distinct_docs = int(posted["d"] or 0)
+    # forward completeness: every live posted doc must have its forward
+    # row (a store built before the forward substore, or a crash between
+    # the postings and forward writes, leaves a gap — repair with
+    # backfill_forward_index)
+    fwd_docs = int(
+        read_store(spark, f"{store_dir}/{_FORWARD}", schema=_FORWARD_SCHEMA)
+        .join(
+            F.broadcast(
+                read_store(
+                    spark, f"{store_dir}/{_TOMBSTONES}",
+                    schema=_TOMBSTONES_SCHEMA,
+                ).select("doc_id").distinct()
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()[0]["d"]
+        or 0
+    )
     return {
         "n_docs": n_docs,
         "distinct_posted_docs": distinct_docs,
-        "consistent": distinct_docs <= n_docs,
+        "forward_docs": fwd_docs,
+        "forward_complete": fwd_docs >= distinct_docs,
+        "consistent": distinct_docs <= n_docs and fwd_docs >= distinct_docs,
     }
 
 
@@ -715,32 +737,73 @@ _FORWARD_SCHEMA = (
 
 
 def doc_vectors(
-    spark: SparkSession, store_dir: str, ids: DataFrame | list[int]
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame | list[int],
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Fetch (doc_id, terms, tfs, dl) for the requested ids from the
     forward substore — `doc_id IN` pushed to the clustered scan, so cost
-    is O(requested docs' rows), never O(corpus). Tombstoned docs are
-    excluded; crashed-replay duplicate rows collapse via distinct (rows
-    of a replayed batch are identical: terms sort by term). Ids absent
-    from the store (never ingested, tokenless, or deleted) simply
-    produce no row."""
+    is O(requested docs' rows), never O(corpus). The id set is
+    REQUEST-SIZED by contract: a DataFrame argument is collected to the
+    driver (``id_col`` names its id column) and routed through the same
+    static IN filter as a list, so both forms get footer pruning.
+    Tombstoned docs are excluded; crashed-replay duplicate rows collapse
+    via distinct (rows of a replayed batch are identical: terms sort by
+    term). Ids absent from the substore (never ingested, tokenless,
+    deleted — or ingested by a pre-forward build, see
+    ``backfill_forward_index``) produce no row."""
+    if isinstance(ids, DataFrame):
+        ids = [
+            int(r[0])
+            for r in ids.select(F.col(id_col).cast("long")).collect()
+        ]
     fwd = read_store(
         spark, f"{store_dir}/{_FORWARD}", schema=_FORWARD_SCHEMA
-    )
-    if isinstance(ids, list):
-        fwd = fwd.filter(F.col("doc_id").isin([int(i) for i in ids]))
-    else:
-        fwd = fwd.join(
-            F.broadcast(
-                ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
-            ),
-            "doc_id",
-            "left_semi",
-        )
+    ).filter(F.col("doc_id").isin([int(i) for i in ids]))
     tomb = read_store(
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
     ).select("doc_id")
     return fwd.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti").distinct()
+
+
+def backfill_forward_index(spark: SparkSession, store_dir: str) -> int:
+    """Build (or rebuild) the forward substore FROM the live postings —
+    the migration path for indexes created before the forward substore
+    existed, and the repair path when ``verify_text_index`` reports
+    ``forward_complete=False``. One postings pass (the same doc-keyed
+    rollup an append performs), committed as a fresh forward version.
+    Returns the number of forward rows committed."""
+    from hrdp_variant_load_pipeline_spark.sources.store import (
+        commit_store_version,
+    )
+
+    live = _live_postings(
+        spark,
+        store_dir,
+        read_store(
+            spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+        ).distinct(),
+    )
+    fwd = (
+        live.groupBy("doc_id", "dl")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "tf"))).alias("__p"))
+        .select(
+            "doc_id",
+            F.transform("__p", lambda p: p["term"])
+            .cast("array<string>")
+            .alias("terms"),
+            F.transform("__p", lambda p: p["tf"])
+            .cast("array<bigint>")
+            .alias("tfs"),
+            "dl",
+        )
+        .repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint()
+    )
+    commit_store_version(fwd, f"{store_dir}/{_FORWARD}")
+    return fwd.count()
 
 
 def prf_expand_terms(
@@ -751,6 +814,7 @@ def prf_expand_terms(
     n_expand: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    max_candidates: int = 256,
 ) -> list[str]:
     """Pseudo-relevance feedback (Rocchio/RM3 family): expand a query
     with the most informative terms of its own top-k documents, entirely
@@ -760,14 +824,20 @@ def prf_expand_terms(
     feedback-tf × idf. The original terms are excluded; ties break to
     the lexicographically smaller term, so expansion is deterministic.
     Returns ``terms + [up to n_expand new terms]``; an empty match set
-    returns the original query unchanged. Requires a store built with
-    the forward substore (``append_text_index_batch(forward=True)``, the
-    default)."""
+    returns the original query unchanged. Requires the forward substore
+    (built by every append; for a pre-forward store run
+    ``backfill_forward_index`` once). ``max_candidates`` caps the
+    feedback vocabulary taken into the df probe (pre-ranked by feedback
+    tf, ties to the smaller term): long documents would otherwise push
+    thousands of term literals into the probe's IN filter, past the
+    point where the scan can prune."""
+    st = _stats_summary(spark, store_dir)
+    nb = st["nb"] if st["nb"] is not None else 64
     top = text_index_topk(spark, store_dir, terms, k=k_docs, k1=k1, b=b)
     ids = [int(r["doc_id"]) for r in top.select("doc_id").collect()]
     if not ids:
         return list(terms)
-    fb = (
+    fb_rows = (
         doc_vectors(spark, store_dir, ids)
         .select(F.explode(F.arrays_zip("terms", "tfs")).alias("z"))
         .select(
@@ -776,13 +846,17 @@ def prf_expand_terms(
         .filter(~F.col("term").isin(list(terms)))
         .groupBy("term")
         .agg(F.sum("tf").alias("fb_tf"))
-        .localCheckpoint()  # candidate set: bounded by k docs' vocab
+        .orderBy(F.desc("fb_tf"), F.asc("term"))
+        .limit(max_candidates)
+        .collect()  # request-sized: <= max_candidates rows
     )
-    cands = [r["term"] for r in fb.select("term").collect()]
-    if not cands:
+    if not fb_rows:
         return list(terms)
-    st = _stats_summary(spark, store_dir)
-    nb = st["nb"] if st["nb"] is not None else 64
+    fb = spark.createDataFrame(
+        [(r["term"], int(r["fb_tf"])) for r in fb_rows],
+        "term STRING, fb_tf BIGINT",
+    )
+    cands = [r["term"] for r in fb_rows]
     cdf = spark.createDataFrame([(t,) for t in cands], "term STRING").select(
         "term", _bucket_of(F.col("term"), nb).alias("bucket")
     )

@@ -655,3 +655,32 @@ def test_prf_expansion_is_deterministic_and_sensible(spark, tmp_path):
     assert out == prf_expand_terms(spark, store, ["cat"], k_docs=3, n_expand=2)
     # no matches -> unchanged query
     assert prf_expand_terms(spark, store, ["zzz"], k_docs=3) == ["zzz"]
+
+
+def test_backfill_repairs_missing_forward_substore(spark, tmp_path):
+    """Migration/repair: a store whose forward substore is missing (a
+    pre-forward build, simulated by deleting the dir) is flagged by
+    verify and fully repaired by backfill_forward_index — vectors then
+    match a fresh build."""
+    import shutil
+
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        backfill_forward_index,
+        doc_vectors,
+        verify_text_index,
+    )
+
+    store = _ingest(spark, tmp_path)
+    before = {r.doc_id: (list(r.terms), list(r.tfs), r.dl)
+              for r in doc_vectors(spark, store, [1, 2, 3, 5, 6, 7]).collect()}
+    shutil.rmtree(f"{store}/forward")
+    v = verify_text_index(spark, store)
+    assert not v["forward_complete"] and not v["consistent"]
+    assert doc_vectors(spark, store, [1]).count() == 0
+
+    n = backfill_forward_index(spark, store)
+    assert n == 6  # every tokenized doc
+    assert verify_text_index(spark, store)["consistent"]
+    after = {r.doc_id: (list(r.terms), list(r.tfs), r.dl)
+             for r in doc_vectors(spark, store, [1, 2, 3, 5, 6, 7]).collect()}
+    assert after == before
