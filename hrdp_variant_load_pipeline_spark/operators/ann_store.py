@@ -341,18 +341,19 @@ def incremental_semantic_dedup(
     # IN filter (row-group pruning via the vec_id secondary clustering —
     # the incremental_minhash_dedup candidate-pushdown shape); oversized
     # batches fall back to the broadcast semi-join probe.
-    # RAW store ids ∪ tombstoned ids, deliberately NOT the filtered live
+    # RAW store ids ∪ consumed ids, deliberately NOT the filtered live
     # view: deletion removes a vector from search, it does not free its
-    # id — re-ingesting a deleted id is still a replay. The tombstone
-    # union makes this hold even after vacuum_ann_store physically
-    # purges the deleted rows (the tombstone file IS the consumed-id
-    # registry, which is why vacuum keeps it).
+    # id — re-ingesting a deleted id is still a replay. The consumed-id
+    # union (current tombstones ∪ the vacuum-migrated registry) makes
+    # this hold even after vacuum_ann_store physically purges the
+    # deleted rows; the registry is a separate store from the tombstones
+    # so the per-probe filter does not pay for replay history.
     store_ids = read_store(
         spark,
         store_dir,
         schema="bucket BIGINT, vec_id BIGINT, c_vec ARRAY<DOUBLE>, "
         "c_norm DOUBLE",
-    ).select("vec_id").unionByName(_ann_tombstones(spark, store_dir))
+    ).select("vec_id").unionByName(_ann_consumed_ids(spark, store_dir))
     # bound the collect itself (limit cap+1), not just the branch — an
     # unthrottled backfill batch must never materialize its full id set
     # on the driver (the incremental_minhash_dedup pushdown shape)
@@ -472,26 +473,78 @@ def describe_ivf_index(spark: SparkSession, store_dir: str) -> dict:
 # the directory invisible to the index's own parquet scans (Hadoop's
 # default path filter skips `_`/`.`-prefixed paths), so the store read
 # stays one clean directory while deletion state rides alongside it.
+# `_consumed_ids` is the SEPARATE consumed-id registry: vacuum migrates
+# tombstoned ids there before clearing the tombstones, so the probe
+# filter shrinks back to empty after a purge while the replay probe
+# (which must remember every id ever ingested) keeps its union — the two
+# concerns grow on different clocks and must not share one file.
 _TOMB = "_tombstones"
+_CONSUMED = "_consumed_ids"
+
+#: broadcast-hint gate for the tombstone anti-joins (bytes on disk of
+#: the tombstone parquet). SemDeDup-flagged drops can be a large corpus
+#: fraction, so the filter set is unbounded by design — above this size
+#: the hint is withheld and the planner runs a shuffle anti-join (same
+#: discipline as corpus_stream's broadcast_probe gate). 16 MiB of
+#: parquet-encoded longs is roughly Spark's default
+#: autoBroadcastJoinThreshold ballpark once expanded to a hash relation.
+_BROADCAST_TOMB_BYTES = 16 * 1024 * 1024
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Filesystem-metadata size of a directory (0 when absent) — a
+    per-call broadcast gate must not cost a Spark job."""
+    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+
+    fs, jvm = _fs(spark, path)
+    p = _jpath(jvm, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
+def _hint_if_small(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    return (
+        F.broadcast(df)
+        if _dir_bytes(spark, path) <= _BROADCAST_TOMB_BYTES
+        else df
+    )
+
+
+def _ids_at(spark: SparkSession, path: str) -> DataFrame:
+    fs_path_exists = _dir_bytes(spark, path) > 0
+    if not fs_path_exists:
+        return spark.createDataFrame([], "vec_id BIGINT")
+    return spark.read.parquet(path).select("vec_id")
 
 
 def _ann_tombstones(spark: SparkSession, store_dir: str) -> DataFrame:
-    from hrdp_variant_load_pipeline_spark.sources.store import _fs, _jpath
+    return _ids_at(spark, f"{store_dir}/{_TOMB}")
 
-    path = f"{store_dir}/{_TOMB}"
-    fs, jvm = _fs(spark, path)
-    if not fs.exists(_jpath(jvm, path)):
-        return spark.createDataFrame([], "vec_id BIGINT")
-    return spark.read.parquet(path).select("vec_id")
+
+def _ann_consumed_ids(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Every id ever ingested-then-deleted, across vacuums: current
+    tombstones ∪ the vacuum-migrated registry. Feeds ONLY the replay
+    probe — never the per-probe filter."""
+    return _ann_tombstones(spark, store_dir).unionByName(
+        _ids_at(spark, f"{store_dir}/{_CONSUMED}")
+    )
 
 
 def _live_vectors(
     spark: SparkSession, store_dir: str, idx: DataFrame
 ) -> DataFrame:
     """Anti-join the (already bucket-pruned) index scan against the
-    tombstone set — deleted vectors neither match nor rank."""
+    tombstone set — deleted vectors neither match nor rank. The
+    broadcast hint is size-gated: a tombstone set past
+    ``_BROADCAST_TOMB_BYTES`` (possible when SemDeDup flags a large
+    corpus fraction between vacuums) anti-joins by shuffle instead of
+    shipping an unbounded id set to every executor. After
+    ``vacuum_ann_store`` the filter set is EMPTY again (consumed ids
+    move to their own registry), so steady-state probes pay nothing."""
+    tomb = _ann_tombstones(spark, store_dir).distinct()
     return idx.join(
-        F.broadcast(_ann_tombstones(spark, store_dir).distinct()),
+        _hint_if_small(spark, tomb, f"{store_dir}/{_TOMB}"),
         "vec_id",
         "left_anti",
     )
@@ -518,8 +571,12 @@ def delete_from_ann_store(
     rebuild; ``compact_store`` preserves the tombstone dir (underscore
     paths are not data files). Returns ids newly tombstoned."""
     req = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
-    prior = _ann_tombstones(spark, store_dir)
-    fresh = req.join(F.broadcast(prior.distinct()), "vec_id", "left_anti")
+    prior = _ann_tombstones(spark, store_dir).distinct()
+    fresh = req.join(
+        _hint_if_small(spark, prior, f"{store_dir}/{_TOMB}"),
+        "vec_id",
+        "left_anti",
+    )
     present = (
         read_store(spark, store_dir, schema="vec_id BIGINT")
         .select("vec_id")
@@ -541,26 +598,49 @@ def vacuum_ann_store(
     """Physically purge tombstoned vectors: commit a new store version
     containing only live rows (clustered on ``sort_by``, default
     ``["bucket", "vec_id"]`` — keep vec_id secondary or the replay
-    probe's row-group pruning degrades). The tombstone file is KEPT — it
-    is the consumed-id registry ``incremental_semantic_dedup``'s replay
-    probe unions in, so a deleted id stays a replay even after its rows
-    are gone. Returns rows purged. No-op (returns 0) when nothing is
-    tombstoned."""
+    probe's row-group pruning degrades), migrate the tombstoned ids into
+    the ``_consumed_ids`` registry (``incremental_semantic_dedup``'s
+    replay probe unions it in, so a deleted id stays a replay even after
+    its rows are gone), then CLEAR the tombstones — after a vacuum the
+    per-probe anti-join filter is empty again, so probe cost does not
+    grow with deletion history (the registry feeds only the
+    batch-bounded replay probe, never the probe filter). Crash-safe:
+    each boundary re-converges on the next vacuum call (a crash between
+    the registry append and the tombstone clear re-migrates
+    idempotently — the append is anti-joined against the registry).
+    Returns rows purged. No-op (returns 0) when nothing is tombstoned.
+    """
     from hrdp_variant_load_pipeline_spark.sources.store import (
+        _fs,
+        _jpath,
         commit_store_version,
     )
 
     tomb = _ann_tombstones(spark, store_dir).distinct().localCheckpoint()
     if not tomb.take(1):
         return 0
+    tomb_hinted = _hint_if_small(spark, tomb, f"{store_dir}/{_TOMB}")
     idx = read_store(spark, store_dir)
-    n_dead = idx.join(F.broadcast(tomb), "vec_id", "left_semi").count()
-    if n_dead == 0:  # stale registry, nothing to purge: skip the rewrite
-        return 0
-    live = idx.join(F.broadcast(tomb), "vec_id", "left_anti")
-    keys = sort_by or ["bucket", "vec_id"]
-    live = live.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    # localCheckpoint BEFORE the commit: live's lineage reads the store
-    # the commit supersedes (same rule as every store-mutating path)
-    commit_store_version(live.localCheckpoint(), store_dir)
+    n_dead = idx.join(tomb_hinted, "vec_id", "left_semi").count()
+    if n_dead:
+        live = idx.join(tomb_hinted, "vec_id", "left_anti")
+        keys = sort_by or ["bucket", "vec_id"]
+        live = live.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        # localCheckpoint BEFORE the commit: live's lineage reads the
+        # store the commit supersedes (same rule as every store-mutating
+        # path)
+        commit_store_version(live.localCheckpoint(), store_dir)
+    # registry migration AFTER the purge commit (a crash in between
+    # leaves the tombstones standing, so nothing is forgotten); the
+    # anti-join makes a replayed migration append nothing
+    consumed_path = f"{store_dir}/{_CONSUMED}"
+    fresh_ids = tomb.join(
+        _ids_at(spark, consumed_path), "vec_id", "left_anti"
+    ).localCheckpoint()
+    if fresh_ids.take(1):
+        fresh_ids.write.mode("append").parquet(consumed_path)
+    fs, jvm = _fs(spark, store_dir)
+    tpath = _jpath(jvm, f"{store_dir}/{_TOMB}")
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
     return int(n_dead)

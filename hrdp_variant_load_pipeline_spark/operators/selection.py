@@ -161,6 +161,14 @@ def mmr_rerank(
         nrm = _py_norm(vec)
         if nrm == 0.0:
             raise ValueError(f"mmr_rerank: zero vector for id {r['__id']}")
+        # duplicate ids rejected loudly (the duplicate-input convention
+        # of the query-sized-input operators, e.g. bm25_scores /
+        # text_index_topk_many): a silent dict last-wins would shrink
+        # the effective pool and pick an arbitrary surviving relevance
+        if int(r["__id"]) in pool:
+            raise ValueError(
+                f"mmr_rerank: duplicate candidate id {int(r['__id'])}"
+            )
         pool[int(r["__id"])] = (vec, nrm, float(r["__r"]))
 
     def cosd(a, b):

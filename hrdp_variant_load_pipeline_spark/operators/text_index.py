@@ -67,18 +67,21 @@ def _bucket_of(term_col, n_buckets: int):
 
 
 def _stats_summary(spark: SparkSession, store_dir: str) -> dict:
-    """ONE read of the model-sized stats ledger: corpus totals, the
-    persisted routing modulus (mixed moduli fail loud — rebuild), and
-    the set of commit-marker keys (append batch_keys + delete del_keys).
-    Every stats consumer goes through here so the validation cannot
-    drift between call sites."""
+    """ONE read of the model-sized stats ledger: corpus totals and the
+    persisted routing modulus (mixed moduli fail loud — rebuild). Every
+    stats consumer goes through here so the validation cannot drift
+    between call sites. Commit-marker keys are deliberately NOT
+    collected — a long-lived stream writes one marker per micro-batch,
+    so materializing the full key set on the driver per call would grow
+    without bound; membership is checked distributedly
+    (``_has_marker_key``) and set differences via anti-join
+    (``_marker_keys_df``)."""
     st = (
         read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
         .agg(
             F.sum("n_docs").alias("n"),
             F.sum("sum_dl").alias("s"),
             F.collect_set("n_buckets").alias("nbs"),
-            F.collect_set("batch_key").alias("keys"),
         )
         .collect()[0]
     )
@@ -92,8 +95,30 @@ def _stats_summary(spark: SparkSession, store_dir: str) -> dict:
         "n": int(st["n"] or 0),
         "s": int(st["s"] or 0),
         "nb": nbs[0] if nbs else None,
-        "keys": set(st["keys"] or []),
     }
+
+
+def _marker_keys_df(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Distinct non-null commit-marker keys as a DataFrame (one column
+    ``batch_key``) — for anti-join set arithmetic, never a driver
+    collect."""
+    return (
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .select("batch_key")
+        .filter(F.col("batch_key").isNotNull())
+        .distinct()
+    )
+
+
+def _has_marker_key(spark: SparkSession, store_dir: str, key: str) -> bool:
+    """Membership probe for one commit-marker key: a filtered count over
+    the ledger (one scalar back to the driver), not a collect of the
+    whole key set."""
+    return bool(
+        read_store(spark, f"{store_dir}/{_STATS}", schema=_STATS_SCHEMA)
+        .filter(F.col("batch_key") == key)
+        .take(1)
+    )
 
 
 def append_text_index_batch(
@@ -133,7 +158,7 @@ def append_text_index_batch(
             f"append_text_index_batch: store was built with "
             f"n_buckets={st['nb']}, got {n_buckets}"
         )
-    if batch_key is not None and batch_key in st["keys"]:
+    if batch_key is not None and _has_marker_key(spark, store_dir, batch_key):
         return 0
     staged = (
         docs.select(
@@ -542,12 +567,16 @@ def _repair_crashed_deletes(spark: SparkSession, store_dir: str) -> int:
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
     )
     st = _stats_summary(spark, store_dir)
-    tomb_keys = {
-        r["del_key"]
-        for r in tomb.select("del_key").distinct().collect()
-        if r["del_key"] is not None
-    }
-    missing = sorted(tomb_keys - st["keys"])
+    # anti-join FIRST, collect only the difference: the collected set is
+    # bounded by crashed deletes (normally empty), not by ledger history
+    missing = sorted(
+        r["batch_key"]
+        for r in tomb.select(F.col("del_key").alias("batch_key"))
+        .filter(F.col("batch_key").isNotNull())
+        .distinct()
+        .join(_marker_keys_df(spark, store_dir), "batch_key", "left_anti")
+        .collect()
+    )
     for key in missing:
         adj = (
             tomb.filter(F.col("del_key") == key)
@@ -633,7 +662,8 @@ def delete_from_text_index(
     # deterministic over the id set → a replay of the same crashed
     # request converges on the same marker
     del_key = f"del-{n_del}-{int(adj['h'])}-{int(adj['lo'])}-{int(adj['hi'])}"
-    if del_key in st["keys"]:  # fully committed by an earlier attempt
+    # fully committed by an earlier attempt
+    if _has_marker_key(spark, store_dir, del_key):
         return 0
     append_to_store(
         deletable.withColumn("del_key", F.lit(del_key)),
@@ -650,14 +680,32 @@ def delete_from_text_index(
 
 def _live_postings(spark: SparkSession, store_dir: str, pruned: DataFrame):
     """Anti-join the pruned postings against the tombstone set (empty →
-    no-op plan)."""
+    no-op plan). The broadcast hint is size-gated on the tombstone
+    store's on-disk bytes (filesystem metadata, no extra job): deletes
+    are billed as the removal path for dedup-driven drops, which can be
+    a large corpus fraction between vacuums, and an oversized set must
+    shuffle instead of shipping to every executor — same discipline as
+    the ANN store's ``_live_vectors``. (The byte count spans kept store
+    versions, so it over-estimates by ≤ the KEEP_PREVIOUS factor —
+    conservative in the safe direction for a broadcast gate.)"""
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        _dir_bytes,
+        _BROADCAST_TOMB_BYTES,
+    )
+
     tomb = read_store(
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
-    ).select("doc_id")
-    return pruned.join(F.broadcast(tomb.distinct()), "doc_id", "left_anti")
+    ).select("doc_id").distinct()
+    if _dir_bytes(spark, f"{store_dir}/{_TOMBSTONES}") <= _BROADCAST_TOMB_BYTES:
+        tomb = F.broadcast(tomb)
+    return pruned.join(tomb, "doc_id", "left_anti")
 
 
-def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
+def vacuum_text_index(
+    spark: SparkSession,
+    store_dir: str,
+    retire_keys_where: str | None = None,
+) -> int:
     """Physically purge the index: commit a postings version holding
     only live, de-duplicated rows (tombstoned docs and crashed-replay
     duplicates gone), collapse the stats ledger to one summed row PLUS
@@ -666,14 +714,25 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
     live-and-distinct); what changes is the storage — scans stop paying
     the anti-join input and the duplicate rows.
 
-    The marker keys are PRESERVED (as zero-valued ledger rows): they are
-    what makes append/delete replays idempotent, and dropping them would
-    let an at-least-once replay of a pre-vacuum batch double-count its
-    stats after the vacuum. Crash-safe at every boundary: crashed
-    deletes are repaired first; the postings commit is logically
-    identical to the live view; the stats commit preserves both sums
-    and keys; stale tombstones against purged postings anti-join to a
-    no-op until the final clear. Returns posting rows removed."""
+    Marker keys are PRESERVED by default (as zero-valued ledger rows):
+    they are what makes append/delete replays idempotent, and dropping
+    them would let an at-least-once replay of a pre-vacuum batch
+    double-count its stats after the vacuum. For a long-lived stream
+    (one marker per micro-batch) the ledger would otherwise grow
+    forever, so ``retire_keys_where`` — a SQL predicate over
+    ``batch_key`` — retires matching markers during the collapse.
+    SAFETY CONTRACT: only retire keys that can NEVER be replayed again,
+    i.e. below the source's committed replay horizon (e.g.
+    ``"batch_key like 'a1b2c3d4-%' and
+    cast(substring_index(batch_key, '-', -1) as bigint) < 100"`` for a
+    stream checkpoint already committed past batch 100 — replays of
+    earlier batches are impossible once the checkpoint has advanced).
+    Retiring a still-replayable key converts its replay into a
+    double-count. Crash-safe at every boundary: crashed deletes are
+    repaired first; the postings commit is logically identical to the
+    live view; the stats commit preserves both sums and (non-retired)
+    keys; stale tombstones against purged postings anti-join to a no-op
+    until the final clear. Returns posting rows removed."""
     from hrdp_variant_load_pipeline_spark.sources.store import (
         _fs,
         _jpath,
@@ -694,14 +753,23 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
         spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
     ).count()
 
-    # forward substore: same live-and-distinct purge, clustered on doc_id
+    # forward substore: same live-and-distinct purge, clustered on
+    # doc_id (tombstone anti-join rides _live_postings' size-gated
+    # broadcast discipline via the same gate)
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        _dir_bytes,
+        _BROADCAST_TOMB_BYTES,
+    )
+
     tomb_ids = read_store(
         spark, f"{store_dir}/{_TOMBSTONES}", schema=_TOMBSTONES_SCHEMA
     ).select("doc_id").distinct()
+    if _dir_bytes(spark, f"{store_dir}/{_TOMBSTONES}") <= _BROADCAST_TOMB_BYTES:
+        tomb_ids = F.broadcast(tomb_ids)
     fwd_live = (
         read_store(spark, f"{store_dir}/{_FORWARD}", schema=_FORWARD_SCHEMA)
         .distinct()
-        .join(F.broadcast(tomb_ids), "doc_id", "left_anti")
+        .join(tomb_ids, "doc_id", "left_anti")
         .repartitionByRange("doc_id")
         .sortWithinPartitions("doc_id")
     )
@@ -709,11 +777,24 @@ def vacuum_text_index(spark: SparkSession, store_dir: str) -> int:
 
     st = _stats_summary(spark, store_dir)
     if st["nb"] is not None:  # no stats ledger -> nothing to collapse
-        rows = [(st["n"], st["s"], st["nb"], None)] + [
-            (0, 0, st["nb"], key) for key in sorted(st["keys"])
-        ]
+        # the marker rows are built DISTRIBUTEDLY (select over the
+        # ledger, not a driver collect of every key — the ledger can be
+        # micro-batch-count-sized for a long stream), unioned with the
+        # one summed total row
+        keys = _marker_keys_df(spark, store_dir)
+        if retire_keys_where is not None:
+            keys = keys.filter(f"NOT ({retire_keys_where})")
+        marker_rows = keys.select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("sum_dl"),
+            F.lit(st["nb"]).cast("long").alias("n_buckets"),
+            F.col("batch_key"),
+        )
+        total_row = spark.createDataFrame(
+            [(st["n"], st["s"], st["nb"], None)], _STATS_SCHEMA
+        )
         commit_store_version(
-            spark.createDataFrame(rows, _STATS_SCHEMA),
+            total_row.unionByName(marker_rows).localCheckpoint(),
             f"{store_dir}/{_STATS}",
         )
     fs, jvm = _fs(spark, store_dir)

@@ -1067,14 +1067,19 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "documents.parquet")
     st_ = os.stat(src)
-    # the key encodes the index CODE too — text_index.py AND vocab.py
-    # (bm25_tokens, the shared tokenization, lives there): any format or
-    # tokenization change invalidates the cache automatically — a
-    # hand-bumped tag here would silently serve a stale index
+    # the key encodes the index CODE too — text_index.py, vocab.py
+    # (bm25_tokens, the shared tokenization, lives there) AND
+    # sources/store.py (the versioned-store on-disk format the cached
+    # fixture depends on): any format or tokenization change invalidates
+    # the cache automatically — a hand-bumped tag here would silently
+    # serve a stale index
     import hrdp_variant_load_pipeline_spark.operators.vocab as _voc
+    import hrdp_variant_load_pipeline_spark.sources.store as _sto
 
     code_fp = hashlib.md5(
-        open(_tix.__file__, "rb").read() + open(_voc.__file__, "rb").read()
+        open(_tix.__file__, "rb").read()
+        + open(_voc.__file__, "rb").read()
+        + open(_sto.__file__, "rb").read()
     ).hexdigest()[:8]
     ikey = hashlib.md5(
         f"{os.path.realpath(src)}:{st_.st_size}:{st_.st_mtime_ns}:{code_fp}"

@@ -322,3 +322,55 @@ def test_vacuum_purges_rows_but_keeps_consumed_ids(spark, tmp_path):
         reingest, cents, store, append_kept=False
     )
     assert [r.is_semantic_dup for r in flagged.collect()] == [True]
+
+
+def test_vacuum_splits_probe_filter_from_consumed_registry(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: the per-probe tombstone anti-join must not pay for
+    deletion HISTORY. After a vacuum the tombstone (probe-filter) set is
+    empty and the ids live in the separate consumed registry; a second
+    delete→vacuum generation behaves identically, and replays of BOTH
+    generations' ids stay flagged."""
+    from hrdp_variant_load_pipeline_spark.operators import ann_store as mod
+    from hrdp_variant_load_pipeline_spark.operators.ann_store import (
+        _ann_consumed_ids,
+        _ann_tombstones,
+        delete_from_ann_store,
+        incremental_semantic_dedup,
+        vacuum_ann_store,
+    )
+
+    e, cents, store = _setup(spark, tmp_path)
+    gen1 = e.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    n1 = gen1.count()
+    assert delete_from_ann_store(spark, store, gen1) == n1
+    assert vacuum_ann_store(spark, store) == n1
+    # probe filter shrank to empty; registry holds the generation
+    assert _ann_tombstones(spark, store).count() == 0
+    assert _ann_consumed_ids(spark, store).count() == n1
+
+    # second generation over the purged store
+    gen2 = e.filter(F.col("vec_id") % 9 == 1).select("vec_id")
+    n2 = gen2.count()
+    assert delete_from_ann_store(spark, store, gen2) == n2
+    assert _ann_tombstones(spark, store).count() == n2  # only gen2
+    # shuffle fallback path: with the broadcast gate forced shut the
+    # probe still excludes gen2 and ranks identically
+    monkeypatch.setattr(mod, "_BROADCAST_TOMB_BYTES", -1)
+    queries = e.filter(F.col("vec_id") < 6)
+    got = ivf_store_topk(spark, store, queries, cents, k=5, nprobe=2)
+    assert all(
+        r[1] % 9 != 0 and r[1] % 9 != 1 for r in got.collect()
+    )
+    monkeypatch.undo()
+    assert vacuum_ann_store(spark, store) == n2
+    assert _ann_tombstones(spark, store).count() == 0
+    assert _ann_consumed_ids(spark, store).count() == n1 + n2
+
+    # replays of both generations are still replays after both vacuums
+    replay = e.filter(F.col("vec_id").isin(0, 9, 10))  # 0,9 gen1; 10 gen2
+    flagged = incremental_semantic_dedup(
+        replay, cents, store, append_kept=False
+    )
+    assert all(r.is_semantic_dup for r in flagged.collect())

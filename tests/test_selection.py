@@ -179,3 +179,18 @@ def test_mmr_guards(spark):
     with pytest.raises(ValueError, match="zero vector for id 9"):
         mmr_rerank(z, k=1)
     assert mmr_rerank(df.filter("doc_id < 0"), k=2) == []
+
+
+def test_mmr_rejects_duplicate_candidate_ids(spark):
+    """ADVICE r12: duplicate pool ids must fail loud (the convention of
+    the other query-sized-input operators), not silently collapse."""
+    from hrdp_variant_load_pipeline_spark.operators.selection import (
+        mmr_rerank,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9), (1, [0.0, 1.0], 0.5)],
+        "doc_id long, embedding array<double>, score double",
+    )
+    with pytest.raises(ValueError, match="duplicate candidate id 1"):
+        mmr_rerank(cands, k=2)

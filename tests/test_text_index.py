@@ -684,3 +684,75 @@ def test_backfill_repairs_missing_forward_substore(spark, tmp_path):
     after = {r.doc_id: (list(r.terms), list(r.tfs), r.dl)
              for r in doc_vectors(spark, store, [1, 2, 3, 5, 6, 7]).collect()}
     assert after == before
+
+
+def test_vacuum_retires_marker_keys_below_replay_horizon(spark, tmp_path):
+    """ADVICE r12: the stats ledger must not grow forever for a
+    long-lived stream. ``retire_keys_where`` drops matching markers at
+    vacuum time; non-matching markers keep their replay-skip semantics,
+    and the corpus totals are unchanged either way."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        _has_marker_key,
+        _marker_keys_df,
+        text_index_scores,
+        vacuum_text_index,
+    )
+
+    store = str(tmp_path / "tix")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    assert append_text_index_batch(b1, store, batch_key="s-1") == 4
+    assert append_text_index_batch(b2, store, batch_key="s-2") == 3
+    # stream checkpoint committed past batch 1: s-1 can never replay
+    vacuum_text_index(
+        spark,
+        store,
+        retire_keys_where=(
+            "batch_key like 's-%' and "
+            "cast(substring_index(batch_key, '-', -1) as bigint) < 2"
+        ),
+    )
+    assert not _has_marker_key(spark, store, "s-1")  # retired
+    assert _has_marker_key(spark, store, "s-2")  # kept
+    assert [r.batch_key for r in _marker_keys_df(spark, store).collect()] == [
+        "s-2"
+    ]
+    # the kept marker still skips its replay; totals/scores intact
+    assert append_text_index_batch(b2, store, batch_key="s-2") == 0
+    corpus = spark.createDataFrame(BATCH1 + BATCH2, "doc_id long, text string")
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(corpus, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == want
+
+
+def test_live_postings_shuffle_fallback_keeps_parity(
+    spark, tmp_path, monkeypatch
+):
+    """With the tombstone broadcast gate forced shut (size threshold
+    below any real directory), the anti-join runs as a shuffle and probe
+    scores stay bit-equal to the surviving-corpus recompute."""
+    from hrdp_variant_load_pipeline_spark.operators import ann_store as amod
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        delete_from_text_index,
+        text_index_scores,
+    )
+
+    store = _ingest(spark, tmp_path)
+    victims = spark.createDataFrame([(3,), (5,)], "doc_id long")
+    assert delete_from_text_index(spark, store, victims) == 2
+    monkeypatch.setattr(amod, "_BROADCAST_TOMB_BYTES", -1)
+    survivors = [r for r in BATCH1 + BATCH2 if r[0] not in (3, 5)]
+    corpus = spark.createDataFrame(survivors, "doc_id long, text string")
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(corpus, "doc_id", "text", TERMS).collect()
+        if r.bm25 > 0
+    }
+    got = {r.doc_id: r.score
+           for r in text_index_scores(spark, store, TERMS).collect()}
+    assert got == want
