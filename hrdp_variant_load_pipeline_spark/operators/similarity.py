@@ -133,6 +133,89 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``brute_force_topk`` with the dot products evaluated as ONE
+    numpy/BLAS matrix multiply per Arrow batch (``mapInPandas``) instead
+    of per-row ``aggregate(zip_with(...))`` codegen — the r11 triage's
+    last unmeasured lever for the cosine-topk family.
+
+    Same contract and output as ``brute_force_topk`` (rounded cosine,
+    ties on neighbor_id, self-matches excluded). The query set is
+    MODEL-SIZED by contract (a top-k probe's queries, not a corpus) and
+    is collected once and shipped inside the UDF closure as a dense
+    (q × dim) matrix; each Arrow batch of corpus vectors becomes a
+    (b × dim) matrix, one ``C @ Q.T`` scores the whole block, and only
+    the per-batch top-k rows per query survive to the global rank — the
+    exchange carries O(batches · q · k) rows, never the corpus. Rounding
+    uses the half-up formula (``floor(|x|·10^d + 0.5)``, sign restored)
+    to mirror Spark/DuckDB ``round`` rather than numpy's banker's
+    rounding. This stays consistent with the repo's UDF discipline:
+    Arrow-batched matrix math over genuinely non-columnar work, never
+    row-at-a-time Python."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, "
+            "rank INT"
+        )
+    q_ids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    q_mat = np.array([[float(x) for x in r[1]] for r in qrows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    scale = float(10 ** round_digits)
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            # half-up to round_digits (Spark/DuckDB round semantics)
+            sims = np.sign(sims) * np.floor(
+                np.abs(sims) * scale + 0.5
+            ) / scale
+            # self-matches never rank
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            # per-query partial top-k with the (cos desc, id asc) order:
+            # lexsort on (ids, -sims) gives ascending id within equal sims
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                keep = sims[order, j] != -np.inf
+                sel = order[keep]
+                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_c.append(sims[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from hrdp_variant_load_pipeline_spark.sources.tables import spread_for_cpu
+
+    partial = spread_for_cpu(corpus).select(id_col, vec_col).mapInPandas(
+        _score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    )
+    return _rank_topk(partial, k)
+
+
 def train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -465,7 +465,7 @@ _PREP_BUDGET = 6000
              AS n_shard_keys,
            (SELECT sum(chk)::BIGINT FROM (
               SELECT (row_number() OVER (ORDER BY doc_id) - 1)
-                     * ((doc_id * 1099511627776 + 7) % 97) AS chk
+                     * ((doc_id * 1048576 + 7) % 97) AS chk
               FROM documents)) AS densify_chk
     FROM packed GROUP BY lang, bin_id
     """,
@@ -521,16 +521,21 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # densify_ids full-mapping pin (r11): remap artificially-widened ids
-    # (doc_id * 2^40 + 7 — the hash-minted-WARC-id shape the operator
+    # (doc_id * 2^20 + 7 — the hash-minted-WARC-id shape the operator
     # exists for) and fold the whole dense<->source mapping into one
     # rank-weighted checksum the oracle states as a global-window scalar;
     # any rank misassignment shifts the sum. Broadcast onto every row.
+    # The widening factor is 2^20, NOT 2^40: ANSI long multiply overflows
+    # at doc_id > ~8.4M under 2^40, and the sf10 staging mints doc_ids to
+    # 9.9M — 2^20 keeps the ids sparse-and-wide (the shape the pin
+    # exercises) with headroom to doc_id ~ 8.8e12 (found by the r13 sf10
+    # campaign run, not by review — scale bugs hide below their scale).
     from hrdp_variant_load_pipeline_spark.operators.corpus import (
         densify_ids,
     )
 
     den = densify_ids(
-        d.select((F.col("doc_id") * F.lit(2**40) + 7).alias("doc_id")),
+        d.select((F.col("doc_id") * F.lit(2**20) + 7).alias("doc_id")),
         "doc_id",
         partitions=8,
     )

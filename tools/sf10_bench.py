@@ -65,6 +65,12 @@ QUERY_TABLES = {
     "corpus_stats_battery": ["documents"],
     "embedding_cosine_topk": ["embeddings"],
     "embedding_ivf_topk": ["embeddings"],
+    # r13 campaign extension: the scale-shaped rows the r12 verdict named
+    "skew_salted_join_agg": ["lineitem", "orders"],
+    "bucketed_store_join": ["part", "lineitem"],
+    "corpus_prep_battery": ["documents"],
+    "model_ops_battery": ["documents", "orders", "customer", "embeddings"],
+    "scd2_battery": ["orders"],
 }
 
 
