@@ -42,6 +42,93 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+def adaptive_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    hot_threshold_rows: int | None = None,
+    sample_fraction: float | None = None,
+    max_hot_keys: int = 1024,
+) -> DataFrame:
+    """Two-path skew join: salt ONLY the keys that are actually hot.
+
+    Blanket salting (``salted_join``) replicates the ENTIRE dim side
+    ``salt`` times and widens every row's join key — measured 10x the
+    plain join's cost on uniform keys at sf10 (r13 campaign), pure waste
+    when no key is hot. This operator detects hot keys first (one
+    map-side-combinable count over the fact keys, optionally on a
+    ``sample_fraction`` when even one counting pass must be cheap), then
+    routes: fact rows with hot keys take the salted path against a
+    hot-keys-only dim slice; everything else takes the plain join. With
+    no hot keys it degenerates to exactly the plain join. Results are
+    identical to the plain join for any threshold (each pair appears in
+    exactly one path), pinned in tests/test_edge_cases.py.
+
+    ``hot_threshold_rows`` defaults to ``max(100_000, 16x the average
+    rows-per-key)`` — a key only counts as hot when it would dominate a
+    reducer, not merely exceed the mean. The hot set is MODEL-SIZED by
+    construction (few keys can each hold >=16x the average);
+    ``max_hot_keys`` fails loud past 1024 — that many "hot" keys means
+    the distribution is broadly heavy, where blanket ``salted_join`` or
+    AQE skew handling is the right tool. ``how`` supports inner/left
+    (fact-preserving); right/full would split dim-preserving rows across
+    the two paths and are refused.
+
+    At 100 TB the detection pass shuffles one row per DISTINCT key
+    (partial counts combine map-side), not the fact table; prefer
+    ``sample_fraction`` ~0.001 there — a key holding >=20% of rows is
+    unmissable in any sample."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"adaptive_salted_join: how={how!r} is not fact-preserving; "
+            "use inner or left"
+        )
+    src = (
+        fact.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction
+        else fact
+    )
+    counts = src.groupBy(*keys).count()
+    if hot_threshold_rows is None:
+        tot = counts.agg(
+            F.sum("count").alias("s"), F.count("*").alias("k")
+        ).collect()[0]
+        avg = (int(tot["s"]) / int(tot["k"])) if tot["k"] else 0.0
+        hot_threshold_rows = max(100_000, int(16 * avg))
+        if sample_fraction:
+            hot_threshold_rows = max(
+                1, int(hot_threshold_rows * sample_fraction)
+            )
+    elif sample_fraction:
+        hot_threshold_rows = max(1, int(hot_threshold_rows * sample_fraction))
+    hot_rows = (
+        counts.filter(F.col("count") >= hot_threshold_rows)
+        .select(*keys)
+        .limit(max_hot_keys + 1)
+        .collect()
+    )
+    if not hot_rows:
+        return fact.join(dim, list(keys), how)
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"adaptive_salted_join: >{max_hot_keys} hot keys at threshold "
+            f"{hot_threshold_rows} — the key distribution is broadly "
+            "heavy; use salted_join (blanket) or AQE skew handling"
+        )
+    spark = fact.sparkSession
+    hot_df = F.broadcast(
+        spark.createDataFrame(hot_rows, fact.select(*keys).schema).distinct()
+    )
+    fact_hot = fact.join(hot_df, list(keys), "left_semi")
+    fact_cold = fact.join(hot_df, list(keys), "left_anti")
+    dim_hot = dim.join(hot_df, list(keys), "left_semi")
+    out_hot = salted_join(fact_hot, dim_hot, keys, salt=salt, how=how)
+    out_cold = fact_cold.join(dim, list(keys), how)
+    return out_cold.unionByName(out_hot)
+
+
 def salted_count_distinct(
     df: DataFrame,
     keys: Sequence[str],

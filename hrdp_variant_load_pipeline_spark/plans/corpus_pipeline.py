@@ -75,6 +75,10 @@ class CorpusResult:
     #: actually ran — a checkpoint resume past it skips the audit (run
     #: operators.corpus.contamination_report directly to regenerate)
     contamination: DataFrame | None = None
+    #: (query_id, doc_id, score, rank) hits when
+    #: cfg["retrieval_decontaminate"]["report"] is set and the stage ran
+    #: — the search-side audit of what got dropped and why
+    retrieval_contamination: DataFrame | None = None
 
     def unpersist_all(self) -> None:
         for df in self.cached:
@@ -88,8 +92,8 @@ class CorpusResult:
 # invalidate stage checkpoints, while ANY stage-semantics edit does
 _STAGE_KEYS = (
     "input", "id_col", "text_col", "lang_col", "normalize", "pii",
-    "langid", "gates", "dedup", "lm_gate", "decontaminate", "selection",
-    "mixture",
+    "langid", "gates", "dedup", "lm_gate", "decontaminate",
+    "retrieval_decontaminate", "selection", "mixture",
 )
 
 _MARKER = "_STAGE_COMMITTED.json"
@@ -103,6 +107,15 @@ def _cfg_fingerprint(cfg: dict) -> str:
         # days-long run's checkpoints
         payload["decontaminate"] = {
             k: v for k, v in payload["decontaminate"].items() if k != "report"
+        }
+    if isinstance(payload.get("retrieval_decontaminate"), dict):
+        # report is audit-only; index_dir is a storage location, not a
+        # semantics knob — the dropped set is identical wherever the
+        # scratch index lands
+        payload["retrieval_decontaminate"] = {
+            k: v
+            for k, v in payload["retrieval_decontaminate"].items()
+            if k not in ("report", "index_dir")
         }
     return hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()
@@ -206,8 +219,8 @@ def run_corpus_pipeline(
     known = {
         "input", "id_col", "text_col", "lang_col", "normalize", "pii",
         "langid", "gates", "dedup", "lm_gate", "decontaminate",
-        "selection", "mixture", "chunk", "pack", "output", "checkpoint",
-        "report",
+        "retrieval_decontaminate", "selection", "mixture", "chunk",
+        "pack", "output", "checkpoint", "report",
     }
     unknown = set(cfg) - known
     if unknown:
@@ -480,6 +493,80 @@ def run_corpus_pipeline(
 
         plan.append(("decontaminated", _b_decon, True))
 
+    # ---- 6b. retrieval-driven decontamination ------------------------
+    # The decontamination-by-search pattern the BM25 family exists for
+    # (operators/vocab.py bm25_scores docstring): the shingle stage (6)
+    # catches verbatim/near-verbatim leakage; this stage catches
+    # paraphrase-level leakage — benchmark items whose WORDING drifted
+    # but whose term profile still retrieves the source document. Build
+    # a scratch inverted index over the surviving corpus ONCE (one
+    # tokenization scan, postings clustered by (bucket, term)), probe it
+    # with ALL benchmark items in ONE postings pass
+    # (text_index_topk_many), and drop every document that ranks in any
+    # item's top-k at or above min_score. Cost is O(corpus tokens) to
+    # build + O(probed postings) to search — the corpus is never
+    # scanned per benchmark item.
+    rdec = cfg.get("retrieval_decontaminate")
+    retrieval_out: list[DataFrame] = []
+    if rdec is not None:
+
+        def _b_rdec(docs: DataFrame) -> DataFrame:
+            import tempfile
+
+            from hrdp_variant_load_pipeline_spark.operators.text_index import (
+                append_text_index_batch,
+                text_index_topk_many,
+            )
+            from hrdp_variant_load_pipeline_spark.operators.vocab import (
+                bm25_tokens,
+            )
+            from hrdp_variant_load_pipeline_spark.sources.store import (
+                _fs,
+                _jpath,
+            )
+
+            idx_dir = rdec.get("index_dir") or (
+                f"{ck_dir}/_retrieval_index"
+                if ck_dir
+                else tempfile.mkdtemp(prefix="graft_rdec_idx_")
+            )
+            # fresh build per run — a stale index would flag against a
+            # previous run's corpus (on a cluster, point index_dir at
+            # shared storage, same requirement as every store here)
+            fs, jvm = _fs(spark, idx_dir)
+            fs.delete(_jpath(jvm, idx_dir), True)
+            append_text_index_batch(
+                docs,
+                idx_dir,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=int(rdec.get("n_buckets", 64)),
+            )
+            bench = spark.read.parquet(rdec["path"])
+            btext = rdec.get("bench_text_col", text_col)
+            bid = rdec.get("bench_id_col", id_col)
+            # term SET per item (array_distinct): BM25 scores a query
+            # term once against its df/tf — a repeated stopword must not
+            # double its contribution — and tokenless items can't probe
+            queries = bench.select(
+                F.col(bid).cast("long").alias("query_id"),
+                F.array_distinct(bm25_tokens(F.col(btext))).alias("terms"),
+            ).filter(F.size("terms") > 0)
+            hits = text_index_topk_many(
+                spark, idx_dir, queries, k=int(rdec.get("k", 10))
+            ).filter(F.col("score") >= float(rdec.get("min_score", 0.0)))
+            if rdec.get("report", False):
+                # eval-sized (≤ |bench|·k rows); pinned NOW for the same
+                # lineage reason as the shingle contamination report
+                retrieval_out.append(hits.localCheckpoint())
+            flagged = hits.select(
+                F.col("doc_id").alias(id_col)
+            ).distinct()
+            # flagged is ≤ |bench|·k ids — query-sized, broadcast is safe
+            return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+        plan.append(("retrieval_decontaminated", _b_rdec, True))
+
     # ---- 7. DSIR selection toward a target slice ---------------------
     sel = cfg.get("selection")
     if sel is not None:
@@ -664,6 +751,9 @@ def run_corpus_pipeline(
         shard_dir=shard_dir, cached=pinned, resumed_from=resumed_from,
         timings=timings, report=report,
         contamination=contamination_out[0] if contamination_out else None,
+        retrieval_contamination=(
+            retrieval_out[0] if retrieval_out else None
+        ),
     )
 
 

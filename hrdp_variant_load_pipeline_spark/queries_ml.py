@@ -1197,8 +1197,12 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # skew-salted join (engine surface beside AQE skew handling): lineitem ⋈
-# orders where a few orderkeys dominate would hot-spot one reducer; the
-# salted join spreads each key over 8 — results identical to plain join
+# orders where a few orderkeys dominate would hot-spot one reducer. The
+# ADAPTIVE form detects hot keys first and salts only those — on this
+# uniform fixture it degenerates to the plain join (the blanket form
+# measured 10x the plain join at sf10 for zero benefit; the Zipf drill
+# in tools/skew_drill.py measures both on genuinely skewed keys) —
+# results identical to the plain join by construction either way
 @q(
     "skew_salted_join_agg",
     """
@@ -1209,13 +1213,15 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
-    from hrdp_variant_load_pipeline_spark.operators.skew import salted_join
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
 
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
     o = table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, o, ["l_orderkey"], salt=8)
+    joined = adaptive_salted_join(li, o, ["l_orderkey"], salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),

@@ -610,3 +610,62 @@ def test_c4_gate_cleans_lines_and_drops_pages(spark, tmp_path):
     # the droppable Javascript line is gone; the five sentences remain
     assert "Javascript" not in kept[0].text
     assert kept[0].text == five_ok
+
+
+def test_retrieval_decontaminate_stage_drops_search_hits(spark, tmp_path):
+    """Decontamination-by-search (r12 verdict stretch directive): the
+    stage indexes the surviving corpus, probes it with every benchmark
+    item in one postings pass, and drops the retrieved documents —
+    catching paraphrase-level leakage the shingle stage misses (no 8-gram
+    is shared below, but the term profile retrieves the source)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the solar eclipse darkened the ancient citadel at noon",
+             "en"),
+            (2, "quarterly revenue grew despite headwinds in logistics",
+             "en"),
+            (3, "completely unrelated text about cooking pasta sauces",
+             "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    # paraphrase of doc 1: word ORDER differs everywhere (no shared
+    # 8-gram), term profile nearly identical
+    bench = spark.createDataFrame(
+        [(100, "at noon the ancient citadel darkened during the solar "
+               "eclipse")],
+        "doc_id long, text string",
+    )
+    bpath = str(tmp_path / "bench")
+    bench.write.parquet(bpath)
+    cfg = {
+        "input": {"format": "parquet", "path": src},
+        "retrieval_decontaminate": {
+            "path": bpath, "k": 1, "min_score": 0.1, "report": True,
+            "index_dir": str(tmp_path / "ridx"),
+        },
+    }
+    res = run_corpus_pipeline(spark, cfg)
+    kept = sorted(r.doc_id for r in res.docs.select("doc_id").collect())
+    assert kept == [2, 3]
+    hits = res.retrieval_contamination.collect()
+    assert [(r.query_id, r.doc_id) for r in hits] == [(100, 1)]
+    assert res.counts["retrieval_decontaminated"] == 2
+    res.unpersist_all()
+
+    # fingerprint contract: audit/storage knobs never invalidate a
+    # checkpointed run; semantics knobs do
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        _cfg_fingerprint,
+    )
+
+    base = _cfg_fingerprint(cfg)
+    cfg2 = {**cfg, "retrieval_decontaminate": {
+        **cfg["retrieval_decontaminate"], "report": False,
+        "index_dir": "/elsewhere"}}
+    assert _cfg_fingerprint(cfg2) == base
+    cfg3 = {**cfg, "retrieval_decontaminate": {
+        **cfg["retrieval_decontaminate"], "k": 5}}
+    assert _cfg_fingerprint(cfg3) != base

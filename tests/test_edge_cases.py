@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import gzip
 
+import pytest
 from pyspark.sql import functions as F
 
 from hrdp_variant_load_pipeline_spark import schemas
@@ -218,3 +219,77 @@ def test_salted_count_distinct_matches_exact(spark):
         .toString()
     )
     assert "xxhash64" in plan and "pmod" in plan
+
+
+def test_adaptive_salted_join_matches_plain_join(spark):
+    """Two-path skew join == plain join on a skewed frame (one key holds
+    ~half the rows), for inner and left, with per-pair multiplicity
+    preserved; the hot path must actually engage (plan shows the salt
+    machinery) at a threshold the hot key crosses."""
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    fact = spark.range(10000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 1L ELSE 2 + id % 500 END AS k",
+        "id AS v",
+    )
+    # dim misses key 451.. and carries a duplicate row for key 2 (join
+    # multiplicity must survive the two-path split)
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (2, "b")]
+        + [(i, f"d{i}") for i in range(3, 452)],
+        "k long, tag string",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(
+                tuple,
+                adaptive_salted_join(
+                    fact, dim, ["k"], salt=4, how=how,
+                    hot_threshold_rows=1000,
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, fact.join(dim, ["k"], how).collect()))
+        assert got == want and got
+    plan = (
+        adaptive_salted_join(
+            fact, dim, ["k"], salt=4, hot_threshold_rows=1000
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # hot path engaged
+
+
+def test_adaptive_salted_join_degenerates_to_plain_on_uniform(spark):
+    """No hot keys -> EXACTLY the plain join plan: no salt column, no
+    dim replication, no count-pass residue in the executed plan."""
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    fact = spark.range(2000).selectExpr("id % 500 AS k", "id AS v")
+    dim = spark.range(500).selectExpr("id AS k", "concat('d', id) AS tag")
+    out = adaptive_salted_join(fact, dim, ["k"], salt=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan
+    assert out.count() == 2000
+
+
+def test_adaptive_salted_join_guards(spark):
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    fact = spark.range(100).selectExpr("id AS k", "id AS v")
+    dim = spark.range(100).selectExpr("id AS k", "id AS tag")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        adaptive_salted_join(fact, dim, ["k"], how="full")
+    # every key "hot" at threshold 1 with a tiny cap -> loud refusal
+    with pytest.raises(ValueError, match="hot keys"):
+        adaptive_salted_join(
+            fact, dim, ["k"], hot_threshold_rows=1, max_hot_keys=10
+        )

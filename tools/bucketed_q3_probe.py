@@ -72,6 +72,12 @@ def main() -> None:
 
     spark = get_spark("bucketed-q3-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # r12 verdict directive #3: the co-located measurement must run under
+    # the CLUSTER planner posture (AQE on — the sf10 regime), not the
+    # small-input bench profile; pin it explicitly so the probe cannot
+    # inherit a profile left on a reused session
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     def best_of(df: DataFrame, n: int = 3) -> float:
         best = None
@@ -154,6 +160,7 @@ def main() -> None:
                 "metric": "bucketed_q3_probe",
                 "sf_dir": sf_dir,
                 "num_buckets": n_buckets,
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                 "parquet_q3_s": t_parquet,
                 "bucketed_smj_q3_s": t_bucketed,
                 "bucketed_hash_q3_s": t_bucketed_hash,

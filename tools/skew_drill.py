@@ -9,7 +9,9 @@ measures the lineitem ⋈ orders → group-agg shape three ways:
   aqe_skew   plain join, AQE on with skew-join handling
              (the session default, session.py)
   static     plain join, AQE off (what a mis-tuned cluster would run)
-  salted     operators.skew.salted_join (explicit salt spread)
+  salted     operators.skew.salted_join (blanket salt spread)
+  adaptive   operators.skew.adaptive_salted_join (hot keys detected on
+             a 0.1% sample, only those salted; cold keys join plain)
 
 All three run the same logical query as the `skew_salted_join_agg`
 driver row; row-count and grouped totals are asserted equal across
@@ -68,7 +70,10 @@ def stage(spark, sf_dir: str, out_dir: str, denom: int) -> None:
 def _query(spark, out_dir: str, strategy: str):
     from pyspark.sql import functions as F
 
-    from hrdp_variant_load_pipeline_spark.operators.skew import salted_join
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+        salted_join,
+    )
 
     li = spark.read.parquet(
         os.path.join(out_dir, "lineitem.parquet")
@@ -78,6 +83,10 @@ def _query(spark, out_dir: str, strategy: str):
     )
     if strategy == "salted":
         joined = salted_join(li, o, ["l_orderkey"], salt=16)
+    elif strategy == "adaptive":
+        joined = adaptive_salted_join(
+            li, o, ["l_orderkey"], salt=16, sample_fraction=0.001
+        )
     else:
         joined = li.join(o, "l_orderkey")
     return joined.groupBy("o_orderpriority").agg(
@@ -114,7 +123,7 @@ def main() -> None:
     )
 
     times: dict[str, float] = {}
-    for strategy in ("aqe_skew", "static", "salted"):
+    for strategy in ("aqe_skew", "static", "salted", "adaptive"):
         if strategy == "static":
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         else:
