@@ -129,6 +129,52 @@ def adaptive_salted_join(
     return out_cold.unionByName(out_hot)
 
 
+def pre_aggregated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+    how: str = "inner",
+) -> DataFrame:
+    """Eager-aggregation rewrite: collapse the fact side to one row per
+    join key BEFORE the join, carrying decomposable partials
+    (``count``, per-column ``sum``/``min``/``max``), then join the dim.
+    The caller finishes with ``sum(count_col)`` / ``sum(sum_<c>)`` /
+    ``min(min_<c>)`` / ``max(max_<c>)`` grouped however it likes —
+    algebraically exact for these aggregates (float sums reassociate,
+    as any distributed sum already does).
+
+    Why it exists (measured, r13 skew drill at sf10): when the join's
+    consumer is aggregative, this is the strongest skew treatment AND
+    the cheapest uniform plan — a key holding 20% of 60M rows collapses
+    to ONE row before it ever reaches the join (3.97 s vs 9.5 s plain
+    join vs 19.7 s blanket salting), and the join's probe side shrinks
+    from |fact| to |distinct keys| everywhere. The pre-aggregation
+    itself is a map-side-combinable hash agg — the hot key's partials
+    combine inside each map task, so no reducer ever sees its raw rows.
+    Catalyst does not perform this rewrite; it is the analyst's
+    eager-aggregation transform packaged as an operator.
+
+    Output columns: ``keys``, ``count_col``, ``sum_<c>``/``min_<c>``/
+    ``max_<c>`` per requested column, plus the dim's columns. ``how``
+    is fact-preserving (inner/left), same contract as
+    ``adaptive_salted_join``."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"pre_aggregated_join: how={how!r} is not fact-preserving; "
+            "use inner or left"
+        )
+    aggs = [F.count("*").cast("long").alias(count_col)]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    pre = fact.groupBy(*keys).agg(*aggs)
+    return pre.join(dim, list(keys), how)
+
+
 def salted_count_distinct(
     df: DataFrame,
     keys: Sequence[str],

@@ -1196,13 +1196,15 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# skew-salted join (engine surface beside AQE skew handling): lineitem ⋈
-# orders where a few orderkeys dominate would hot-spot one reducer. The
-# ADAPTIVE form detects hot keys first and salts only those — on this
-# uniform fixture it degenerates to the plain join (the blanket form
-# measured 10x the plain join at sf10 for zero benefit; the Zipf drill
-# in tools/skew_drill.py measures both on genuinely skewed keys) —
-# results identical to the plain join by construction either way
+# skew-treated join+agg (engine surface beside AQE skew handling): the
+# r13 Zipf drill (tools/skew_drill.py, 60M rows, one key = 20%) ranked
+# the treatments: eager pre-aggregation 3.97s < plain+AQE 9.5-11.2s <
+# blanket salting 19.7s — for an aggregative consumer the hot key
+# collapses to ONE row before the join ever sees it, so the row runs
+# pre_aggregated_join (the measured winner); adaptive_salted_join is
+# the treatment for NON-collapsing consumers (pytest-pinned + drill-
+# measured: 9.57s, ties plain on uniform, caps the hot reducer on
+# skew). Results identical to the naive join+agg by construction.
 @q(
     "skew_salted_join_agg",
     """
@@ -1214,17 +1216,19 @@ def multimodal_probe_battery(spark: SparkSession, sf: str) -> DataFrame:
 )
 def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     from hrdp_variant_load_pipeline_spark.operators.skew import (
-        adaptive_salted_join,
+        pre_aggregated_join,
     )
 
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
     o = table(spark, sf, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = adaptive_salted_join(li, o, ["l_orderkey"], salt=8)
+    joined = pre_aggregated_join(
+        li, o, ["l_orderkey"], sum_cols=["l_extendedprice"]
+    )
     return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.sum("n_rows").cast("long").alias("n"),
+        F.round(F.sum("sum_l_extendedprice"), 2).alias("total"),
     )
 
 

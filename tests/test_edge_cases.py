@@ -293,3 +293,60 @@ def test_adaptive_salted_join_guards(spark):
         adaptive_salted_join(
             fact, dim, ["k"], hot_threshold_rows=1, max_hot_keys=10
         )
+
+
+def test_pre_aggregated_join_matches_naive_join_agg(spark):
+    """Eager-aggregation rewrite == naive join-then-aggregate for
+    count/sum/min/max, on a skewed fact (one key ~half the rows), for
+    inner and left (unmatched fact keys survive left with null dim)."""
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        pre_aggregated_join,
+    )
+
+    fact = spark.range(10000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 1L ELSE 2 + id % 400 END AS k",
+        "cast(id % 977 AS double) AS x",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 300)], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        # left-join rows carry tag=None; sort by repr so None and str
+        # compare
+        got = sorted(
+            map(
+                tuple,
+                pre_aggregated_join(
+                    fact, dim, ["k"],
+                    sum_cols=["x"], min_cols=["x"], max_cols=["x"],
+                    how=how,
+                )
+                .groupBy("tag")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n"),
+                    F.round(F.sum("sum_x"), 6).alias("s"),
+                    F.min("min_x").alias("lo"),
+                    F.max("max_x").alias("hi"),
+                )
+                .collect(),
+            ),
+            key=repr,
+        )
+        want = sorted(
+            map(
+                tuple,
+                fact.join(dim, ["k"], how)
+                .groupBy("tag")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.round(F.sum("x"), 6).alias("s"),
+                    F.min("x").alias("lo"),
+                    F.max("x").alias("hi"),
+                )
+                .collect(),
+            ),
+            key=repr,
+        )
+        assert got == want and got
+    with pytest.raises(ValueError, match="fact-preserving"):
+        pre_aggregated_join(fact, dim, ["k"], how="right")

@@ -42,7 +42,11 @@ con.execute("SET temp_directory='/tmp/duck_spill'")
 con.execute("SET memory_limit='48GB'")
 for t in %(tables)r:
     p = os.path.join(sf_dir, t + ".parquet")
-    files = sorted(glob.glob(os.path.join(p, "*.parquet"))) if os.path.isdir(p) else [p]
+    files = (
+        sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if os.path.isdir(p)
+        else ([p] if os.path.exists(p) else [])
+    )
     if files:
         con.execute(
             "CREATE VIEW %%s AS SELECT * FROM read_parquet(%%s)" %% (t, repr(files))
