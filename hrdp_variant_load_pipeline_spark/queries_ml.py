@@ -579,8 +579,11 @@ _COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
     """,
 )
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Arrow/BLAS batch-dot form adopted on measurement (r13): 0.608s vs
+    # 1.305s for the zip_with/aggregate JVM form at sf10, bit-equal
+    # results at all tested scales — the r11 triage's last lever
     e = table(spark, sf, "embeddings")
-    return SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return SIM.brute_force_topk_blas(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 # blocked-exact AND hyperplane-LSH near-dup as ONE tagged battery (the
