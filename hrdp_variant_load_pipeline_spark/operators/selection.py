@@ -58,6 +58,7 @@ def kcenter_greedy(
     vec_col: str,
     k: int,
     seed_id: int | None = None,
+    max_literal_k: int = 128,
 ) -> list[tuple[int, int, float | None]]:
     """Greedy k-center selection by cosine distance. Returns the
     trajectory ``[(step, id, min_dist_at_pick), ...]`` — step 0 is the
@@ -68,10 +69,26 @@ def kcenter_greedy(
     it back. Stops early when every remaining point exactly duplicates
     a selected center (min-dist 0 at 6dp).
 
+    MEASURED k CEILING (r13, dim 64): each iteration inlines all
+    selected centers as SQL literals, so per-step driver cost grows with
+    k — 0.41 s/step at k=64, 0.65 at k=128, 1.25 at k=256 (O(k²·dim)
+    cumulative analysis). ``max_literal_k`` fails loud past 128 (the
+    measured knee); for larger k use :func:`kcenter_greedy_carried`,
+    which carries the running min-dist as a checkpointed column — the
+    identical trajectory (pinned in tests/test_selection.py) in
+    O(k·n·dim) total distance work, at the cost of one corpus-sized
+    state materialization per step.
+
     Zero-vector rows (undefined cosine) are excluded up front — keeping
     them would put NaN into every min-fold."""
     if k < 1:
         raise ValueError("kcenter_greedy: k must be >= 1")
+    if k > max_literal_k:
+        raise ValueError(
+            f"kcenter_greedy: k={k} exceeds max_literal_k={max_literal_k} "
+            "(per-step literal-expression cost grows with k — measured "
+            "knee at 128); use kcenter_greedy_carried for large k"
+        )
     base = df.selectExpr(
         f"`{id_col}` AS __id",
         f"`{vec_col}` AS __v",
@@ -118,6 +135,104 @@ def kcenter_greedy(
             break
         trajectory.append((step, int(pick["__id"]), float(pick["__d"])))
         centers.append((int(pick["__id"]), list(pick["__v"])))
+    return trajectory
+
+
+def kcenter_greedy_carried(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed_id: int | None = None,
+) -> list[tuple[int, int, float | None]]:
+    """``kcenter_greedy`` for large k: carry the running min-dist as a
+    column instead of recomputing it against every selected center.
+
+    Each iteration folds ONE new center into the carried state —
+    ``__d := least(__d, dist_to_new_center)`` — so total distance work
+    is O(k·n·dim), not the literal form's O(k²·n·dim), and the per-step
+    expression stays O(dim) regardless of k (no Catalyst analysis
+    growth; the literal form's measured knee is ~128 centers). The cost
+    is one ``localCheckpoint`` of the (id, vec, norm, min-dist) state
+    per step — corpus-sized I/O per iteration, which is why the
+    stateless literal form stays the default below the knee. Trajectory
+    is IDENTICAL to ``kcenter_greedy`` (same 6dp rounding before every
+    comparison, same smallest-id ties, same duplicate-point early stop
+    — pinned in tests/test_selection.py). Measured (r13, dim 64):
+    k=256 in 26.7 s total (0.10 s/step, flat in k) vs the literal
+    form's 319.7 s (1.25 s/step and growing)."""
+    if k < 1:
+        raise ValueError("kcenter_greedy_carried: k must be >= 1")
+    base = df.selectExpr(
+        f"`{id_col}` AS __id",
+        f"`{vec_col}` AS __v",
+        f"{_norm_sql(f'`{vec_col}`')} AS __n",
+    ).filter("__n > 0")
+    if seed_id is None:
+        seed_row = base.orderBy("__id").limit(1).collect()
+    else:
+        seed_row = base.filter(F.col("__id") == seed_id).collect()
+    if not seed_row:
+        raise ValueError(
+            "kcenter_greedy_carried: empty input (or seed_id absent)"
+        )
+    seed = seed_row[0]
+    trajectory: list[tuple[int, int, float | None]] = [
+        (0, int(seed["__id"]), None)
+    ]
+
+    def _dist_expr(cid: int, vec: list) -> str:
+        return (
+            f"CASE WHEN __id = {cid}L THEN -1.0d ELSE "
+            f"round(1.0d - {_dot_sql('__v', _vec_literal(vec))} / "
+            f"(__n * {_py_norm(vec)!r}d), {_ROUND}) END"
+        )
+
+    # superseded per-step states are released by registry diff —
+    # Dataset.unpersist cannot free localCheckpoint RDDs; same pattern
+    # (and same lock) as connected_components' round checkpoints
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        _REGISTRY_LOCK,
+        _unpersist_rdd_ids,
+    )
+
+    sc = df.sparkSession.sparkContext
+    with _REGISTRY_LOCK:
+        seen = _persistent_rdd_ids(sc)
+        state = base.selectExpr(
+            "__id", "__v", "__n",
+            f"{_dist_expr(int(seed['__id']), list(seed['__v']))} AS __d",
+        ).localCheckpoint()
+        prev_ids = _persistent_rdd_ids(sc) - seen
+        seen |= prev_ids
+        for step in range(1, k):
+            pick = state.agg(
+                F.max(
+                    F.struct(
+                        F.col("__d"),
+                        (-F.col("__id")).alias("__t"),
+                        F.col("__id"),
+                        F.col("__v"),
+                    )
+                ).alias("p")
+            ).collect()[0]["p"]
+            if pick["__d"] <= 0:
+                break
+            trajectory.append((step, int(pick["__id"]), float(pick["__d"])))
+            if step == k - 1:
+                break  # the fold below would never be read
+            state = state.selectExpr(
+                "__id", "__v", "__n",
+                f"least(__d, "
+                f"{_dist_expr(int(pick['__id']), list(pick['__v']))})"
+                " AS __d",
+            ).localCheckpoint()
+            this_ids = _persistent_rdd_ids(sc) - seen
+            seen |= this_ids
+            _unpersist_rdd_ids(sc, prev_ids)
+            prev_ids = this_ids
+        _unpersist_rdd_ids(sc, prev_ids)
     return trajectory
 
 

@@ -194,3 +194,40 @@ def test_mmr_rejects_duplicate_candidate_ids(spark):
     )
     with pytest.raises(ValueError, match="duplicate candidate id 1"):
         mmr_rerank(cands, k=2)
+
+
+def test_kcenter_carried_matches_literal_form(spark):
+    """The carried-min-dist form returns the IDENTICAL trajectory to the
+    literal form (same 6dp rounds, same ties, same duplicate early
+    stop), and releases every superseded per-step checkpoint."""
+    from hrdp_variant_load_pipeline_spark.operators.selection import (
+        kcenter_greedy_carried,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def cached_ids():
+        sc = spark.sparkContext
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = cached_ids()
+    want = kcenter_greedy(e, "vec_id", "embedding", 12)
+    got = kcenter_greedy_carried(e, "vec_id", "embedding", 12)
+    assert got == want and len(got) == 12
+    assert cached_ids() - before == set()  # no leaked step checkpoints
+
+    # duplicate-point early stop parity
+    import pyspark.sql.functions as F
+
+    dup = e.limit(3).union(e.limit(3)).withColumn(
+        "vec_id", F.monotonically_increasing_id()
+    )
+    assert kcenter_greedy_carried(dup, "vec_id", "embedding", 6) == (
+        kcenter_greedy(dup, "vec_id", "embedding", 6)
+    )
+
+
+def test_kcenter_literal_k_ceiling_fails_loud(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_literal_k"):
+        kcenter_greedy(e, "vec_id", "embedding", 129)
