@@ -175,13 +175,31 @@ def test_agg_distinct_single_scan_expand_codegen(spark):
 
 
 def test_brute_force_topk_single_corpus_pass_broadcast_queries(spark):
-    """SQL-text plan construction must not change the shape: corpus
-    scanned once, query side broadcast, no shuffle before the per-query
-    rank window."""
-    plan = _plan(spark, "embedding_cosine_topk")
+    """The JVM HOF form (the zero-Python path and the BLAS form's parity
+    oracle): corpus scanned once, query side broadcast, no shuffle
+    before the per-query rank window."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators import similarity as SIM
+    from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan  # cross join vs broadcast NESTED loop
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the rank window only
+
+
+def test_brute_force_topk_blas_shape(spark):
+    """The adopted Arrow/BLAS form (the driver row): corpus scanned once
+    through ONE mapInPandas (queries ride the closure, no join at all);
+    the only exchange is the per-query rank window over the per-batch
+    partial top-k rows."""
+    plan = _plan(spark, "embedding_cosine_topk")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the rank window only
 
 
