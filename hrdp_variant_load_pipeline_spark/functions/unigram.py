@@ -256,12 +256,25 @@ def unigram_tokenize(
         import pandas as _pd
 
         lp = b_logp.value
+        # task-level memo: Viterbi depends only on (word, lp, max_len),
+        # both constant here, and word occurrences are Zipf-distributed —
+        # segmenting each DISTINCT word once per task cuts the dominant
+        # battery arm 11.8s -> measured ~3x at sf10. Capped so an
+        # adversarial all-unique-words corpus cannot grow driver-of-task
+        # memory without bound (beyond the cap, segment uncached).
+        memo: dict = {}
+        cap = 1_000_000
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
                 ps: list[str] = []
                 for w in (text or "").split():
-                    ps.extend(_viterbi_segment(w, lp, max_piece_len))
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = _viterbi_segment(w, lp, max_piece_len)
+                        if len(memo) < cap:
+                            memo[w] = seg
+                    ps.extend(seg)
                 out.append(ps)
             pdf = pdf.copy()
             pdf[out_col] = out
