@@ -484,10 +484,21 @@ def corpus_prep_battery(spark: SparkSession, sf: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 10 == 0)
     src = d.filter(F.col("doc_id") % 10 != 0)
     sampled = stratified_sample(src, "lang", _PREP_FRACTIONS, id_col="doc_id", salt="prep")
-    # decontaminate AFTER sampling: only surviving docs pay the shingling
-    clean = decontaminate(sampled, bench, "doc_id", "text", n=8).withColumn(
-        "n_tok",
-        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("long"),
+    # decontaminate AFTER sampling: only surviving docs pay the shingling.
+    # Pin the cleaned slice: plan_mixture's collect executes this chain
+    # once and the final plan would execute it AGAIN — the r13 sf10
+    # decomposition measured the sample+shingle-join chain at ~7s, paid
+    # twice without the pin; the pinned slice is the sampled fraction of
+    # the corpus (bounded by the mixture fractions), not the corpus
+    clean = (
+        decontaminate(sampled, bench, "doc_id", "text", n=8)
+        .withColumn(
+            "n_tok",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda t: t != "")
+            ).cast("long"),
+        )
+        .localCheckpoint()
     )
     # mixture: rebalance languages to the _PREP_BUDGET token budget; the
     # fractions derive from the cleaned corpus's own per-language token
