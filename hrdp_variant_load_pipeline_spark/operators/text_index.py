@@ -384,10 +384,28 @@ def text_index_topk_many(
     b: float = 0.75,
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    max_df_frac: float | None = None,
+    max_query_terms: int | None = None,
 ) -> DataFrame:
     """Batch retrieval: top-k per query over the persisted index in ONE
     postings pass — the decontamination-by-search shape, where thousands
     of eval prompts probe the corpus at once.
+
+    ``max_df_frac`` (None = exact BM25 over every query term) drops
+    query terms whose document frequency exceeds that fraction of the
+    corpus BEFORE scoring. A term in 20%+ of documents carries
+    near-zero IDF but multiplies the contribution join by
+    df × (queries containing it) — with full-document queries (the
+    decontamination shape) the un-pruned join is effectively quadratic
+    and measured-unrunnable at sf10 (r13). ``max_query_terms`` (None =
+    all surviving terms) additionally keeps only each query's N
+    RAREST surviving terms (smallest df, ties by term) — rare-term
+    probing, the standard decontamination-by-search design: it bounds
+    the contribution join at queries × N × df_cap BY CONSTRUCTION,
+    instead of hoping the vocabulary is Zipf-shaped. Scores under
+    either pruning are NOT bit-equal to ``bm25_scores`` with the full
+    term list — they are BM25 over the surviving (informative) terms;
+    queries whose terms are all pruned produce no rows.
 
     ``queries_df`` is (query_id, terms array<string>) and MODEL-SIZED by
     contract (it is collected once for routing and broadcast back for
@@ -447,17 +465,66 @@ def text_index_topk_many(
         [(t,) for t in term_list], "term STRING"
     ).select("term", _bucket_of(F.col("term"), nb).alias("bucket"))
     needed = sorted({r["bucket"] for r in tdf.collect()})
+    scan = read_store(
+        spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA
+    ).filter(F.col("bucket").isin(needed))
+    # term pruning: a literal IN pushes to the parquet footer and is the
+    # fastest path for query-sized term sets, but a batch of thousands
+    # of queries can union tens of thousands of distinct terms — a
+    # 50k-element In() expression stalled planning/codegen for minutes
+    # (r13, 2000-doc decontamination probe). Above the threshold the
+    # term filter becomes a broadcast semi-join against the (probe-
+    # sized) term table: bucket pruning still hits the footer, the term
+    # prune moves to the hash join.
+    if len(term_list) <= 1024:
+        scan = scan.filter(F.col("term").isin(term_list))
+    else:
+        scan = scan.join(
+            F.broadcast(tdf.select("term")), "term", "left_semi"
+        )
     post = _live_postings(
         spark,
         store_dir,
-        read_store(spark, f"{store_dir}/{_POSTINGS}", schema=_POSTINGS_SCHEMA)
-        .filter(F.col("bucket").isin(needed))
-        .filter(F.col("term").isin(term_list))
-        .distinct(),  # crashed-replay duplicate rows score once (see
-        # text_index_scores)
+        scan.distinct(),  # crashed-replay duplicate rows score once
+        # (see text_index_scores)
     )
     dfs = {r["term"]: r["df"] for r in
            post.groupBy("term").agg(F.count("*").alias("df")).collect()}
+    if max_df_frac is not None:
+        cutoff = float(max_df_frac) * float(n_docs)
+        surviving = {t for t, df in dfs.items() if df <= cutoff}
+        qmeta_py = [
+            (qid, pos, t) for qid, pos, t in qmeta_py if t in surviving
+        ]
+    if max_query_terms is not None:
+        by_q: dict = {}
+        for qid, pos, t in qmeta_py:
+            by_q.setdefault(qid, []).append((dfs.get(t, 0), t, pos))
+        qmeta_py = [
+            (qid, pos, t)
+            for qid, entries in by_q.items()
+            for _df, t, pos in sorted(entries)[:max_query_terms]
+        ]
+    if max_df_frac is not None or max_query_terms is not None:
+        if not qmeta_py:
+            return spark.createDataFrame(
+                [], "query_id BIGINT, doc_id BIGINT, score DOUBLE, rank INT"
+            )
+        # re-prune the postings to the surviving terms so the dropped
+        # terms' (large) posting lists never reach the contribution join
+        surv_list = sorted({t for _qid, _pos, t in qmeta_py})
+        if len(surv_list) <= 1024:
+            post = post.filter(F.col("term").isin(surv_list))
+        else:
+            post = post.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(t,) for t in surv_list], "term STRING"
+                    )
+                ),
+                "term",
+                "left_semi",
+            )
     qmeta = spark.createDataFrame(
         [(qid, pos, t, float(dfs.get(t, 0))) for qid, pos, t in qmeta_py],
         "qid BIGINT, qpos INT, term STRING, df DOUBLE",

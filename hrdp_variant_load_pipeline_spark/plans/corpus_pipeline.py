@@ -552,13 +552,31 @@ def run_corpus_pipeline(
                 F.col(bid).cast("long").alias("query_id"),
                 F.array_distinct(bm25_tokens(F.col(btext))).alias("terms"),
             ).filter(F.size("terms") > 0)
+            # max_df_frac: benchmark items are whole texts, so their
+            # term union includes the corpus's common words — near-zero
+            # IDF but a df × queries contribution blowup (measured
+            # unrunnable at sf10 without pruning). 0.2 drops only terms
+            # in >20% of documents; retrieval of any actually-leaked
+            # item rides its rare terms.
+            # max_query_terms: probe with each item's 32 rarest
+            # surviving terms — bounds the contribution join at
+            # items × 32 × df_cap by construction (rare-term probing)
             hits = text_index_topk_many(
-                spark, idx_dir, queries, k=int(rdec.get("k", 10))
+                spark,
+                idx_dir,
+                queries,
+                k=int(rdec.get("k", 10)),
+                max_df_frac=float(rdec.get("max_df_frac", 0.2)),
+                max_query_terms=int(rdec.get("max_query_terms", 32)),
             ).filter(F.col("score") >= float(rdec.get("min_score", 0.0)))
+            # eval-sized (≤ |bench|·k rows); materialized NOW — both for
+            # the report's lineage (same reason as the shingle
+            # contamination report) and so the anti-join's broadcast
+            # ships a computed frame instead of running the whole probe
+            # inside the broadcast-exchange thread's timeout
+            hits = hits.localCheckpoint()
             if rdec.get("report", False):
-                # eval-sized (≤ |bench|·k rows); pinned NOW for the same
-                # lineage reason as the shingle contamination report
-                retrieval_out.append(hits.localCheckpoint())
+                retrieval_out.append(hits)
             flagged = hits.select(
                 F.col("doc_id").alias(id_col)
             ).distinct()

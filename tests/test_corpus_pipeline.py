@@ -645,6 +645,9 @@ def test_retrieval_decontaminate_stage_drops_search_hits(spark, tmp_path):
         "retrieval_decontaminate": {
             "path": bpath, "k": 1, "min_score": 0.1, "report": True,
             "index_dir": str(tmp_path / "ridx"),
+            # the production default (0.2) is calibrated for real
+            # corpora; on a 3-doc fixture every term exceeds it
+            "max_df_frac": 1.0,
         },
     }
     res = run_corpus_pipeline(spark, cfg)

@@ -756,3 +756,74 @@ def test_live_postings_shuffle_fallback_keeps_parity(
     got = {r.doc_id: r.score
            for r in text_index_scores(spark, store, TERMS).collect()}
     assert got == want
+
+
+def test_topk_many_max_df_frac_prunes_common_terms(spark, tmp_path):
+    """df-based query-term pruning: terms above the df cutoff neither
+    score nor reach the contribution join; surviving-term scores equal
+    a probe run with ONLY those terms; an all-pruned batch returns the
+    empty typed frame."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)  # 7 docs; 'cat' df=3, 'dog' df=3
+    q = spark.createDataFrame(
+        [(1, ["cat", "mat"])], "query_id long, terms array<string>"
+    )
+    # cutoff 2/7: 'cat' (df 3) pruned, 'mat' (df 2) survives
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark, store, q, k=10, max_df_frac=2 / 7
+        ).collect()
+    }
+    only_mat = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(1, ["mat"])], "query_id long, terms array<string>"
+            ),
+            k=10,
+        ).collect()
+    }
+    assert got == only_mat and got
+    all_pruned = text_index_topk_many(
+        spark, store, q, k=10, max_df_frac=0.01
+    )
+    assert all_pruned.columns == ["query_id", "doc_id", "score", "rank"]
+    assert all_pruned.count() == 0
+
+
+def test_topk_many_max_query_terms_keeps_rarest(spark, tmp_path):
+    """Rare-term probing: with max_query_terms=1 the probe scores each
+    query by its rarest surviving term only ('mat' df=2 beats 'cat'/
+    'dog' df=3), equal to a probe with just that term."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    q = spark.createDataFrame(
+        [(1, ["cat", "mat", "dog"])], "query_id long, terms array<string>"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark, store, q, k=10, max_query_terms=1
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(1, ["mat"])], "query_id long, terms array<string>"
+            ),
+            k=10,
+        ).collect()
+    }
+    assert got == want and got
