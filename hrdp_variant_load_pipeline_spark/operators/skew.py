@@ -91,16 +91,17 @@ def adaptive_salted_join(
         else fact
     )
     counts = src.groupBy(*keys).count()
+    # the threshold compares against SAMPLE-scale counts when sampling,
+    # so every full-data quantity converts by the fraction exactly once:
+    # the auto threshold's 16x-average term is already sample-scale
+    # (counts came from the sample), only the absolute floor converts
     if hot_threshold_rows is None:
         tot = counts.agg(
             F.sum("count").alias("s"), F.count("*").alias("k")
         ).collect()[0]
         avg = (int(tot["s"]) / int(tot["k"])) if tot["k"] else 0.0
-        hot_threshold_rows = max(100_000, int(16 * avg))
-        if sample_fraction:
-            hot_threshold_rows = max(
-                1, int(hot_threshold_rows * sample_fraction)
-            )
+        floor = 100_000 * (sample_fraction or 1.0)
+        hot_threshold_rows = max(1, int(max(floor, 16 * avg)))
     elif sample_fraction:
         hot_threshold_rows = max(1, int(hot_threshold_rows * sample_fraction))
     hot_rows = (
