@@ -159,8 +159,13 @@ def kcenter_greedy_carried(
     is IDENTICAL to ``kcenter_greedy`` (same 6dp rounding before every
     comparison, same smallest-id ties, same duplicate-point early stop
     — pinned in tests/test_selection.py). Measured (r13, dim 64):
-    k=256 in 26.7 s total (0.10 s/step, flat in k) vs the literal
-    form's 319.7 s (1.25 s/step and growing)."""
+    k=256 on 500 rows in 26.7 s total (0.10 s/step, flat in k) vs the
+    literal form's 319.7 s (1.25 s/step and growing); at CORPUS size
+    (200k vectors) the crossover moves far left — k=32 runs 10.6 s
+    carried vs 55.7 s literal (identical trajectory), because the
+    literal form re-pays the full O(k·n·dim) distance scan per step.
+    Rule of thumb: literal for model-sized inputs or single-digit k;
+    carried for corpus-scale inputs or k ≳ 16."""
     if k < 1:
         raise ValueError("kcenter_greedy_carried: k must be >= 1")
     base = df.selectExpr(
