@@ -122,7 +122,11 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .where("neighbor_id != query_id")
+        # zero-norm vectors have no defined cosine (0/0): exclude them
+        # like self-matches rather than let NaN propagate — Spark ranks
+        # NaN FIRST descending, which would put garbage at rank 1. Same
+        # contract as the BLAS form and the kcenter/mmr zero-exclusion.
+        .where("neighbor_id != query_id AND c_norm != 0.0 AND q_norm != 0.0")
         .selectExpr(
             "query_id",
             "neighbor_id",
@@ -158,7 +162,19 @@ def brute_force_topk_blas(
     to mirror Spark/DuckDB ``round`` rather than numpy's banker's
     rounding. This stays consistent with the repo's UDF discipline:
     Arrow-batched matrix math over genuinely non-columnar work, never
-    row-at-a-time Python."""
+    row-at-a-time Python.
+
+    Zero-norm vectors (no defined cosine) are EXCLUDED on both paths —
+    masked like self-matches here, filtered pre-join in the JVM form —
+    rather than letting 0/0 NaN propagate with engine-dependent
+    ordering (numpy lexsort ranks NaN last in-batch; Spark ranks NaN
+    first descending). Rounding-tie caveat: the half-up formula here is
+    binary half-up, while Spark ``round`` goes through BigDecimal
+    shortest-decimal strings (see ``train_centroids``'s note) — a
+    cosine whose 1e-6 digit sits exactly on a representation boundary
+    can round differently and flip a rank tie between the two forms.
+    Observed bit-equal at all four tested scales on real embeddings;
+    the caveat is theoretical headroom, not a measured divergence."""
     import numpy as np
     import pandas as pd
 
@@ -171,6 +187,8 @@ def brute_force_topk_blas(
     q_ids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
     q_mat = np.array([[float(x) for x in r[1]] for r in qrows])
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_zero = q_norm == 0.0
+    q_norm = np.where(q_zero, 1.0, q_norm)  # avoid 0/0; masked below
     scale = float(10 ** round_digits)
 
     def _score(batches):
@@ -182,13 +200,17 @@ def brute_force_topk_blas(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_zero = c_norm == 0.0
+            c_norm = np.where(c_zero, 1.0, c_norm)  # avoid 0/0
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             # half-up to round_digits (Spark/DuckDB round semantics)
             sims = np.sign(sims) * np.floor(
                 np.abs(sims) * scale + 0.5
             ) / scale
-            # self-matches never rank
+            # self-matches and zero-norm rows/queries never rank
             sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            sims[c_zero, :] = -np.inf
+            sims[:, q_zero] = -np.inf
             kk = min(k, len(ids))
             # per-query partial top-k with the (cos desc, id asc) order:
             # lexsort on (ids, -sims) gives ascending id within equal sims
@@ -214,6 +236,44 @@ def brute_force_topk_blas(
         _score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
     return _rank_topk(partial, k)
+
+
+# crossover measured r14 (tools/cosine_dispatch_probe.py, local[32],
+# 10 queries, k=5, dim 64, best-of-3, parity asserted per rung):
+#   rows   2k     10k    25k    50k    100k   200k
+#   jvm    0.43   0.50   0.61   0.87   1.22   2.22
+#   blas   0.51   0.48   0.47   0.40   0.46   0.53
+# JVM wins below ~10k (Python-worker + Arrow startup dominates), BLAS
+# from 10k up (0.24x at 200k = the staged sf10 corpus) — the knee sits
+# between 2k and 10k, so 10k keeps sf0.1 (2k rows) on the JVM fast path
+# and everything sf1-sized and up on BLAS
+_BLAS_CORPUS_ROWS = 10_000
+
+
+def brute_force_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+    corpus_rows: int | None = None,
+    blas_threshold: int = _BLAS_CORPUS_ROWS,
+) -> DataFrame:
+    """Size-gated dispatch between the two bit-equal brute-force forms:
+    the ``zip_with``/``aggregate`` JVM form below ``blas_threshold``
+    corpus rows (no Python-worker/Arrow startup — wins at small scale),
+    the Arrow/BLAS batch-dot form at or above it (one ``C @ Q.T`` per
+    batch — 2.1x the JVM form at sf10). Threshold from a measured
+    crossover (see ``_BLAS_CORPUS_ROWS`` note).
+
+    ``corpus_rows`` skips the sizing count when the caller already knows
+    it; the default ``corpus.count()`` is footer-only on a raw parquet
+    scan but executes the full plan on derived lineage — pass the hint
+    there."""
+    n = corpus.count() if corpus_rows is None else int(corpus_rows)
+    form = brute_force_topk_blas if n >= blas_threshold else brute_force_topk
+    return form(corpus, queries, id_col, vec_col, k, round_digits)
 
 
 def train_centroids(

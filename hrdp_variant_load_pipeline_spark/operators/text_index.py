@@ -497,9 +497,18 @@ def text_index_topk_many(
             (qid, pos, t) for qid, pos, t in qmeta_py if t in surviving
         ]
     if max_query_terms is not None:
+        # out-of-vocabulary terms (df == 0) can never contribute to any
+        # score, but they sort FIRST under the rarest-N key and would
+        # crowd genuinely rare shared terms out of the probe budget — a
+        # query with >= max_query_terms OOV tokens would probe only
+        # no-op terms and retrieve nothing. Dropping them is strictly
+        # recall-improving and score-neutral.
         by_q: dict = {}
         for qid, pos, t in qmeta_py:
-            by_q.setdefault(qid, []).append((dfs.get(t, 0), t, pos))
+            df = dfs.get(t, 0)
+            if df == 0:
+                continue
+            by_q.setdefault(qid, []).append((df, t, pos))
         qmeta_py = [
             (qid, pos, t)
             for qid, entries in by_q.items()
@@ -795,7 +804,10 @@ def vacuum_text_index(
     stream checkpoint already committed past batch 100 — replays of
     earlier batches are impossible once the checkpoint has advanced).
     Retiring a still-replayable key converts its replay into a
-    double-count. Crash-safe at every boundary: crashed deletes are
+    double-count. A key is retired only when the predicate evaluates to
+    exactly TRUE — keys where it evaluates to NULL (e.g. a try_cast on
+    a non-conforming key) are KEPT, erring on the safe side of the
+    contract. Crash-safe at every boundary: crashed deletes are
     repaired first; the postings commit is logically identical to the
     live view; the stats commit preserves both sums and (non-retired)
     keys; stale tombstones against purged postings anti-join to a no-op
@@ -850,7 +862,14 @@ def vacuum_text_index(
         # one summed total row
         keys = _marker_keys_df(spark, store_dir)
         if retire_keys_where is not None:
-            keys = keys.filter(f"NOT ({retire_keys_where})")
+            # retire ONLY on predicate IS TRUE: a NULL evaluation (e.g.
+            # try_cast on a non-conforming key) must KEEP the marker —
+            # `NOT (pred)` would drop NULL-predicate keys too, and per
+            # the safety contract retiring a still-replayable key turns
+            # its replay into a stats double-count
+            keys = keys.filter(
+                ~F.expr(retire_keys_where).eqNullSafe(F.lit(True))
+            )
         marker_rows = keys.select(
             F.lit(0).cast("long").alias("n_docs"),
             F.lit(0).cast("long").alias("sum_dl"),

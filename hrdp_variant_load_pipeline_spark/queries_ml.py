@@ -590,11 +590,13 @@ _COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
     """,
 )
 def embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    # Arrow/BLAS batch-dot form adopted on measurement (r13): 0.608s vs
-    # 1.305s for the zip_with/aggregate JVM form at sf10, bit-equal
-    # results at all tested scales — the r11 triage's last lever
+    # size-gated dispatch (r14): the zip_with/aggregate JVM form below
+    # 10k corpus rows (no Python-worker/Arrow startup — the r13 BLAS
+    # adoption cost sf0.1 1.60x), the Arrow/BLAS batch-dot form above
+    # (0.24x the JVM form at the 200k-row staged sf10). Crossover
+    # measured in tools/cosine_dispatch_probe.py; both forms bit-equal.
     e = table(spark, sf, "embeddings")
-    return SIM.brute_force_topk_blas(e, e.filter(F.col("vec_id") < 10), k=5)
+    return SIM.brute_force_topk_auto(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 # blocked-exact AND hyperplane-LSH near-dup as ONE tagged battery (the

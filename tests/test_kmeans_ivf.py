@@ -282,3 +282,54 @@ def test_brute_force_topk_blas_matches_jvm_form(spark):
     out = brute_force_topk_blas(e, empty_q, k=5)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     assert out.count() == 0
+
+def test_brute_force_topk_zero_norm_excluded_both_forms(spark):
+    """ADVICE r13: zero-norm vectors have no defined cosine (0/0). Both
+    forms EXCLUDE them — as corpus rows (never a neighbor) and as
+    queries (retrieve nothing) — instead of letting NaN propagate with
+    engine-dependent ordering (Spark ranks NaN first desc; numpy
+    lexsort ranks it last)."""
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm corpus row AND query
+        (4, [0.0, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, brute_force_topk(e, e, k=5).collect()))
+    b = sorted(map(tuple, brute_force_topk_blas(e, e, k=5).collect()))
+    assert a == b and a
+    ids_as_neighbor = {t[1] for t in a}
+    ids_as_query = {t[0] for t in a}
+    assert 3 not in ids_as_neighbor and 3 not in ids_as_query
+    # no NaN cosines survive either form
+    assert all(t[2] == t[2] for t in a)
+
+def test_brute_force_topk_auto_dispatches_on_corpus_size(spark):
+    """Size-gated dispatch (r14): below the measured knee the JVM form
+    runs (no Python stage in the plan); at/above it the BLAS
+    mapInPandas form runs — results identical either way."""
+    from hrdp_variant_load_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_auto,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    small = brute_force_topk_auto(e, q, k=4)
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    forced_blas = brute_force_topk_auto(e, q, k=4, blas_threshold=1)
+    assert "MapInPandas" in (
+        forced_blas._jdf.queryExecution().executedPlan().toString()
+    )
+    want = sorted(map(tuple, brute_force_topk(e, q, k=4).collect()))
+    assert sorted(map(tuple, small.collect())) == want
+    assert sorted(map(tuple, forced_blas.collect())) == want
+    # corpus_rows hint skips the sizing count and still dispatches right
+    hinted = brute_force_topk_auto(e, q, k=4, corpus_rows=10**9)
+    assert "MapInPandas" in hinted._jdf.queryExecution().executedPlan().toString()

@@ -827,3 +827,79 @@ def test_topk_many_max_query_terms_keeps_rarest(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_topk_many_oov_terms_do_not_consume_probe_budget(spark, tmp_path):
+    """ADVICE r13: df=0 (out-of-vocabulary) terms sort FIRST under the
+    rarest-N key and used to crowd real rare terms out of the
+    max_query_terms budget — a query with >= budget OOV tokens probed
+    only no-op terms and retrieved nothing. They are now dropped before
+    the cut (strictly recall-improving, score-neutral)."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    # two OOV tokens + one real rare term, budget 1: the real term must
+    # survive the cut and the probe must equal a probe with just it
+    q = spark.createDataFrame(
+        [(1, ["zzyzx", "qwerty", "mat"])],
+        "query_id long, terms array<string>",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark, store, q, k=10, max_query_terms=1
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_index_topk_many(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(1, ["mat"])], "query_id long, terms array<string>"
+            ),
+            k=10,
+        ).collect()
+    }
+    assert got == want and got
+    # an ALL-OOV query retrieves nothing but must not error or poison
+    # the batch's other queries
+    q2 = spark.createDataFrame(
+        [(1, ["zzyzx", "qwerty"]), (2, ["mat"])],
+        "query_id long, terms array<string>",
+    )
+    rows = text_index_topk_many(
+        spark, store, q2, k=10, max_query_terms=1
+    ).collect()
+    assert {r.query_id for r in rows} == {2}
+
+
+def test_vacuum_retire_null_predicate_keeps_marker(spark, tmp_path):
+    """ADVICE r13: a retire predicate that evaluates to NULL on a
+    non-conforming key (e.g. try_cast) must KEEP that marker — retiring
+    a still-replayable key converts its replay into a double-count.
+    Only predicate IS TRUE retires."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        _has_marker_key,
+        vacuum_text_index,
+    )
+
+    store = str(tmp_path / "tix")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    assert append_text_index_batch(b1, store, batch_key="s-1") == 4
+    # a key the numeric-suffix predicate cannot parse: try_cast -> NULL
+    assert append_text_index_batch(b2, store, batch_key="manual-fix") == 3
+    vacuum_text_index(
+        spark,
+        store,
+        retire_keys_where=(
+            "try_cast(substring_index(batch_key, '-', -1) as bigint) < 2"
+        ),
+    )
+    assert not _has_marker_key(spark, store, "s-1")  # TRUE -> retired
+    assert _has_marker_key(spark, store, "manual-fix")  # NULL -> KEPT
+    # the kept marker still skips its replay
+    assert append_text_index_batch(b2, store, batch_key="manual-fix") == 0

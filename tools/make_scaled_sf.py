@@ -66,37 +66,44 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
             # Verbatim replicas would make every replica pair a true
             # duplicate — near-dup pair counts growing QUADRATICALLY in K
             # is a data artifact, not engine scaling. v1 salted EVERY
-            # token with '#<rep>': that kept growth linear but gave each
-            # replica a DISJOINT vocabulary (sf10 grew the bigram table
-            # x100 where a real K-times corpus grows sub-linearly) and
-            # the '#' characters tripped the Gopher symbol gate, so
-            # quality filters dropped every replica — the staged corpus
-            # measured the generator, not the engine (r11 verdict).
+            # token with '#<rep>': disjoint per-replica vocabulary and
+            # the '#' tripped the Gopher symbol gate (r11 verdict). v2
+            # remapped token TYPES through 16 per-replica dialect
+            # suffixes: linear pair growth and gate-stable, but the
+            # source corpus has only 31 word types, so the staged corpus
+            # topped out at ~494 types — flat df everywhere, the
+            # declared WORST CASE for retrieval/df-dependent rows (r13
+            # verdict #1).
             #
-            # v2: a per-replica DIALECT — a deterministic token->token
-            # map keyed on (token type, replica) that appends one of 16
-            # fixed alphabetic suffixes to every token EXCEPT a protected
-            # function-word set (the union of the engine's Gopher
-            # stopwords, quality-scoring stopwords, and language-ID
-            # marker words — remapping those would change gate outcomes
-            # per replica). Properties:
-            #   * within a replica the map is a bijection on token
-            #     types, so the original near-dup/exact-dup structure is
-            #     preserved EXACTLY (Jaccard is invariant under token
-            #     renaming) -> pair counts grow linearly in K, and every
-            #     gate that reads function words (stopword hits,
-            #     lang-ID) scores replicas identically to the original;
-            #   * across replicas two dialects agree on a non-protected
-            #     type w.p. 1/16 -> 3-shingle Jaccard ~1e-3 on content
-            #     text, far below LSH candidacy -> replicas are
-            #     independent documents (docs made ENTIRELY of protected
-            #     words would replicate verbatim; none exist in the
-            #     generated corpora);
-            #   * each type maps to <= 17 variants total, so vocabulary
-            #     growth saturates (~7x at K=10, ~17x at K=100 —
-            #     sub-linear, vs x K for the old disjoint '#<rep>'
-            #     salting) and suffixes are alphabetic, so symbol/alpha
-            #     gates keep the replicas.
+            # v3: context-keyed Zipf OCCURRENCE expansion. Every
+            # non-protected token occurrence t with predecessor p maps to
+            # concat(t, z) where z = floor(R^u), u = hash(t, p, replica)
+            # mapped uniform into [0,1). R^u is the inverse CDF of
+            # Zipf(s=1) over ranks [1, R): P(z) ~ 1/(z ln R), so the
+            # staged type/token curve is Zipf-ish BY CONSTRUCTION (the
+            # measured rank-frequency slope lands near -1; see
+            # BENCH_NOTES r14). Protected function words (Gopher +
+            # quality stopwords + lang-ID markers) stay verbatim so
+            # every gate that reads them scores replicas like the
+            # original. Properties:
+            #   * within a replica the map is a deterministic function
+            #     of (t, prev): exact duplicates stay exact; near-dups
+            #     sharing token spans keep those spans' shingles
+            #     identical except one token past each edit boundary ->
+            #     dup/near-dup structure preserved, pair growth linear
+            #     in K;
+            #   * across replicas the draw is keyed on __rep: two
+            #     replicas agree on an occurrence only by same-rank
+            #     coincidence (head-heavy, ~1.5% per token; ~3e-6 per
+            #     3-shingle) -> replicas are independent documents, far
+            #     below LSH candidacy;
+            #   * df is now DISCRIMINATIVE: head ranks are corpus-wide
+            #     common terms (exercising max_df_frac pruning), tail
+            #     ranks are rare and query-selective — what BM25/
+            #     retrieval rows need to measure representatively;
+            #   * suffix digits keep words letter-bearing and
+            #     alphanumeric, so alpha/symbol/punct gates keep the
+            #     replicas (digits don't count as symbols).
             from hrdp_variant_load_pipeline_spark.functions.text import (
                 GOPHER_STOPWORDS,
                 LANG_MARKERS,
@@ -109,24 +116,29 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
                 | {w for ws in LANG_MARKERS.values() for w in ws}
             )
             plist = ", ".join(f"'{w}'" for w in protected)
-            suffixes = ", ".join(f"'z{c}'" for c in "abcdefghijklmnop")
-            dialect = f"""
+            zipf_r = 65536
+            df = df.withColumn(
+                "__toks", F.expr(r"filter(split(text, '\\s+'), t -> t != '')")
+            )
+            zipf_map = f"""
                 CASE WHEN text IS NULL OR trim(text) = '' THEN text ELSE
                 array_join(transform(
-                  filter(split(text, '\\\\s+'), t -> t != ''),
-                  t -> CASE
+                  __toks,
+                  (t, i) -> CASE
                     WHEN t IN ({plist}) THEN t
-                    ELSE concat(t, element_at(array({suffixes}),
-                         cast(pmod(xxhash64(t, __rep), 16) + 1 AS int)))
+                    ELSE concat(t, cast(pow({zipf_r},
+                         pmod(xxhash64(t, if(i = 0, '^', element_at(__toks, i)),
+                                       __rep), 1000000) / 1000000.0)
+                         AS bigint))
                   END
                 ), ' ') END
             """
             df = df.withColumn(
                 "text",
                 F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                    F.expr(dialect)
+                    F.expr(zipf_map)
                 ),
-            )
+            ).drop("__toks")
         (
             df.drop("__rep")
             .repartition(32)
