@@ -49,6 +49,7 @@ def adaptive_salted_join(
     salt: int = 8,
     how: str = "inner",
     hot_threshold_rows: int | None = None,
+    hot_threshold_frac: float | None = None,
     sample_fraction: float | None = None,
     max_hot_keys: int = 1024,
 ) -> DataFrame:
@@ -68,7 +69,12 @@ def adaptive_salted_join(
 
     ``hot_threshold_rows`` defaults to ``max(100_000, 16x the average
     rows-per-key)`` — a key only counts as hot when it would dominate a
-    reducer, not merely exceed the mean. The hot set is MODEL-SIZED by
+    reducer, not merely exceed the mean. ``hot_threshold_frac`` is the
+    SCALE-FREE alternative (mutually exclusive with the row form): a
+    key is hot when it holds at least that fraction of all fact rows —
+    the same predicate at sf0.001 and at 100 TB, which absolute row
+    counts are not. It reuses the counting pass's own total, so it
+    composes with ``sample_fraction`` unchanged. The hot set is MODEL-SIZED by
     construction (few keys can each hold >=16x the average);
     ``max_hot_keys`` fails loud past 1024 — that many "hot" keys means
     the distribution is broadly heavy, where blanket ``salted_join`` or
@@ -95,7 +101,21 @@ def adaptive_salted_join(
     # so every full-data quantity converts by the fraction exactly once:
     # the auto threshold's 16x-average term is already sample-scale
     # (counts came from the sample), only the absolute floor converts
-    if hot_threshold_rows is None:
+    if hot_threshold_frac is not None:
+        if hot_threshold_rows is not None:
+            raise ValueError(
+                "adaptive_salted_join: pass hot_threshold_rows OR "
+                "hot_threshold_frac, not both"
+            )
+        if not (0.0 < hot_threshold_frac <= 1.0):
+            raise ValueError(
+                f"adaptive_salted_join: hot_threshold_frac="
+                f"{hot_threshold_frac} not in (0, 1]"
+            )
+        s = counts.agg(F.sum("count")).collect()[0][0] or 0
+        # sample-scale total x fraction = sample-scale threshold
+        hot_threshold_rows = max(1, int(hot_threshold_frac * int(s)))
+    elif hot_threshold_rows is None:
         tot = counts.agg(
             F.sum("count").alias("s"), F.count("*").alias("k")
         ).collect()[0]

@@ -1248,6 +1248,62 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# adaptive_salted_join under the oracle (r13 verdict #2): the kit's
+# recommended treatment for NON-collapsing consumers never faced DuckDB
+# before — it was value-identity-pinned against the plain join in
+# pytest only. This row manufactures a real hot key with ENGINE-PORTABLE
+# arithmetic (every 5th orderkey remaps to key 1, so ~20% of fact rows
+# share one key at every SF — always past the 16x-average detection
+# threshold, never more than one hot key), joins through the two-path
+# operator, and keeps a per-row projection so nothing collapses: both
+# the salted-hot path and the plain-cold path land in the hash-compared
+# result.
+@q(
+    "skew_adaptive_join_detail",
+    """
+    WITH lk AS (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1
+                            ELSE l_orderkey END AS k,
+                       l_orderkey, l_linenumber, l_extendedprice
+                FROM lineitem WHERE l_linenumber = 1)
+    SELECT lk.l_orderkey, lk.l_linenumber, o.o_orderpriority,
+           round(lk.l_extendedprice::DOUBLE, 2) AS price
+    FROM lk JOIN orders o ON lk.k = o.o_orderkey
+    """,
+)
+def skew_adaptive_join_detail(spark: SparkSession, sf: str) -> DataFrame:
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    li = (
+        table(spark, sf, "lineitem")
+        .where("l_linenumber = 1")
+        .select(
+            F.when(F.pmod(F.col("l_orderkey"), 5) == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    # scale-free detection: the manufactured key holds ~20% of rows at
+    # every SF, so a 10% fraction threshold fires from sf0.001 to sf10
+    # (the default 100k-row absolute floor would miss it below ~sf1 and
+    # the row would face the oracle through the trivial plain path)
+    joined = adaptive_salted_join(li, o, ["k"], salt=8, hot_threshold_frac=0.1)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
 # per-user purchase-value trend: centered least-squares slope as ONE hash
 # aggregate. The slope's closed form sxy/sxx equals covar_pop(x,y)/var_pop(x)
 # exactly (the group count cancels), and Spark's covar_pop/var_pop use

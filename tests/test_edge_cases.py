@@ -350,3 +350,51 @@ def test_pre_aggregated_join_matches_naive_join_agg(spark):
         assert got == want and got
     with pytest.raises(ValueError, match="fact-preserving"):
         pre_aggregated_join(fact, dim, ["k"], how="right")
+
+
+def test_skew_adaptive_driver_row_exercises_both_paths(spark):
+    """The r14 driver row (skew_adaptive_join_detail) must actually
+    take the two-path plan: the manufactured hot key (every 5th
+    orderkey -> key 1, ~20% of rows) is detected at every SF, so the
+    executed plan unions a salted-hot arm with a plain-cold arm."""
+    from hrdp_variant_load_pipeline_spark.queries_ml import (
+        skew_adaptive_join_detail,
+    )
+
+    out = skew_adaptive_join_detail(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, plan[:2000]
+    assert "__salt" in plan, plan[:2000]
+    # and the result matches the plain join on the same remapped key
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where("l_linenumber = 1")
+        .select(
+            F.when(F.pmod(F.col("l_orderkey"), 5) == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    want = sorted(
+        map(
+            tuple,
+            li.join(o, "k")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "o_orderpriority",
+                F.round("l_extendedprice", 2).alias("price"),
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want

@@ -75,24 +75,31 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
             # declared WORST CASE for retrieval/df-dependent rows (r13
             # verdict #1).
             #
-            # v3: context-keyed Zipf OCCURRENCE expansion. Every
-            # non-protected token occurrence t with predecessor p maps to
-            # concat(t, z) where z = floor(R^u), u = hash(t, p, replica)
-            # mapped uniform into [0,1). R^u is the inverse CDF of
-            # Zipf(s=1) over ranks [1, R): P(z) ~ 1/(z ln R), so the
-            # staged type/token curve is Zipf-ish BY CONSTRUCTION (the
-            # measured rank-frequency slope lands near -1; see
-            # BENCH_NOTES r14). Protected function words (Gopher +
+            # v3: hierarchical context-keyed Zipf OCCURRENCE expansion.
+            # Every non-protected token occurrence maps to concat(t, z).
+            # The rank z = floor(R^u) with u = hash(ctx, replica)
+            # uniform in [0,1) — R^u is the inverse CDF of Zipf(s=1)
+            # over [1, R), so contexts land on rank z w.p. ~1/(z ln R).
+            # The CONTEXT granularity is itself drawn per (t, prev,
+            # replica): 25% unigram (t), 25% bigram (t, prev), 50%
+            # trigram (t, prev, prev2). Three context levels have
+            # per-context token masses ~3 decades apart (all of t /
+            # one bigram / one trigram), and each level's head ranks
+            # aggregate many contexts (~1/z), so the superposition is a
+            # power law spanning ~3.5 decades instead of the 1/z-head +
+            # flat-tail a single level gives (bigram-only measured
+            # slope -0.58; the 3-level form near -1 — measured numbers
+            # in BENCH_NOTES r14). Protected function words (Gopher +
             # quality stopwords + lang-ID markers) stay verbatim so
             # every gate that reads them scores replicas like the
             # original. Properties:
             #   * within a replica the map is a deterministic function
-            #     of (t, prev): exact duplicates stay exact; near-dups
-            #     sharing token spans keep those spans' shingles
-            #     identical except one token past each edit boundary ->
-            #     dup/near-dup structure preserved, pair growth linear
-            #     in K;
-            #   * across replicas the draw is keyed on __rep: two
+            #     of (t, prev, prev2): exact duplicates stay exact;
+            #     near-dups sharing token spans keep those spans'
+            #     shingles identical except <=2 tokens past each edit
+            #     boundary -> dup/near-dup structure preserved, pair
+            #     growth linear in K;
+            #   * across replicas every draw is keyed on __rep: two
             #     replicas agree on an occurrence only by same-rank
             #     coincidence (head-heavy, ~1.5% per token; ~3e-6 per
             #     3-shingle) -> replicas are independent documents, far
@@ -120,6 +127,12 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
             df = df.withColumn(
                 "__toks", F.expr(r"filter(split(text, '\\s+'), t -> t != '')")
             )
+            prev = "if(i = 0, '^', element_at(__toks, i))"
+            prev2 = "if(i < 2, '^', element_at(__toks, i - 1))"
+            ctx = f"""CASE pmod(xxhash64(9001, t, {prev}, __rep), 4)
+                      WHEN 0 THEN xxhash64(t, __rep)
+                      WHEN 1 THEN xxhash64(t, {prev}, __rep)
+                      ELSE xxhash64(t, {prev}, {prev2}, __rep) END"""
             zipf_map = f"""
                 CASE WHEN text IS NULL OR trim(text) = '' THEN text ELSE
                 array_join(transform(
@@ -127,9 +140,7 @@ def generate(spark, k: int = 10, out: str = "/tmp/hrdp_scaled_sf1") -> None:
                   (t, i) -> CASE
                     WHEN t IN ({plist}) THEN t
                     ELSE concat(t, cast(pow({zipf_r},
-                         pmod(xxhash64(t, if(i = 0, '^', element_at(__toks, i)),
-                                       __rep), 1000000) / 1000000.0)
-                         AS bigint))
+                         pmod({ctx}, 1000000) / 1000000.0) AS bigint))
                   END
                 ), ' ') END
             """
