@@ -386,6 +386,7 @@ def text_index_topk_many(
     terms_col: str = "terms",
     max_df_frac: float | None = None,
     max_query_terms: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Batch retrieval: top-k per query over the persisted index in ONE
     postings pass — the decontamination-by-search shape, where thousands
@@ -422,7 +423,11 @@ def text_index_topk_many(
 
     Output: (query_id, doc_id, score, rank), rank 1..k per query by
     (score desc, doc_id asc); queries whose terms are all absent from
-    the corpus produce no rows."""
+    the corpus produce no rows. ``round_digits`` rounds scores BEFORE
+    ranking (the similarity operators' engine-portability convention):
+    an external oracle recomputing the same scores can land 1 ulp away
+    on libm boundaries, and ranking on the rounded value keeps the
+    top-k cut and rank order comparable across engines."""
     qrows = queries_df.select(
         F.col(query_id_col).alias("qid"), F.col(terms_col).alias("qterms")
     ).collect()
@@ -556,6 +561,8 @@ def text_index_topk_many(
             lambda acc, x: acc + x["__c"],
         ).alias("score")
     )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1371,3 +1371,126 @@ def iterative_ts_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("b"),
     )
     return pr.unionByName(rs).unionByName(lr_rows)
+
+
+# ------------------------------------------------- retrieval decon probe
+# The retrieval-driven decontamination stage's core probe
+# (text_index_topk_many with BOTH scale bounds: max_df_frac pruning +
+# rarest-N max_query_terms) under the DuckDB oracle (r13 verdict #7 —
+# previously pytest-pinned only). The driver corpora's 31-type base
+# vocabulary makes every content word df~N (everything would prune), so
+# both engines first apply the IDENTICAL deterministic transform: each
+# doc gains one ' marker<doc_id % 97>' token, giving 97 rare terms with
+# df ~ N/97 at every SF. The three literal queries exercise the three
+# probe paths: q0 mixes rare terms with a common term (df-pruned at the
+# base corpora, dynamically re-admitted wherever df <= frac*N — both
+# engines compute the cut, nothing is hardcoded) and an OOV term; q1 is
+# the r14 OOV-crowding regression shape (budget 2, two OOV tokens + one
+# real rare term — the real term must survive the cut); q2 is plain
+# rare-term retrieval. Scores are rounded BEFORE ranking on both sides
+# (round_digits — libm ln can differ by 1 ulp across engines, and the
+# top-k cut must not hinge on it).
+_RDP_K1, _RDP_B, _RDP_K = 1.2, 0.75, 10
+_RDP_FRAC, _RDP_TERMS = 0.5, 2
+_RDP_QUERIES = (
+    (0, ("marker13", "marker31", "spark", "zzqqoov")),
+    (1, ("marker5", "zzqqoova", "zzqqoovb")),
+    (2, ("marker95", "marker96")),
+)
+
+_RDP_SQL = rf"""
+WITH d2 AS (SELECT doc_id,
+                   text || ' marker' || (doc_id % 97)::VARCHAR AS text
+            FROM documents),
+w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM d2),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl FROM w),
+q(query_id, term, qpos) AS (VALUES {", ".join(
+    f"({qid}, '{t}', {pos})"
+    for qid, terms in _RDP_QUERIES for pos, t in enumerate(terms))}),
+tf AS (SELECT w.doc_id, q.query_id, q.term, q.qpos, len(w.w)::DOUBLE AS dl,
+              len(list_filter(w.w, x -> x = q.term))::DOUBLE AS tf
+       FROM w CROSS JOIN q),
+df AS (SELECT term,
+              count(DISTINCT CASE WHEN tf > 0 THEN doc_id END)::DOUBLE AS df
+       FROM tf GROUP BY term),
+surv AS (SELECT q2.query_id, q2.term, q2.qpos, d.df,
+                row_number() OVER (PARTITION BY q2.query_id
+                                   ORDER BY d.df, q2.term) AS rk
+         FROM (SELECT DISTINCT query_id, term, qpos FROM q) q2
+         JOIN df d USING (term), st
+         WHERE d.df > 0 AND d.df <= {_RDP_FRAC} * st.n),
+contrib AS (SELECT t.query_id, t.doc_id,
+                   ln(1 + (st.n - s.df + 0.5) / (s.df + 0.5)) * t.tf
+                   * {_RDP_K1 + 1.0!r}
+                   / (t.tf + {_RDP_K1!r} * ({1.0 - _RDP_B!r}
+                      + {_RDP_B!r} * t.dl / st.avgdl)) AS c
+            FROM tf t
+            JOIN surv s ON t.query_id = s.query_id AND t.term = s.term, st
+            WHERE s.rk <= {_RDP_TERMS} AND t.tf > 0),
+sc AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+       FROM contrib GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {_RDP_K}
+"""
+
+
+@q("retrieval_decon_probe", _RDP_SQL)
+def retrieval_decon_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        append_text_index_batch,
+        text_index_topk_many,
+    )
+    from hrdp_variant_load_pipeline_spark.queries_ml import _cached_tmp_dir
+
+    import hrdp_variant_load_pipeline_spark.operators.text_index as _tix
+    import hrdp_variant_load_pipeline_spark.operators.vocab as _voc
+    import hrdp_variant_load_pipeline_spark.sources.store as _sto
+
+    src = os.path.join(sf, "documents.parquet")
+    st_ = os.stat(src)
+    code_fp = hashlib.md5(
+        open(_tix.__file__, "rb").read()
+        + open(_voc.__file__, "rb").read()
+        + open(_sto.__file__, "rb").read()
+    ).hexdigest()[:8]
+    # 'deconv1' tags the marker transform: same source as the bm25_idx
+    # fixture, DIFFERENT corpus bytes -> its own cache key
+    ikey = hashlib.md5(
+        f"deconv1:{os.path.realpath(src)}:{st_.st_size}:{st_.st_mtime_ns}:"
+        f"{code_fp}".encode()
+    ).hexdigest()[:16]
+
+    def _build(tmp: str) -> None:
+        d2 = table(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" marker"),
+                (F.col("doc_id") % 97).cast("string"),
+            ).alias("text"),
+        )
+        append_text_index_batch(d2, tmp)
+
+    store = _cached_tmp_dir(f"graft_decon_probe_{ikey}", _build)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _RDP_QUERIES],
+        "query_id long, terms array<string>",
+    )
+    return text_index_topk_many(
+        spark,
+        store,
+        qdf,
+        k=_RDP_K,
+        k1=_RDP_K1,
+        b=_RDP_B,
+        max_df_frac=_RDP_FRAC,
+        max_query_terms=_RDP_TERMS,
+        round_digits=6,
+    )

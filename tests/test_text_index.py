@@ -903,3 +903,30 @@ def test_vacuum_retire_null_predicate_keeps_marker(spark, tmp_path):
     assert _has_marker_key(spark, store, "manual-fix")  # NULL -> KEPT
     # the kept marker still skips its replay
     assert append_text_index_batch(b2, store, batch_key="manual-fix") == 0
+
+
+def test_topk_many_round_digits_rounds_before_ranking(spark, tmp_path):
+    """round_digits (r14): scores round BEFORE the rank window, so the
+    top-k cut and rank order are stable against sub-round_digits score
+    noise (the engine-portability convention the similarity operators
+    use)."""
+    from hrdp_variant_load_pipeline_spark.operators.text_index import (
+        text_index_topk_many,
+    )
+
+    store = _ingest(spark, tmp_path)
+    q = spark.createDataFrame(
+        [(1, ["cat", "mat"])], "query_id long, terms array<string>"
+    )
+    raw = text_index_topk_many(spark, store, q, k=10).collect()
+    rounded = text_index_topk_many(
+        spark, store, q, k=10, round_digits=2
+    ).collect()
+    assert {r.doc_id for r in raw} == {r.doc_id for r in rounded}
+    for r in rounded:
+        assert r.score == round(r.score, 2)
+    # rank follows the ROUNDED score: ties collapse onto doc_id order
+    order = sorted(rounded, key=lambda r: (-r.score, r.doc_id))
+    assert [r.doc_id for r in sorted(rounded, key=lambda r: r.rank)] == [
+        r.doc_id for r in order
+    ]
