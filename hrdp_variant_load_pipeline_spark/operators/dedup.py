@@ -411,6 +411,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     reliable: bool | None = None,
+    skew: dict | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc, cluster) where
     cluster = min doc id reachable — the step that turns pairwise dedup
@@ -437,6 +438,19 @@ def connected_components(
     loop on the same SparkContext should serialize externally. Only the
     final round's checkpoint — the returned frame's backing data — stays,
     owned by the caller. ``edges`` is unpersisted on exit.
+
+    ``skew`` routes each round's edges ⋈ labels join through
+    ``operators.skew.adaptive_salted_join`` (keys forwarded verbatim,
+    e.g. ``{"salt": 16, "hot_threshold_frac": 0.01}``). The skew shape
+    here is a GIANT CLUSTER's hub: a boilerplate page near-duplicated
+    across 20% of a crawl makes one node the ``dst`` of millions of
+    edges, and every propagation round funnels those rows through one
+    reducer — exactly the non-collapsing-consumer case the kit's drill
+    ranked adaptive salting for (the per-round consumer groups by
+    ``src``, not the join key, so eager pre-aggregation does not
+    apply). Results are identical for any setting (pinned); the cost is
+    one hot-key detection pass per round, so leave it off unless the
+    pair distribution is actually hub-heavy.
     """
     sc = pairs.sparkSession.sparkContext
     reliable = resolve_reliable(pairs, reliable)
@@ -470,10 +484,23 @@ def connected_components(
             prev_round = _persistent_rdd_ids(sc) - seen
             seen |= prev_round
             for _ in range(max_iter):
-                neighbor_min = (
-                    edges.join(labels, edges.dst == labels.node)
-                    .groupBy("src")
-                    .agg(F.min("label").alias("nmin"))
+                if skew:
+                    from hrdp_variant_load_pipeline_spark.operators.skew import (
+                        adaptive_salted_join,
+                    )
+
+                    stepped_join = adaptive_salted_join(
+                        edges,
+                        labels.withColumnRenamed("node", "dst"),
+                        ["dst"],
+                        **skew,
+                    )
+                else:
+                    stepped_join = edges.join(
+                        labels, edges.dst == labels.node
+                    )
+                neighbor_min = stepped_join.groupBy("src").agg(
+                    F.min("label").alias("nmin")
                 )
                 # carry the previous label through the checkpoint: convergence
                 # is a cheap filter on the materialized frame, no extra join

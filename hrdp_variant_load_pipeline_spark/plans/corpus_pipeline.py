@@ -220,7 +220,7 @@ def run_corpus_pipeline(
         "input", "id_col", "text_col", "lang_col", "normalize", "pii",
         "langid", "gates", "dedup", "lm_gate", "decontaminate",
         "retrieval_decontaminate", "selection", "mixture", "chunk",
-        "pack", "output", "checkpoint", "report",
+        "pack", "output", "checkpoint", "report", "skew",
     }
     unknown = set(cfg) - known
     if unknown:
@@ -416,7 +416,31 @@ def run_corpus_pipeline(
                 docs, id_col, text_col,
                 verify_threshold=float(fz.get("threshold", 0.8)),
             )
-            # canonical = lowest id of each near-dup pair survives
+            canonical = fz.get("canonical", "pair")
+            if canonical == "cluster":
+                # cluster-canonical: ONE survivor (min id) per connected
+                # near-dup component — transitively-linked chains
+                # collapse to one doc, where pair mode keeps every local
+                # minimum. The CC rounds honor the chain's top-level
+                # `skew:` config (hub-heavy pair graphs — a boilerplate
+                # page near-duplicated across a big slice of the crawl —
+                # are the kit's non-collapsing-consumer case; `skew:` is
+                # plan-only and value-identical, so it is NOT part of
+                # the checkpoint fingerprint).
+                clusters = DD.connected_components(
+                    pairs, skew=cfg.get("skew")
+                )
+                drop = (
+                    clusters.filter(F.col("doc") != F.col("cluster"))
+                    .select(F.col("doc").alias(id_col))
+                )
+                return docs.join(drop, id_col, "left_anti")
+            if canonical != "pair":
+                raise ValueError(
+                    f"dedup.fuzzy.canonical={canonical!r}: use 'pair' "
+                    "or 'cluster'"
+                )
+            # pair-canonical (default): lowest id of each pair survives
             drop = pairs.select(
                 F.greatest("doc_a", "doc_b").alias(id_col)
             ).distinct()

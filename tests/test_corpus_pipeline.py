@@ -672,3 +672,49 @@ def test_retrieval_decontaminate_stage_drops_search_hits(spark, tmp_path):
     cfg3 = {**cfg, "retrieval_decontaminate": {
         **cfg["retrieval_decontaminate"], "k": 5}}
     assert _cfg_fingerprint(cfg3) != base
+
+
+def test_fuzzy_cluster_canonical_and_skew_config(spark, tmp_path):
+    """dedup.fuzzy.canonical='cluster' keeps ONE doc (min id) per
+    connected near-dup component — transitive chains collapse where
+    pair mode keeps local minima — and the chain's top-level `skew:`
+    config routes the CC rounds without changing a single surviving
+    row."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = []
+    # a transitive near-dup chain: d0~d1, d1~d2 (d0 vs d2 more distant)
+    rows.append((0, base + " juliet kilo lima", "en"))
+    rows.append((1, base + " juliet kilo mike", "en"))
+    rows.append((2, base + " juliet november mike", "en"))
+    # an unrelated singleton
+    rows.append((3, "totally different words about completely other things", "en"))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+
+    def run(canonical, skew=None):
+        cfg = {
+            "input": {"format": "parquet", "path": src},
+            "dedup": {"fuzzy": {"threshold": 0.5, "canonical": canonical}},
+        }
+        if skew is not None:
+            cfg["skew"] = skew
+        res = run_corpus_pipeline(spark, cfg, collect_counts=False)
+        ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
+        res.unpersist_all()
+        return ids
+
+    cluster_ids = run("cluster")
+    assert 0 in cluster_ids and 3 in cluster_ids
+    assert cluster_ids == run(
+        "cluster", skew={"salt": 4, "hot_threshold_frac": 0.2}
+    )
+    pair_ids = run("pair")
+    # pair mode drops the greater id of each matched pair; cluster mode
+    # additionally collapses any transitive closure to its minimum
+    assert cluster_ids <= pair_ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="canonical"):
+        run("bogus")

@@ -398,3 +398,29 @@ def test_skew_adaptive_driver_row_exercises_both_paths(spark):
         )
     )
     assert sorted(map(tuple, out.collect())) == want
+
+
+def test_connected_components_skew_routing_identical(spark):
+    """`skew` routes each CC round's edges ⋈ labels join through
+    adaptive_salted_join — labels identical to the default plan on a
+    hub-heavy graph (one node is the dst of most edges: the giant
+    boilerplate cluster shape), including transitive chains."""
+    edges = (
+        # star: hub 0 linked to 1..40 (hub-heavy), plus a chain 50-51-52
+        [(0, i) for i in range(1, 41)]
+        + [(50, 51), (51, 52)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    base = {
+        (r["doc"], r["cluster"])
+        for r in connected_components(pairs).collect()
+    }
+    skewed = {
+        (r["doc"], r["cluster"])
+        for r in connected_components(
+            pairs, skew={"salt": 4, "hot_threshold_frac": 0.2}
+        ).collect()
+    }
+    assert skewed == base
+    assert all(c == 0 for d, c in base if d <= 40)
+    assert all(c == 50 for d, c in base if d >= 50)

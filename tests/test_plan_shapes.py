@@ -193,11 +193,24 @@ def test_brute_force_topk_single_corpus_pass_broadcast_queries(spark):
 
 
 def test_brute_force_topk_blas_shape(spark):
-    """The adopted Arrow/BLAS form (the driver row): corpus scanned once
-    through ONE mapInPandas (queries ride the closure, no join at all);
-    the only exchange is the per-query rank window over the per-batch
-    partial top-k rows."""
-    plan = _plan(spark, "embedding_cosine_topk")
+    """The Arrow/BLAS form (the driver row's large-corpus arm since the
+    r14 size-gated dispatch): corpus scanned once through ONE
+    mapInPandas (queries ride the closure, no join at all); the only
+    exchange is the per-query rank window over the per-batch partial
+    top-k rows. At the tiny test SF the DRIVER ROW dispatches to the
+    JVM form (no Python stage at all) — pinned here too."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators import similarity as SIM
+    from hrdp_variant_load_pipeline_spark.sources.tables import table
+
+    small = _plan(spark, "embedding_cosine_topk")
+    assert "MapInPandas" not in small  # tiny corpus -> JVM fast path
+    e = table(spark, SF_DIR, "embeddings")
+    df = SIM.brute_force_topk_auto(
+        e, e.filter(F.col("vec_id") < 10), k=5, blas_threshold=1
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the rank window only

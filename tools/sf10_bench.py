@@ -71,6 +71,17 @@ QUERY_TABLES = {
     "corpus_prep_battery": ["documents"],
     "model_ops_battery": ["documents", "orders", "customer", "embeddings"],
     "scd2_battery": ["orders"],
+    # r14 campaign completion: the five remaining scale-shaped rows the
+    # r13 verdict named, plus the two rows new this round
+    "iterative_ts_battery": [
+        "customer", "events", "lineitem", "orders", "supplier",
+    ],
+    "merge_update_status": ["customer", "orders"],
+    "dedup_text_battery": ["documents"],
+    "embedding_ann_trained": ["embeddings"],
+    "embedding_kmeans_centroids": ["embeddings"],
+    "skew_adaptive_join_detail": ["lineitem", "orders"],
+    "retrieval_decon_probe": ["documents"],
 }
 
 
