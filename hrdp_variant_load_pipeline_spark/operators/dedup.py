@@ -157,19 +157,51 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
     (equal when ``max_df is None``). df-pruning is the standard recall/
     cost trade: hot shingles generate O(df²) candidate pairs while
     contributing the least similarity evidence."""
-    if max_df is not None:
-        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        sh_j = sh.join(rare.select("shingle"), "shingle")
-    else:
-        sh_j = sh
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sh_j.alias("a")
-    b = sh_j.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
-    )
+    if max_df is not None:
+        # inverted-list pair expansion (r14): ONE aggregate keyed on the
+        # shingle collects its (<= max_df, sorted) doc list, and the
+        # C(df, 2) ordered pairs expand ROW-LOCALLY from that list — the
+        # per-row pair count is bounded by C(max_df, 2) by construction.
+        # The previous self-join shuffled the df-pruned (doc, shingle)
+        # table TWICE (both join sides) plus a third exchange for the
+        # pair count; this shape pays one shingle exchange and the pair
+        # exchange (measured 89.6 s -> see BENCH_NOTES r14 on the sf10
+        # Zipf fixture). The exact path (max_df=None) keeps the join
+        # form: an unbounded hot shingle would expand C(df, 2) structs
+        # inside ONE row there, trading a shuffle for executor memory.
+        docs_by_sh = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+            .filter(F.size("ds") <= max_df)
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ds"), i + 2, F.size(F.col("ds")) - i - 1
+                    ),
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+        shared = (
+            docs_by_sh.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+        )
     return (
         shared.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
@@ -552,24 +584,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     hex nibble.
     """
     n_hex = bits // 4
-    # one md5 per token (duplicates kept: term-frequency weighting)
-    hashes = F.transform(
-        F.split(F.col(text_col), " "), lambda w: F.substring(F.md5(w), 1, n_hex)
+    n_groups = (n_hex + 7) // 8
+    # one md5 per token (duplicates kept: term-frequency weighting),
+    # converted ONCE into 8-hex-char integer groups (< 2^32 each). The
+    # previous fold did string work PER BIT — 64 substr+conv+pow per
+    # token; this does n_groups convs per token and pure integer
+    # bit-masks per bit (r14: the simhash arm of dedup_text_battery
+    # measured 53.3 s at sf10, dominated by exactly that string work).
+    # Bit semantics are IDENTICAL (same md5, same hex_pos*4 + LSB-first
+    # bit order, pinned vs the DuckDB oracle and the plan-shape test):
+    # hex char p (0-based) of group g at in-group offset q = p - 8g
+    # contributes place value 16^(L_g-1-q) to that group's integer, so
+    # global bit i = 4p + b is mask 1 << ((L_g-1-q)*4 + b) of group g.
+    def _tok_groups(w: Column) -> Column:
+        h = F.substring(F.md5(w), 1, n_hex)
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(h, g * 8 + 1, min(8, n_hex - g * 8)), 16, 10
+                ).cast("bigint")
+                for g in range(n_groups)
+            ]
+        )
+
+    hashes = F.transform(F.split(F.col(text_col), " "), _tok_groups)
+    route = []
+    for i in range(bits):
+        p, b = divmod(i, 4)
+        g, q = divmod(p, 8)
+        group_len = min(8, n_hex - g * 8)
+        route.append((g, 1 << ((group_len - 1 - q) * 4 + b)))
+    route_arr = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("g"), F.lit(m).cast("bigint").alias("m")
+            )
+            for g, m in route
+        ]
     )
-
-    def vote(hh: Column, i: Column) -> Column:
-        # vote for global bit i: hex digit i//4 of the token hash, bit i%4
-        v = F.conv(hh.substr((i / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
-        pw = F.pow(F.lit(2.0), (i % 4)).cast("int")
-        return ((v / pw).cast("int") % 2) * 2 - 1
-
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, hh: F.zip_with(
+        lambda acc, hv: F.zip_with(
             acc,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda a, i: a + vote(hh, i),
+            route_arr,
+            lambda a, r: a
+            + F.when(
+                F.element_at(hv, r["g"] + 1).bitwiseAND(r["m"]) != 0, 1
+            ).otherwise(-1),
         ),
     )
     sig = F.array_join(
