@@ -364,6 +364,17 @@ def lm_doc_score(
     return df.join(scored, id_col, "left")
 
 
+#: LM model tables (seen-gram scores, word backstops, context counts)
+#: broadcast below this row count and probe via a shuffle-hash join with
+#: the model as the hinted build side above it. 1M rows ~ tens of MB of
+#: gram strings — past the point where N executor copies of the hash map
+#: beat one partitioned build, and far below where a broadcast would
+#: simply fail (the r14 Zipf staging measured a 3M-row bigram model at
+#: the 100x scale: shuffle-hash 22.9 s vs broadcast 24.5 s, and the
+#: model keeps growing with the corpus).
+_BROADCAST_MODEL_ROWS = 1_000_000
+
+
 def _lm_scored(
     df: DataFrame,
     id_col: str,
@@ -407,6 +418,21 @@ def _lm_scored(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    # "model-sized" is an assumption the data can break: on a realistic
+    # Zipf vocabulary the min_count-pruned bigram table at the 100x
+    # staging is ~3M rows (r14; the bounded-vocab fixture hid this at
+    # ~500), and it GROWS with the corpus — a broadcast model is a
+    # hard ceiling at 100 TB (multi-GB broadcast fails outright) and
+    # already measured slightly slower than a shuffle-hash probe at sf10
+    # (24.5 s vs 22.9 s). Gate on the model's row count: broadcast below
+    # (the pinned small-scale plan), shuffle-hash join with the model as
+    # the hinted BUILD side above. The count materializes the (lazy)
+    # checkpoint the first broadcast would have paid for anyway.
+    big_model = counts.count() > _BROADCAST_MODEL_ROWS
+
+    def _model_side(mdf: DataFrame) -> DataFrame:
+        return mdf.hint("shuffle_hash") if big_model else F.broadcast(mdf)
+
     if smoothing == "stupid_backoff":
         # seen grams: ln(count / ctx_count), precomputed model-side
         # (counts ⨝ ctx is model-sized; every gram's context is in ctx
@@ -446,9 +472,9 @@ def _lm_scored(
         )
         logp = F.coalesce("__seen_lp", "__back_lp", "__oov_lp")
         joined = (
-            exploded.join(F.broadcast(seen), "__g", "left")
+            exploded.join(_model_side(seen), "__g", "left")
             .join(
-                F.broadcast(back),
+                _model_side(back),
                 F.substring_index("__g", sep, -1) == F.col("__w"),
                 "left",
             )
@@ -460,9 +486,9 @@ def _lm_scored(
             F.concat_ws(sep, "__ctx").alias("__cg"), "__ctx_count"
         )
         joined = (
-            exploded.join(F.broadcast(cts), "__g", "left")
+            exploded.join(_model_side(cts), "__g", "left")
             .join(
-                F.broadcast(ctxs),
+                _model_side(ctxs),
                 F.substring_index("__g", sep, n - 1) == F.col("__cg"),
                 "left",
             )
