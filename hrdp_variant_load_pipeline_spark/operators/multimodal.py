@@ -134,6 +134,72 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "resized binary, resized_md5 string"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas`` — the Spark-side shape is
+    REAL (Arrow batch transfer, binary-in/binary-out schema, bounded
+    per-batch memory: the contract a Pillow/OpenCV kernel drops into);
+    the pixel kernel itself is a clearly-marked DETERMINISTIC FAKE (no
+    image libraries in this environment): the "resized" payload is a
+    reproducible digest-expansion of (source bytes, target dims) sized
+    ``width*height*channels``, so tests can pin batch shape, output
+    size, and determinism without pretending to interpolate pixels.
+    Channels come from the real header probe (fake fallback), matching
+    ``decode_image_features``.
+
+    Input: (doc_id, payload binary). Output: RESIZE_SCHEMA. Swap
+    ``_fake_resize`` for a real kernel on a cluster with imaging libs —
+    nothing else changes.
+    """
+    import hashlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"resize_images: target {width}x{height} must be positive"
+        )
+
+    def _fake_resize(payload: bytes, channels: int) -> bytes:
+        # DETERMINISTIC FAKE pixel kernel (see docstring): stretch a
+        # content-keyed digest stream to the target buffer size
+        n = width * height * channels
+        seed = hashlib.md5(
+            payload + f"|{width}x{height}".encode()
+        ).digest()
+        reps = (n + len(seed) - 1) // len(seed)
+        return (seed * reps)[:n]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            chans = [
+                (_header_decode(p) or _fake_decode(p))[2] for p in payloads
+            ]
+            bufs = [
+                _fake_resize(p, c) for p, c in zip(payloads, chans)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [width] * len(payloads),
+                    "height": [height] * len(payloads),
+                    "channels": chans,
+                    "resized": bufs,
+                    "resized_md5": [
+                        hashlib.md5(b).hexdigest() for b in bufs
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 AUDIO_SCHEMA = (
     "doc_id long, byte_len long, sample_rate int, n_samples long, duration_ms long"
 )

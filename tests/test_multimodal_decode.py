@@ -144,3 +144,39 @@ def test_mp4_probe_real_and_fallback(spark):
     got = {r.doc_id: r for r in decode_video_features(df).collect()}
     assert (got[1].timescale, got[1].duration_ms) == (1000, 2500)
     assert got[2].timescale == 600  # deterministic fallback
+
+
+def test_resize_images_plumbing_and_determinism(spark):
+    """resize_images (r14): real Arrow/mapInPandas plumbing around the
+    clearly-marked fake kernel — output buffer is exactly
+    width*height*channels bytes, channels ride the real header probe,
+    results are deterministic across runs and partitionings, and bad
+    dims fail loud."""
+    import pytest as _pytest
+
+    from hrdp_variant_load_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (16).to_bytes(4, "big") + (8).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # color type 2 -> RGB, 3 channels
+    )
+    rows = [(1, bytearray(png)), (2, bytearray(b"opaque-not-an-image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_images(df, 4, 3).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (4, 3, 3)
+    assert len(bytes(out[1].resized)) == 4 * 3 * 3
+    assert len(bytes(out[2].resized)) == 4 * 3 * out[2].channels
+    # deterministic across partitionings
+    again = {
+        r.doc_id: r
+        for r in resize_images(df.repartition(4), 4, 3).collect()
+    }
+    assert all(
+        bytes(again[k].resized) == bytes(out[k].resized) for k in out
+    )
+    assert out[1].resized_md5 != out[2].resized_md5
+    with _pytest.raises(ValueError, match="positive"):
+        resize_images(df, 0, 3)
