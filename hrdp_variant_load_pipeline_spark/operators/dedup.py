@@ -170,8 +170,14 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
         # Zipf fixture). The exact path (max_df=None) keeps the join
         # form: an unbounded hot shingle would expand C(df, 2) structs
         # inside ONE row there, trading a shuffle for executor memory.
+        # the grouping key is engine-INTERNAL (the oracle groups by its
+        # own shingle strings), so hash it to a long before the exchange
+        # — anchor-class keys may be any collision-negligible function
+        # (r12 precedent, span/paragraph dedup): ~half the wire bytes of
+        # the ~25-char gram strings, value-identity pinned at 2 scales
         docs_by_sh = (
-            sh.groupBy("shingle")
+            sh.select("doc", F.xxhash64("shingle").alias("__sh"))
+            .groupBy("__sh")
             .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
             .filter(F.size("ds") <= max_df)
         )
