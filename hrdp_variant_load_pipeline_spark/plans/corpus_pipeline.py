@@ -79,6 +79,9 @@ class CorpusResult:
     #: cfg["retrieval_decontaminate"]["report"] is set and the stage ran
     #: — the search-side audit of what got dropped and why
     retrieval_contamination: DataFrame | None = None
+    #: (id_a=doc, id_b=negated bench id, cosine) hits when
+    #: cfg["semantic_decontaminate"]["report"] is set and the stage ran
+    semantic_contamination: DataFrame | None = None
 
     def unpersist_all(self) -> None:
         for df in self.cached:
@@ -93,7 +96,8 @@ class CorpusResult:
 _STAGE_KEYS = (
     "input", "id_col", "text_col", "lang_col", "normalize", "pii",
     "langid", "gates", "dedup", "lm_gate", "decontaminate",
-    "retrieval_decontaminate", "selection", "mixture",
+    "retrieval_decontaminate", "semantic_decontaminate", "selection",
+    "mixture",
 )
 
 _MARKER = "_STAGE_COMMITTED.json"
@@ -116,6 +120,12 @@ def _cfg_fingerprint(cfg: dict) -> str:
             k: v
             for k, v in payload["retrieval_decontaminate"].items()
             if k not in ("report", "index_dir")
+        }
+    if isinstance(payload.get("semantic_decontaminate"), dict):
+        payload["semantic_decontaminate"] = {
+            k: v
+            for k, v in payload["semantic_decontaminate"].items()
+            if k != "report"
         }
     return hashlib.md5(
         json.dumps(payload, sort_keys=True).encode()
@@ -219,8 +229,9 @@ def run_corpus_pipeline(
     known = {
         "input", "id_col", "text_col", "lang_col", "normalize", "pii",
         "langid", "gates", "dedup", "lm_gate", "decontaminate",
-        "retrieval_decontaminate", "selection", "mixture", "chunk",
-        "pack", "output", "checkpoint", "report", "skew",
+        "retrieval_decontaminate", "semantic_decontaminate", "selection",
+        "mixture", "chunk", "pack", "output", "checkpoint", "report",
+        "skew",
     }
     unknown = set(cfg) - known
     if unknown:
@@ -609,6 +620,76 @@ def run_corpus_pipeline(
 
         plan.append(("retrieval_decontaminated", _b_rdec, True))
 
+    # ---- 6c. semantic (TF-IDF cosine) decontamination ----------------
+    # The third leakage modality: stage 6 catches verbatim/near-verbatim
+    # shingle overlap, 6b catches term-profile retrieval, and this
+    # catches REWRITES — benchmark items whose wording AND rare-term
+    # profile drifted but whose weighted bag-of-words still points at
+    # the source document (the paraphrase band between shingle overlap
+    # and full semantic embedding). Composition of existing operators:
+    # build_vocab over the surviving corpus -> sparse TF-IDF vectors for
+    # corpus and benchmark against the SAME vocab/idf -> broadcast
+    # sparse-cosine of the (model-sized) benchmark side -> drop docs at
+    # or above min_cosine. Scale: vocab bounded by max_vocab, the
+    # benchmark side broadcasts, the corpus never shuffles (the cosine
+    # is a row-local map lookup) — one corpus scan end to end.
+    sdec = cfg.get("semantic_decontaminate")
+    semantic_out: list[DataFrame] = []
+    if sdec is not None:
+
+        def _b_sdec(docs: DataFrame) -> DataFrame:
+            from hrdp_variant_load_pipeline_spark.operators.vocab import (
+                build_vocab,
+                sparse_cosine_pairs,
+                tfidf_vectors,
+            )
+
+            min_cos = float(sdec.get("min_cosine", 0.9))
+            max_vocab = int(sdec.get("max_vocab", 30000))
+            vocab = build_vocab(docs, text_col, max_vocab=max_vocab)
+            n_docs = docs.count()
+            dv = tfidf_vectors(
+                docs.select(id_col, text_col), id_col, text_col, vocab,
+                n_docs=n_docs,
+            )
+            bench = spark.read.parquet(sdec["path"])
+            btext = sdec.get("bench_text_col", text_col)
+            bid = sdec.get("bench_id_col", id_col)
+            bv = tfidf_vectors(
+                bench.select(
+                    # sparse_cosine_pairs excludes id_a == id_b
+                    # (self-match guard); benchmark ids share the long
+                    # domain with doc ids, so map them NEGATIVE to keep
+                    # the id spaces disjoint — a bench item numbered
+                    # like a corpus doc must still match it
+                    (-(F.col(bid).cast("long")) - 1).alias("__bid"),
+                    F.col(btext).alias(text_col),
+                ),
+                "__bid",
+                text_col,
+                vocab,
+                # the corpus idf: bench items score against the
+                # corpus's term statistics, not their own tiny set's
+                n_docs=n_docs,
+            ).select("__bid", "tfidf_idx", "tfidf_val")
+            hits = sparse_cosine_pairs(
+                dv.select(id_col, "tfidf_idx", "tfidf_val")
+                .withColumnRenamed(id_col, "doc_id"),
+                bv.withColumnRenamed("__bid", "doc_id"),
+                "doc_id",
+                min_cosine=min_cos,
+            )
+            # materialize before the anti-join broadcast (same rule as
+            # the retrieval stage: never run the probe inside the
+            # broadcast-exchange thread's timeout)
+            hits = hits.localCheckpoint()
+            if sdec.get("report", False):
+                semantic_out.append(hits)
+            flagged = hits.select(F.col("id_a").alias(id_col)).distinct()
+            return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+        plan.append(("semantic_decontaminated", _b_sdec, True))
+
     # ---- 7. DSIR selection toward a target slice ---------------------
     sel = cfg.get("selection")
     if sel is not None:
@@ -795,6 +876,9 @@ def run_corpus_pipeline(
         contamination=contamination_out[0] if contamination_out else None,
         retrieval_contamination=(
             retrieval_out[0] if retrieval_out else None
+        ),
+        semantic_contamination=(
+            semantic_out[0] if semantic_out else None
         ),
     )
 

@@ -718,3 +718,79 @@ def test_fuzzy_cluster_canonical_and_skew_config(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="canonical"):
         run("bogus")
+
+
+def test_semantic_decontaminate_catches_rewrites(spark, tmp_path):
+    """Stage 6c (r14): TF-IDF-cosine decon drops a REWRITE — same
+    weighted bag of words, reordered and lightly edited, so shingle
+    overlap is low — keeps unrelated docs, matches a benchmark item
+    whose id COLLIDES with a doc_id (the negative bench-id mapping),
+    and attaches the hits report. The report flag stays out of the
+    checkpoint fingerprint."""
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        _cfg_fingerprint,
+    )
+
+    bench_text = (
+        "quantum widgets accelerate turbine maintenance schedules "
+        "across offshore platforms during winter inspections"
+    )
+    # rewrite: same content words, different order + two swaps — 3-gram
+    # shingles share almost nothing, cosine stays high
+    rewrite = (
+        "during winter inspections offshore platforms accelerate "
+        "turbine maintenance schedules across quantum widgets"
+    )
+    rows = [
+        (7, rewrite, "en"),  # doc_id 7 == bench id 7: must still match
+        (8, "completely unrelated prose about gardening and soup", "en"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    bdir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(7, bench_text)], "doc_id long, text string"
+    ).write.parquet(bdir)
+
+    cfg = {
+        "input": {"format": "parquet", "path": src},
+        "dedup": {"exact": False},
+        "semantic_decontaminate": {
+            "path": bdir, "min_cosine": 0.8, "report": True,
+        },
+    }
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    res = run_corpus_pipeline(spark, cfg)
+    ids = {r.doc_id for r in res.docs.select("doc_id").collect()}
+    assert ids == {8}  # the rewrite is gone, the unrelated doc stays
+    hits = res.semantic_contamination.collect()
+    assert len(hits) == 1 and hits[0].id_a == 7 and hits[0].cosine >= 0.8
+    res.unpersist_all()
+
+    # the shingle stage at the same time would NOT have caught it
+    from hrdp_variant_load_pipeline_spark.operators.corpus import (
+        decontaminate,
+    )
+
+    docs_df = spark.read.parquet(src)
+    bench_df = spark.read.parquet(bdir)
+    kept = decontaminate(docs_df, bench_df, "doc_id", "text", n=8)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {7, 8}
+
+    # fingerprint: report toggles freely, min_cosine does not
+    base_fp = _cfg_fingerprint(cfg)
+    cfg2 = dict(cfg)
+    cfg2["semantic_decontaminate"] = {
+        **cfg["semantic_decontaminate"], "report": False,
+    }
+    assert _cfg_fingerprint(cfg2) == base_fp
+    cfg3 = dict(cfg)
+    cfg3["semantic_decontaminate"] = {
+        **cfg["semantic_decontaminate"], "min_cosine": 0.5,
+    }
+    assert _cfg_fingerprint(cfg3) != base_fp
