@@ -218,6 +218,119 @@ def sparse_cosine_pairs(
     )
 
 
+def sparse_cosine_candidates(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    idx_col: str = "tfidf_idx",
+    val_col: str = "tfidf_val",
+    min_cosine: float = 0.0,
+    max_df_frac: float = 0.2,
+    max_probe_terms: int = 16,
+) -> DataFrame:
+    """``sparse_cosine_pairs`` with the pair space bounded BY
+    CONSTRUCTION — the corpus-scale path. The plain form cross-joins
+    every ``a`` row with every broadcast ``b`` row (|a|·|b| row-local
+    evaluations: 500k docs x 2000 queries = 1e9, measured unrunnable at
+    the 100x staging, r14). This form probes like the retrieval
+    decontaminator (rare-term probing, ``text_index_topk_many``): each
+    ``b`` vector keeps its ``max_probe_terms`` HIGHEST-WEIGHT ranks
+    whose corpus document frequency is at most ``max_df_frac`` of |a|
+    (weight ties break on rank), an inverted pass over ``a`` emits one
+    candidate per (a row, b row) sharing at least one probed rank, and
+    ONLY candidates get the exact full-vector cosine (bit-equal to the
+    plain form for every scored pair — same map-lookup dot). Pairs
+    sharing NO probed rank are never scored: with L2-normalized TF-IDF
+    vectors and thresholds in the near-duplicate band, a pair whose
+    every shared term is corpus-common scores far below any useful
+    ``min_cosine`` — the same bounded-probe semantics the retrieval
+    stage documents.
+
+    Cost: one rank-df aggregate over ``a``'s exploded entries (wire =
+    one row per distinct rank per partition), then sum over probed
+    ranks of df(rank) x queries-probing(rank) candidate rows, df capped
+    by ``max_df_frac`` — never |a|·|b|. Output: (id_a, id_b, cosine),
+    like the plain form."""
+    a_slim = a.select(F.col(id_col).alias("id_a"), idx_col, val_col)
+    b_slim = b.select(F.col(id_col).alias("id_b"), idx_col, val_col)
+    n_a = a_slim.count()
+    # corpus df per rank, from the vectors themselves (one explode +
+    # map-combined count; ranks are vocab-bounded so the result is
+    # model-sized)
+    rank_df = (
+        a_slim.select(F.explode(idx_col).alias("__r"))
+        .groupBy("__r")
+        .agg(F.count("*").alias("__df"))
+    )
+    # per-b probe set: the max_probe_terms RAREST surviving ranks
+    # (df ascending — weight descending then rank as tiebreaks). Rarest
+    # -first is load-bearing, not a style choice: TF-IDF weight alone
+    # can promote a corpus-COMMON rank (high tf beats low idf on Zipf
+    # heads), and one df-100k rank probed by many queries re-creates
+    # the quadratic candidate blowup this form exists to avoid (first
+    # sf10 drive of the weight-ordered form: unrunnable). Same
+    # selection rule as text_index_topk_many's rare-term probing.
+    b_entries = b_slim.select(
+        "id_b",
+        F.explode(F.arrays_zip(idx_col, val_col)).alias("e"),
+    ).select(
+        "id_b",
+        F.col(f"e.{idx_col}").alias("__r"),
+        F.col(f"e.{val_col}").alias("__w"),
+    )
+    # floor at 1: a rank in a SINGLE document is maximally
+    # discriminative and must always be probeable — a fractional cutoff
+    # below one row (tiny corpora) would silently prune every rank and
+    # the probe would flag nothing
+    cutoff = max(1.0, float(max_df_frac) * float(n_a))
+    probe = (
+        b_entries.join(F.broadcast(rank_df), "__r")
+        .filter(F.col("__df") <= cutoff)
+        .withColumn(
+            "__k",
+            F.row_number().over(
+                Window.partitionBy("id_b").orderBy(
+                    F.asc("__df"), F.desc("__w"), F.asc("__r")
+                )
+            ),
+        )
+        .filter(F.col("__k") <= max_probe_terms)
+        .select("id_b", "__r")
+    )
+    # candidates: one inverted pass over a's entries against the
+    # (query-sized) broadcast probe table
+    cands = (
+        a_slim.select("id_a", F.explode(idx_col).alias("__r"))
+        .join(F.broadcast(probe), "__r")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact cosine for candidates only — identical arithmetic to the
+    # plain form (map-lookup dot over the full vectors)
+    bm = F.map_from_arrays(F.col(f"b_{idx_col}"), F.col(f"b_{val_col}"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(idx_col),
+            F.col(val_col),
+            lambda i, v: v * F.coalesce(bm[i], F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bvecs = b_slim.select(
+        "id_b",
+        F.col(idx_col).alias(f"b_{idx_col}"),
+        F.col(val_col).alias(f"b_{val_col}"),
+    )
+    return (
+        cands.join(a_slim, "id_a")
+        .join(F.broadcast(bvecs), "id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     text_col: str,

@@ -640,6 +640,7 @@ def run_corpus_pipeline(
         def _b_sdec(docs: DataFrame) -> DataFrame:
             from hrdp_variant_load_pipeline_spark.operators.vocab import (
                 build_vocab,
+                sparse_cosine_candidates,
                 sparse_cosine_pairs,
                 tfidf_vectors,
             )
@@ -672,13 +673,29 @@ def run_corpus_pipeline(
                 # corpus's term statistics, not their own tiny set's
                 n_docs=n_docs,
             ).select("__bid", "tfidf_idx", "tfidf_val")
-            hits = sparse_cosine_pairs(
-                dv.select(id_col, "tfidf_idx", "tfidf_val")
-                .withColumnRenamed(id_col, "doc_id"),
-                bv.withColumnRenamed("__bid", "doc_id"),
-                "doc_id",
-                min_cosine=min_cos,
+            # pair-space bound (same shape as the retrieval stage's
+            # rare-term probing): the plain broadcast-cross form is
+            # |corpus| x |bench| row-local evaluations — measured
+            # unrunnable at the 100x staging (r14). max_probe_terms=None
+            # opts back into the exact exhaustive form for small runs.
+            mpt = sdec.get("max_probe_terms", 16)
+            a_vecs = dv.select(id_col, "tfidf_idx", "tfidf_val").withColumnRenamed(
+                id_col, "doc_id"
             )
+            b_vecs = bv.withColumnRenamed("__bid", "doc_id")
+            if mpt is None:
+                hits = sparse_cosine_pairs(
+                    a_vecs, b_vecs, "doc_id", min_cosine=min_cos
+                )
+            else:
+                hits = sparse_cosine_candidates(
+                    a_vecs,
+                    b_vecs,
+                    "doc_id",
+                    min_cosine=min_cos,
+                    max_df_frac=float(sdec.get("max_df_frac", 0.2)),
+                    max_probe_terms=int(mpt),
+                )
             # materialize before the anti-join broadcast (same rule as
             # the retrieval stage: never run the probe inside the
             # broadcast-exchange thread's timeout)

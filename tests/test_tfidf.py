@@ -116,3 +116,63 @@ def test_sample_n_per_group_exact_and_deterministic(spark):
     # n larger than the group returns the whole group
     small = spark.createDataFrame([(1, "g"), (2, "g")], "id long, grp string")
     assert sample_n_per_group(small, "grp", 10, "id").count() == 2
+
+
+def test_sparse_cosine_candidates_matches_exhaustive(spark):
+    """The candidate-bounded form (r14): every pair sharing a probed
+    rank scores EXACTLY like the exhaustive broadcast-cross form; pairs
+    whose shared terms are all corpus-common are the (documented)
+    bounded-probe exclusion; loose knobs (frac=1, terms=inf) recover
+    the exhaustive result exactly."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        build_vocab,
+        sparse_cosine_candidates,
+        sparse_cosine_pairs,
+        tfidf_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta rare1 rare2"),
+        (2, "alpha beta gamma delta rare1 rare3"),
+        (3, "alpha beta gamma delta other words"),
+        (4, "unrelated text entirely different tokens"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(d, "text", max_vocab=100)
+    v = tfidf_vectors(d, "doc_id", "text", vocab, n_docs=4)
+    q = v.filter(F.col("doc_id") == 1)
+    # min_cosine > 0: the exhaustive form emits cosine-0.0 rows for
+    # pairs sharing NOTHING (>= 0.0 passes), which no candidate form
+    # can or should produce — any positive threshold makes the forms
+    # comparable
+    exact = sorted(
+        map(
+            tuple,
+            sparse_cosine_pairs(v, q, "doc_id", min_cosine=1e-9).collect(),
+        )
+    )
+    loose = sorted(
+        map(
+            tuple,
+            sparse_cosine_candidates(
+                v, q, "doc_id", min_cosine=1e-9,
+                max_df_frac=1.0, max_probe_terms=10**6,
+            ).collect(),
+        )
+    )
+    assert loose == exact and exact
+    # bounded probe: rare terms of doc 1 are rare1/rare2 (df 2, 1 of 4);
+    # with max_df_frac=0.6 the common alpha..delta (df 3/4) are not
+    # probed, so doc 3 (shares only common terms) is the documented
+    # exclusion while doc 2 (shares rare1) scores exactly
+    bounded = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_candidates(
+            v, q, "doc_id", max_df_frac=0.6, max_probe_terms=4
+        ).collect()
+    }
+    exact_map = {(r[0], r[1]): r[2] for r in exact}
+    assert (2, 1) in bounded and bounded[(2, 1)] == exact_map[(2, 1)]
+    assert (3, 1) not in bounded
+    assert all(k in exact_map and exact_map[k] == c for k, c in bounded.items())
