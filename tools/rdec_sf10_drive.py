@@ -12,7 +12,11 @@ the flagged-document count a discriminative corpus produces.
 Benchmark items: every 250th document (~2k items at sf10), exactly the
 r13 protocol. Prints one JSON line.
 
-Usage: python tools/rdec_sf10_drive.py [SF10_DIR]
+Usage: python tools/rdec_sf10_drive.py [SF10_DIR] [MODE]
+MODE: "retrieval" (default) drives the BM25 retrieval stage;
+"semantic" drives the r14 TF-IDF-cosine stage (bounded probe,
+min_cosine 0.8, max_df_frac 0.05, max_probe_terms 8) on the same
+benchmark split.
 """
 
 from __future__ import annotations
@@ -29,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf10"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "retrieval"
+    if mode not in ("retrieval", "semantic"):
+        raise SystemExit(f"unknown mode {mode!r}: retrieval | semantic")
     from pyspark.sql import functions as F
 
     from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
@@ -55,24 +62,37 @@ def main() -> None:
                 "format": "parquet",
                 "path": f"{sf_dir}/documents.parquet",
             },
-            "retrieval_decontaminate": {
+        }
+        if mode == "retrieval":
+            stage = "retrieval_decontaminated"
+            cfg["retrieval_decontaminate"] = {
                 "path": bench_dir,
                 "k": 10,
                 "max_df_frac": 0.05,
                 "max_query_terms": 8,
                 "index_dir": os.path.join(work, "idx"),
                 "report": True,
-            },
-        }
+            }
+        else:
+            stage = "semantic_decontaminated"
+            cfg["dedup"] = {"exact": False}
+            cfg["semantic_decontaminate"] = {
+                "path": bench_dir,
+                "min_cosine": 0.8,
+                "max_vocab": 30000,
+                "max_df_frac": 0.05,
+                "max_probe_terms": 8,
+                "report": True,
+            }
         t0 = time.monotonic()
         res = run_corpus_pipeline(spark, cfg, collect_counts=True)
         total = time.monotonic() - t0
-        # the chain's default exact-dedup stage runs first; the
-        # retrieval-flagged count is the drop across ITS stage boundary
+        # the chain's default exact-dedup stage runs first (retrieval
+        # mode); the stage-flagged count is the drop across ITS boundary
         pre = res.counts.get("exact_dedup", n_docs)
-        flagged = pre - res.counts["retrieval_decontaminated"]
+        flagged = pre - res.counts[stage]
         out = {
-            "metric": "rdec_sf10_drive",
+            "metric": f"rdec_sf10_drive_{mode}",
             "sf_dir": sf_dir,
             "n_docs": n_docs,
             "n_bench_items": n_bench,
