@@ -175,8 +175,26 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
         # — anchor-class keys may be any collision-negligible function
         # (r12 precedent, span/paragraph dedup): ~half the wire bytes of
         # the ~25-char gram strings, value-identity pinned at 2 scales
+        # df-prune BEFORE the list materialization (r15): a hot shingle
+        # (boilerplate gram in 10^7+ docs at web scale) must never reach
+        # collect_list — the C(max_df, 2) bound below applies to pair
+        # EXPANSION, not the aggregation buffer, and one unbounded doc
+        # list per hot key is exactly the executor-memory cliff the r14
+        # rebuild was meant to remove. The count aggregate is map-side
+        # combinable (wire = one row per distinct shingle per partition);
+        # the join output arrives partitioned on __sh, so the collect_list
+        # groupBy reuses that exchange — the full (doc, shingle) table
+        # still crosses the wire exactly once. The size(ds) filter stays
+        # as a belt-and-braces re-check of the same bound.
+        hashed = sh.select("doc", F.xxhash64("shingle").alias("__sh"))
+        rare_sh = (
+            hashed.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__sh")
+        )
         docs_by_sh = (
-            sh.select("doc", F.xxhash64("shingle").alias("__sh"))
+            hashed.join(rare_sh, "__sh")
             .groupBy("__sh")
             .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
             .filter(F.size("ds") <= max_df)

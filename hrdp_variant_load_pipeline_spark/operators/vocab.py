@@ -234,17 +234,25 @@ def sparse_cosine_candidates(
     evaluations: 500k docs x 2000 queries = 1e9, measured unrunnable at
     the 100x staging, r14). This form probes like the retrieval
     decontaminator (rare-term probing, ``text_index_topk_many``): each
-    ``b`` vector keeps its ``max_probe_terms`` HIGHEST-WEIGHT ranks
-    whose corpus document frequency is at most ``max_df_frac`` of |a|
-    (weight ties break on rank), an inverted pass over ``a`` emits one
-    candidate per (a row, b row) sharing at least one probed rank, and
-    ONLY candidates get the exact full-vector cosine (bit-equal to the
-    plain form for every scored pair — same map-lookup dot). Pairs
-    sharing NO probed rank are never scored: with L2-normalized TF-IDF
-    vectors and thresholds in the near-duplicate band, a pair whose
-    every shared term is corpus-common scores far below any useful
-    ``min_cosine`` — the same bounded-probe semantics the retrieval
-    stage documents.
+    ``b`` vector keeps its ``max_probe_terms`` RAREST ranks (df
+    ascending; weight descending then rank as tiebreaks) whose corpus
+    document frequency is at most ``max_df_frac`` of |a|, an inverted
+    pass over ``a`` emits one candidate per (a row, b row) sharing at
+    least one probed rank, and ONLY candidates get the exact
+    full-vector cosine (bit-equal to the plain form for every scored
+    pair — same map-lookup dot). A ``b`` row whose probe set comes out
+    EMPTY (every term above the df cutoff) falls back to EXHAUSTIVE
+    scoring against all of ``a``: under this repo's smoothed idf
+    (floored at 1.0 — idf = ln((N+1)/(df+1)) + 1) a vector built
+    entirely from corpus-common terms can still score cosine ≈ 1
+    against a common-termed document, so silently skipping it would be
+    a recall hole in a decontamination stage (r14 ADVICE). Empty-probe
+    rows are detected on the query-sized ``b`` side and each costs one
+    row-local pass over ``a`` (the plain-form price, paid only by the
+    rows that need it); probed rows that merely share no rank with a
+    given ``a`` row are still skipped — that is the bound doing its
+    job, and for those the shared mass is capped by the probed-df
+    cutoff rather than the idf floor.
 
     Cost: one rank-df aggregate over ``a``'s exploded entries (wire =
     one row per distinct rank per partition), then sum over probed
@@ -296,6 +304,11 @@ def sparse_cosine_candidates(
         )
         .filter(F.col("__k") <= max_probe_terms)
         .select("id_b", "__r")
+        # consumed twice (candidate join + the empty-probe anti-join
+        # below) and its plan embeds the corpus-wide rank_df aggregate —
+        # the lazy checkpoint materializes the query-sized table on
+        # first use so the corpus pays that aggregate once
+        .localCheckpoint(eager=False)
     )
     # candidates: one inverted pass over a's entries against the
     # (query-sized) broadcast probe table
@@ -305,6 +318,17 @@ def sparse_cosine_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+    # empty-probe fallback (r14 ADVICE): b rows with NO surviving probe
+    # rank get every a row as a candidate — detected on the query-sized
+    # b side (left anti against the probed ids), so the exhaustive arm
+    # is empty whenever every b row probed. unionByName keeps the two
+    # arms disjoint: a fallback id_b by definition appears in no probe
+    # row, hence in no `cands` row.
+    unprobed = b_slim.select("id_b").join(
+        probe.select("id_b").distinct(), "id_b", "left_anti"
+    )
+    fallback = a_slim.select("id_a").crossJoin(F.broadcast(unprobed))
+    cands = cands.unionByName(fallback)
     # exact cosine for candidates only — identical arithmetic to the
     # plain form (map-lookup dot over the full vectors)
     bm = F.map_from_arrays(F.col(f"b_{idx_col}"), F.col(f"b_{val_col}"))

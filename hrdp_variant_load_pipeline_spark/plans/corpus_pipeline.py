@@ -648,7 +648,24 @@ def run_corpus_pipeline(
             min_cos = float(sdec.get("min_cosine", 0.9))
             max_vocab = int(sdec.get("max_vocab", 30000))
             vocab = build_vocab(docs, text_col, max_vocab=max_vocab)
-            n_docs = docs.count()
+            # the bench-id disjointness mapping below (-(id)-1) is only
+            # collision-free when corpus ids are non-negative — a
+            # negative doc id could alias a mapped bench id and have a
+            # REAL contamination hit silently dropped by the
+            # id_a != id_b self-match guard. Enforce the invariant loud,
+            # fused into the n_docs action (one aggregate, same single
+            # pass the count() was).
+            _nrow = docs.agg(
+                F.count("*").alias("n"), F.min(id_col).alias("mn")
+            ).collect()[0]
+            n_docs = _nrow["n"]
+            if _nrow["mn"] is not None and _nrow["mn"] < 0:
+                raise ValueError(
+                    "semantic_decontaminate requires non-negative corpus "
+                    f"doc ids ({id_col} min={_nrow['mn']}): the benchmark "
+                    "side is mapped to the negative id space to keep the "
+                    "two id domains disjoint"
+                )
             dv = tfidf_vectors(
                 docs.select(id_col, text_col), id_col, text_col, vocab,
                 n_docs=n_docs,

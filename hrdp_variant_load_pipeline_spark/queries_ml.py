@@ -582,7 +582,8 @@ _COS_EXPR = "dot / (sqrt(na) * sqrt(nb))"
                sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS na,
                sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS nb
              FROM pairs, generate_series(1, 64) t(i) GROUP BY 1, 2),
-    scored AS (SELECT query_id, neighbor_id, round({_COS_EXPR}, 6) AS cosine FROM dots),
+    scored AS (SELECT query_id, neighbor_id, round({_COS_EXPR}, 6) AS cosine
+               FROM dots WHERE na <> 0 AND nb <> 0),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)

@@ -176,3 +176,60 @@ def test_sparse_cosine_candidates_matches_exhaustive(spark):
     assert (2, 1) in bounded and bounded[(2, 1)] == exact_map[(2, 1)]
     assert (3, 1) not in bounded
     assert all(k in exact_map and exact_map[k] == c for k, c in bounded.items())
+
+
+def test_sparse_cosine_candidates_empty_probe_falls_back(spark):
+    """A b row whose EVERY term is above the df cutoff (empty probe
+    set) must not be silently skipped (r14 ADVICE: the smoothed idf
+    floors at 1.0, so an all-common-words rewrite can still score
+    cosine ~ 1): it falls back to exhaustive scoring against all of a,
+    value-identical to the plain form; probed b rows keep the bounded
+    semantics in the same call."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        build_vocab,
+        sparse_cosine_candidates,
+        sparse_cosine_pairs,
+        tfidf_vectors,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "alpha beta gamma delta rare1"),
+        (4, "unrelated text entirely different"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(d, "text", max_vocab=100)
+    v = tfidf_vectors(d, "doc_id", "text", vocab, n_docs=4)
+    # query 1 is ALL common terms (alpha..delta have df 3/4 > 0.6) ->
+    # empty probe set; query 3 has rare1 (df 1/4) -> probed normally
+    q = v.filter(F.col("doc_id").isin(1, 3))
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_candidates(
+            v, q, "doc_id", min_cosine=1e-9,
+            max_df_frac=0.6, max_probe_terms=4,
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(
+            v, q, "doc_id", min_cosine=1e-9
+        ).collect()
+    }
+    # the empty-probe query scores against EVERYTHING the plain form
+    # scores it against (doc 2 identical -> cosine 1.0, doc 3 shares
+    # the common mass), bit-equal
+    fallback_pairs = {k: c for k, c in exact.items() if k[1] == 1}
+    assert fallback_pairs and (2, 1) in fallback_pairs
+    assert all(got.get(k) == c for k, c in fallback_pairs.items())
+    # the probed query keeps bounded semantics: (4, 3) shares nothing
+    # probed and nothing at all; every emitted pair matches the exhaustive
+    assert all(k in exact and exact[k] == c for k, c in got.items())
+    # no duplicate scoring: one row per pair
+    rows_out = sparse_cosine_candidates(
+        v, q, "doc_id", min_cosine=1e-9, max_df_frac=0.6, max_probe_terms=4
+    ).collect()
+    assert len(rows_out) == len({(r.id_a, r.id_b) for r in rows_out})
