@@ -1314,22 +1314,11 @@ def skew_adaptive_join_detail(spark: SparkSession, sf: str) -> DataFrame:
 # Unlike the earlier applyInPandas form, this is map-side combinable: a
 # hot user straggles one partial-agg task, never one Python worker's
 # memory (plan pinned UDF-free in tests/test_plan_shapes.py).
-@q(
-    "events_user_trend",
-    """
-    WITH p AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS x, value AS y
-               FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, x - avg(x) OVER (PARTITION BY user_id) AS xc,
-                 y - avg(y) OVER (PARTITION BY user_id) AS yc
-          FROM p),
-    s AS (SELECT user_id, count(*) AS n, sum(xc * yc) AS sxy, sum(xc * xc) AS sxx
-          FROM c GROUP BY user_id)
-    SELECT user_id, n,
-           floor(floor(sxy / sxx * 1e10 + 0.5) / 1e10 * 10000 + 0.5) / 10000
-             AS slope
-    FROM s WHERE n >= 3 AND sxx > 0
-    """,
-)
+# NOT @q-registered since r15: the driver's correctness window is 50
+# registration-order rows and the registry held 52 — this one-agg row
+# rides iterative_ts_battery (queries_model.py) as its 'utrend'/
+# 'utrend_n' components now, same oracle semantics, freeing a slot so
+# every registered query keeps driver evidence.
 def events_user_trend(spark: SparkSession, sf: str) -> DataFrame:
     e = (
         table(spark, sf, "events")

@@ -380,7 +380,13 @@ def test_events_user_trend_is_pure_aggregate(spark):
     combinable hash aggregate. A FlatMapGroupsInPandas here would force
     every user's rows into one Python worker (hot keys straggle; no
     partial aggregation), so the plan must stay UDF-free."""
-    plan = _plan(spark, "events_user_trend")
+    # not registry-listed since the r15 consolidation (it rides
+    # iterative_ts_battery as the 'utrend' components) — the plan
+    # contract on the helper is unchanged
+    from hrdp_variant_load_pipeline_spark.queries_ml import events_user_trend
+
+    df = events_user_trend(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan

@@ -81,7 +81,8 @@ QUERY_TABLES = {
     "embedding_ann_trained": ["embeddings"],
     "embedding_kmeans_centroids": ["embeddings"],
     "skew_adaptive_join_detail": ["lineitem", "orders"],
-    "retrieval_decon_probe": ["documents"],
+    # r15: retrieval_decon_probe folded into corpus_stats_battery (the
+    # 'rdprobe' component) — no longer a standalone registry name
 }
 
 
