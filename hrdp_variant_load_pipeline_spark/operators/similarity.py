@@ -852,6 +852,15 @@ def semantic_dedup(
     not corpus size, is the knob); skewed clusters show up in the pair
     join's task histogram and are split by raising n_centroids or
     pre-blocking with ``hyperplane_buckets`` as an extra block column.
+
+    Why the cosine here does NOT ride ``brute_force_topk_auto`` (r15
+    audit): the scoring is a cluster-blocked PAIR join
+    (``near_dup_pairs``), not a corpus x broadcast-queries top-k scan —
+    there is no query side to batch into one ``C @ Q.T``, and a
+    per-cluster BLAS grouping would funnel each whole cluster through
+    one Python worker (the hot-key straggler shape the JVM pair join
+    avoids; partial work distributes across the equi-join's tasks).
+    The dispatch applies to the top-k family only.
     """
     clash = {"cluster", "is_semantic_dup", "__dup"} & set(corpus.columns)
     if clash:
@@ -925,7 +934,11 @@ def incremental_topk(
     Output schema = brute_force_topk's: (query_id, neighbor_id, cosine,
     rank).
     """
-    batch = brute_force_topk(
+    # r15: route through the size-gated dispatch — a replayed /
+    # backfilled batch can be corpus-sized, where the Arrow/BLAS form
+    # wins 2x+; both forms are bit-equal so the fold contract
+    # (fold == full recompute, rank for rank) is unchanged
+    batch = brute_force_topk_auto(
         new_corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
         round_digits=round_digits,
     )

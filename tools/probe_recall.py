@@ -20,7 +20,15 @@ runnable (the 50k-doc Zipf sf1 staging), measure
 Benchmark items: every 250th document (the r13/r14 drive protocol,
 ~200 items at sf1). Prints one JSON line; intended for BENCH_NOTES.
 
-Usage: python tools/probe_recall.py [SF_DIR]
+For the retrieval stage the flagged-set overlap alone under-reads the
+stage: bounded scores are BM25 over the 8 rarest terms, so the top-10
+RANKINGS legitimately diverge from full-term BM25 — the operative
+decontamination question is whether each bench item still retrieves
+its TRUE source document. Bench items here are corpus docs verbatim,
+so the truth is known: ``self_hit`` = fraction of queries whose own
+source doc ranks in the top-k, reported for both forms.
+
+Usage: python tools/probe_recall.py [SF_DIR] [semantic|retrieval|both]
 """
 
 from __future__ import annotations
@@ -42,6 +50,7 @@ _VOCAB = 30000
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf1"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "both"
     from pyspark.sql import functions as F
 
     from hrdp_variant_load_pipeline_spark.operators.text_index import (
@@ -89,97 +98,101 @@ def main() -> None:
     }
 
     # ---- semantic: bounded vs exhaustive --------------------------------
-    vocab = build_vocab(docs, "text", max_vocab=_VOCAB)
-    dv = (
-        tfidf_vectors(docs, "doc_id", "text", vocab, n_docs=n_docs)
-        .select("doc_id", "tfidf_idx", "tfidf_val")
-        .localCheckpoint()
-    )
-    bv = (
-        tfidf_vectors(bench, "doc_id", "text", vocab, n_docs=n_docs)
-        .select("doc_id", "tfidf_idx", "tfidf_val")
-        .localCheckpoint()
-    )
-    t0 = time.monotonic()
-    exact = {
-        (r.id_a, r.id_b)
-        for r in sparse_cosine_pairs(
-            dv, bv, "doc_id", min_cosine=_MIN_COS
-        ).collect()
-    }
-    t_exact = time.monotonic() - t0
-    t0 = time.monotonic()
-    bounded = {
-        (r.id_a, r.id_b)
-        for r in sparse_cosine_candidates(
-            dv,
-            bv,
-            "doc_id",
-            min_cosine=_MIN_COS,
-            max_df_frac=_FRAC,
-            max_probe_terms=_MPT,
-        ).collect()
-    }
-    t_bounded = time.monotonic() - t0
-    hit = len(exact & bounded)
-    exact_docs = {a for a, _ in exact}
-    bounded_docs = {a for a, _ in bounded}
-    out["semantic"] = {
-        "exhaustive_pairs": len(exact),
-        "bounded_pairs": len(bounded),
-        "pair_recall": round(hit / len(exact), 6) if exact else 1.0,
-        "pair_precision": (
-            round(hit / len(bounded), 6) if bounded else 1.0
-        ),
-        "flagged_docs_exhaustive": len(exact_docs),
-        "flagged_docs_bounded": len(bounded_docs),
-        "doc_recall": (
-            round(len(exact_docs & bounded_docs) / len(exact_docs), 6)
-            if exact_docs
-            else 1.0
-        ),
-        "exhaustive_s": round(t_exact, 1),
-        "bounded_s": round(t_bounded, 1),
-    }
-    missed = exact - bounded
-    out["semantic"]["missed_pairs"] = len(missed)
-    if missed:
-        # characterize the miss class: for each missed pair, the
-        # minimum corpus df among shared terms (high min-df == every
-        # shared term was corpus-common == the documented exclusion;
-        # low min-df == a rare shared term fell outside the 8-rarest
-        # probe budget)
-        miss_df = spark.createDataFrame(
-            [(a, b) for a, b in sorted(missed)[:1000]], "id_a long, id_b long"
+    if mode in ("semantic", "both"):
+        vocab = build_vocab(docs, "text", max_vocab=_VOCAB)
+        dv = (
+            tfidf_vectors(docs, "doc_id", "text", vocab, n_docs=n_docs)
+            .select("doc_id", "tfidf_idx", "tfidf_val")
+            .localCheckpoint()
         )
-        av = dv.select(
-            F.col("doc_id").alias("id_a"), F.explode("tfidf_idx").alias("r")
+        bv = (
+            tfidf_vectors(bench, "doc_id", "text", vocab, n_docs=n_docs)
+            .select("doc_id", "tfidf_idx", "tfidf_val")
+            .localCheckpoint()
         )
-        bvx = bv.select(
-            F.col("doc_id").alias("id_b"), F.explode("tfidf_idx").alias("r")
-        )
-        rank_df = (
-            dv.select(F.explode("tfidf_idx").alias("r"))
-            .groupBy("r")
-            .agg(F.count("*").alias("df"))
-        )
-        shared = (
-            miss_df.join(av, "id_a")
-            .join(bvx, ["id_b", "r"])
-            .join(rank_df, "r")
-            .groupBy("id_a", "id_b")
-            .agg(F.min("df").alias("min_shared_df"))
-        )
-        rows = shared.collect()
-        cut = max(1.0, _FRAC * n_docs)
-        n_common_only = sum(1 for r in rows if r.min_shared_df > cut)
-        out["semantic"]["miss_class"] = {
-            "df_cutoff": cut,
-            "all_shared_terms_above_cutoff": n_common_only,
-            "rare_term_outside_probe_budget": len(rows) - n_common_only,
+        t0 = time.monotonic()
+        exact = {
+            (r.id_a, r.id_b)
+            for r in sparse_cosine_pairs(
+                dv, bv, "doc_id", min_cosine=_MIN_COS
+            ).collect()
         }
+        t_exact = time.monotonic() - t0
+        t0 = time.monotonic()
+        bounded = {
+            (r.id_a, r.id_b)
+            for r in sparse_cosine_candidates(
+                dv,
+                bv,
+                "doc_id",
+                min_cosine=_MIN_COS,
+                max_df_frac=_FRAC,
+                max_probe_terms=_MPT,
+            ).collect()
+        }
+        t_bounded = time.monotonic() - t0
+        hit = len(exact & bounded)
+        exact_docs = {a for a, _ in exact}
+        bounded_docs = {a for a, _ in bounded}
+        out["semantic"] = {
+            "exhaustive_pairs": len(exact),
+            "bounded_pairs": len(bounded),
+            "pair_recall": round(hit / len(exact), 6) if exact else 1.0,
+            "pair_precision": (
+                round(hit / len(bounded), 6) if bounded else 1.0
+            ),
+            "flagged_docs_exhaustive": len(exact_docs),
+            "flagged_docs_bounded": len(bounded_docs),
+            "doc_recall": (
+                round(len(exact_docs & bounded_docs) / len(exact_docs), 6)
+                if exact_docs
+                else 1.0
+            ),
+            "exhaustive_s": round(t_exact, 1),
+            "bounded_s": round(t_bounded, 1),
+        }
+        missed = exact - bounded
+        out["semantic"]["missed_pairs"] = len(missed)
+        if missed:
+            # characterize the miss class: for each missed pair, the
+            # minimum corpus df among shared terms (high min-df == every
+            # shared term was corpus-common == the documented exclusion;
+            # low min-df == a rare shared term fell outside the 8-rarest
+            # probe budget)
+            miss_df = spark.createDataFrame(
+                [(a, b) for a, b in sorted(missed)[:1000]], "id_a long, id_b long"
+            )
+            av = dv.select(
+                F.col("doc_id").alias("id_a"), F.explode("tfidf_idx").alias("r")
+            )
+            bvx = bv.select(
+                F.col("doc_id").alias("id_b"), F.explode("tfidf_idx").alias("r")
+            )
+            rank_df = (
+                dv.select(F.explode("tfidf_idx").alias("r"))
+                .groupBy("r")
+                .agg(F.count("*").alias("df"))
+            )
+            shared = (
+                miss_df.join(av, "id_a")
+                .join(bvx, ["id_b", "r"])
+                .join(rank_df, "r")
+                .groupBy("id_a", "id_b")
+                .agg(F.min("df").alias("min_shared_df"))
+            )
+            rows = shared.collect()
+            cut = max(1.0, _FRAC * n_docs)
+            n_common_only = sum(1 for r in rows if r.min_shared_df > cut)
+            out["semantic"]["miss_class"] = {
+                "df_cutoff": cut,
+                "all_shared_terms_above_cutoff": n_common_only,
+                "rare_term_outside_probe_budget": len(rows) - n_common_only,
+            }
 
     # ---- retrieval: bounded vs unbounded --------------------------------
+    if mode not in ("retrieval", "both"):
+        print(json.dumps(out))
+        return
     work = tempfile.mkdtemp(prefix="probe_recall_idx_")
     try:
         t0 = time.monotonic()
@@ -235,6 +248,18 @@ def main() -> None:
             "unbounded_s": round(t_full, 1),
             "bounded_s": round(t_bnd, 1),
         }
+        # the decontamination-operative metric: bench items ARE corpus
+        # docs (query -(d)-1's true source is doc d) — does each form
+        # still put the true source in its top-k?
+        n_q = qdf.count()
+        self_full = sum(1 for q, d in full if d == -q - 1)
+        self_bnd = sum(1 for q, d in bnd if d == -q - 1)
+        out["retrieval"]["self_hit_unbounded"] = (
+            round(self_full / n_q, 6) if n_q else 1.0
+        )
+        out["retrieval"]["self_hit_bounded"] = (
+            round(self_bnd / n_q, 6) if n_q else 1.0
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
