@@ -98,7 +98,14 @@ def main() -> None:
         return (r["rows"], r["n_tot"], float(r["rev_tot"]))
 
     d_plain, d_adapt = digest(plain()), digest(adaptive())
-    assert d_plain == d_adapt, (d_plain, d_adapt)
+    # exact on counts; relative-tolerant on the float sum (60M-double
+    # summation order differs across partitionings — FP reassociation,
+    # not a correctness signal)
+    assert d_plain[:2] == d_adapt[:2], (d_plain, d_adapt)
+    assert abs(d_plain[2] - d_adapt[2]) <= 1e-9 * abs(d_plain[2]), (
+        d_plain,
+        d_adapt,
+    )
 
     times = {}
     for name, build in (("aqe_skew", plain), ("adaptive", adaptive)):
