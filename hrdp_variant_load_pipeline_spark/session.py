@@ -15,13 +15,16 @@ from pyspark.sql import SparkSession
 def get_spark(
     app_name: str = "hrdp_variant_load_pipeline_spark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     At 100 TB scale the same settings apply — AQE coalesces / splits shuffle
     partitions at runtime, skew-join handles hot keys, and shuffle
     partitions start near total-cores. Only ``spark.driver.memory`` is a
-    local-mode-only knob.
+    local-mode-only knob. ``extra_conf`` entries are applied LAST, so a
+    caller can override any default (the shuffle-audit tool re-enables
+    the UI this way to read per-stage exchange metrics).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -44,6 +47,8 @@ def get_spark(
         # nanos only as long with this flag (sources/tables.py converts back)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
