@@ -352,24 +352,22 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     e = table(spark, sf, "embeddings")
 
-    bpe = (
-        d.select("lang", bpe_tokenize(F.col("text"), _BPE_MERGES).alias("toks"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("k"),
-            F.sum(F.size("toks")).cast("double").alias("x"),
-        )
-        .select(
-            F.lit("bpe").alias("component"), "k", F.col("lang").alias("v"), "x"
-        )
-    )
-
-    # unigram Viterbi apply (functions/unigram.py) under the fixed
-    # _UNI_PIECES table; the per-doc score re-derives each emitted
-    # piece's log-prob from a literal map, so the battery pins the
-    # actual segmentation, not just token counts
+    # BPE + unigram arms ride ONE word_weighted_stats pass: both
+    # tokenizers are word-bounded, so every per-doc statistic here
+    # (token counts, piece counts, summed piece log-probs) decomposes
+    # over (lang, word) frequencies — the corpus is touched once by a
+    # JVM explode+agg and BOTH Arrow UDFs run over the distinct-word
+    # table only (vocabulary-sized Python, ~70x fewer words than the
+    # corpus at sf10). Values are EXACT vs the per-doc form: counts are
+    # integers and the per-word scores are multiples of 0.5 (closed
+    # form -4·len + 3.5·c_the + 6·c_th), so the reassociated double
+    # sums cannot drift. The uni score still re-derives each emitted
+    # piece's log-prob from a literal map, pinning piece IDENTITIES.
     from hrdp_variant_load_pipeline_spark.functions.unigram import (
         unigram_tokenize,
+    )
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        word_weighted_stats,
     )
 
     uni_pieces = spark.createDataFrame(
@@ -378,41 +376,47 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
     lp_map = F.create_map(
         *[F.lit(v) for kv in sorted(_UNI_PIECES.items()) for v in kv]
     )
-    toked = unigram_tokenize(d.select("lang", "text"), "text", uni_pieces)
-    per_doc = toked.select(
-        "lang",
-        F.size("pieces").alias("np"),
-        F.aggregate(
-            F.transform(
-                "pieces",
-                lambda p: F.coalesce(F.try_element_at(lp_map, p), F.lit(-100.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("sc"),
-    )
-    # 5 rows, consumed by two component branches: checkpoint so the
-    # Arrow-batched tokenize pass over the corpus runs once
-    uni_agg = (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count("*").alias("k"),
-            F.sum("np").cast("double").alias("xp"),
-            F.round(F.sum("sc"), 6).alias("xs"),
+
+    def _word_stats(words):
+        toked = unigram_tokenize(words, "word", uni_pieces)
+        return toked.select(
+            "word",
+            F.size(bpe_tokenize(F.col("word"), _BPE_MERGES)).alias("n_toks"),
+            F.size("pieces").alias("np"),
+            F.aggregate(
+                F.transform(
+                    "pieces",
+                    lambda p: F.coalesce(
+                        F.try_element_at(lp_map, p), F.lit(-100.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sc"),
         )
-        .localCheckpoint()
-    )
-    uni = uni_agg.select(
-        F.lit("uni_pieces").alias("component"),
-        "k",
+
+    # 5 rows, consumed by three component branches: checkpoint so the
+    # decomposition pass runs once
+    tok_agg = word_weighted_stats(
+        d, "text", ["lang"], _word_stats
+    ).localCheckpoint()
+    bpe = tok_agg.select(
+        F.lit("bpe").alias("component"),
+        F.col("n_docs").alias("k"),
         F.col("lang").alias("v"),
-        F.col("xp").alias("x"),
+        F.col("sum_n_toks").alias("x"),
+    )
+    uni = tok_agg.select(
+        F.lit("uni_pieces").alias("component"),
+        F.col("n_docs").alias("k"),
+        F.col("lang").alias("v"),
+        F.col("sum_np").alias("x"),
     ).unionByName(
-        uni_agg.select(
+        tok_agg.select(
             F.lit("uni_score").alias("component"),
-            "k",
+            F.col("n_docs").alias("k"),
             F.col("lang").alias("v"),
-            F.col("xs").alias("x"),
+            F.round(F.col("sum_sc"), 6).alias("x"),
         )
     )
 

@@ -473,3 +473,56 @@ def test_bm25_extreme_params_never_nan(spark):
         bm25_scores(df, "doc_id", "text", ["cat"], b=1.5)
     with _pt.raises(ValueError, match="k1 must be"):
         bm25_scores(df, "doc_id", "text", ["cat"], k1=-1)
+
+
+def test_word_weighted_stats_matches_per_doc_form(spark):
+    """The distinct-word decomposition must equal a direct per-doc pass:
+    Σ_docs Σ_w f(w) == Σ_(g,w) freq·f(w) — including wordless docs
+    (counted in n_docs, zero contribution), multi-space splits, and a
+    group whose docs are ALL wordless (left-join coalesce path)."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        word_weighted_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat  sat on the mat"),
+            ("en", "cat cat"),
+            ("en", ""),
+            ("de", "der hund"),
+            ("xx", ""),  # group with no words at all
+        ],
+        "lang string, text string",
+    )
+
+    def stats(words):
+        return words.select(
+            "word",
+            F.length("word").alias("n_chars"),
+            (F.length("word").cast("double") / 2).alias("half"),
+        )
+
+    got = {
+        r["lang"]: r
+        for r in word_weighted_stats(df, "text", ["lang"], stats).collect()
+    }
+    # direct per-doc reference, computed in Python
+    import collections
+
+    ref = collections.defaultdict(lambda: [0, 0.0, 0.0])
+    for lang, text in [
+        ("en", "the cat  sat on the mat"),
+        ("en", "cat cat"),
+        ("en", ""),
+        ("de", "der hund"),
+        ("xx", ""),
+    ]:
+        ref[lang][0] += 1
+        for w in text.split():
+            ref[lang][1] += len(w)
+            ref[lang][2] += len(w) / 2
+    assert set(got) == set(ref)
+    for lang, (n, sc, sh) in ref.items():
+        assert got[lang]["n_docs"] == n, lang
+        assert got[lang]["sum_n_chars"] == sc, lang
+        assert got[lang]["sum_half"] == sh, lang

@@ -71,6 +71,43 @@ def main() -> None:
         toked = unigram_tokenize(d.select("lang", "text"), "text", pieces)
         return toked.agg(F.sum(F.size("pieces")))
 
+    def arm_tok_decomp():
+        # the r15 battery form: ONE word_weighted_stats pass carrying
+        # both tokenizers over the distinct-word table (the old arm_bpe
+        # + arm_unigram rows above keep the per-doc forms for A/B)
+        from hrdp_variant_load_pipeline_spark.operators.vocab import (
+            word_weighted_stats,
+        )
+
+        pieces = spark.createDataFrame(
+            sorted(QM._UNI_PIECES.items()), "piece string, logprob double"
+        )
+        lp_map = F.create_map(
+            *[F.lit(v) for kv in sorted(QM._UNI_PIECES.items()) for v in kv]
+        )
+
+        def word_stats(words):
+            toked = unigram_tokenize(words, "word", pieces)
+            return toked.select(
+                "word",
+                F.size(
+                    bpe_tokenize(F.col("word"), QM._BPE_MERGES)
+                ).alias("n_toks"),
+                F.size("pieces").alias("np"),
+                F.aggregate(
+                    F.transform(
+                        "pieces",
+                        lambda p: F.coalesce(
+                            F.try_element_at(lp_map, p), F.lit(-100.0)
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("sc"),
+            )
+
+        return word_weighted_stats(d, "text", ["lang"], word_stats)
+
     def arm_vocab():
         return build_vocab(d, "text", max_vocab=50)
 
@@ -123,6 +160,7 @@ def main() -> None:
 
     run("bpe_tokenize", arm_bpe)
     run("unigram_tokenize", arm_unigram)
+    run("tok_decomp_combined", arm_tok_decomp)
     run("build_vocab", arm_vocab)
     run("constraints", arm_quality)
     run("pq_encode_topk", arm_pq)
@@ -135,8 +173,15 @@ def main() -> None:
         "whole_battery",
         lambda: entrymod.queries()["model_ops_battery"](spark, sf),
     )
+    # arm_sum mirrors the CURRENT battery composition: the per-doc
+    # bpe/unigram rows are A/B references, superseded by tok_decomp
     arm_sum = round(
-        sum(v for k, v in times.items() if k != "whole_battery"), 3
+        sum(
+            v
+            for k, v in times.items()
+            if k not in ("whole_battery", "bpe_tokenize", "unigram_tokenize")
+        ),
+        3,
     )
     print(
         json.dumps(
