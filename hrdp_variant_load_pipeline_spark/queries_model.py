@@ -691,6 +691,15 @@ _SD_MPT = 8
 _SD_MIN = 0.5
 _SD_BENCH_MOD = 53
 _SD_BENCH_REM = 3
+# bench-side id cap: a decontamination bench is a FIXED evaluation set
+# (query-sized by the operator's contract), not a corpus fraction. An
+# uncapped every-53rd-doc selection scales the bench WITH the corpus and
+# the candidate pair space quadratically with it — measured 503 s at
+# sf10 (9.4k bench items × ~N/97 marker-sharing candidates ≈ 50M exact
+# cosines) vs ~120 s for the whole battery before the fold-in. The cap
+# is a no-op at sf0.1 and below (N ≤ 50k), so the sf0.01/sf0.1 oracle
+# validation is unchanged; at sf10 it pins the bench at 943 items.
+_SD_BENCH_CAP = 50_000
 # below every mapped bench id (-(doc_id)-1 ∈ [-N-1, -1]) for any fixture
 # this battery faces (N ≤ 500k at the sf10 staging)
 _SD_FALLBACK_ID = -1000003
@@ -727,6 +736,7 @@ sdbench AS (
          || ' marker' || (doc_id % 97)::VARCHAR AS text
   FROM documents
   WHERE doc_id % {_SD_BENCH_MOD} = {_SD_BENCH_REM}
+    AND doc_id < {_SD_BENCH_CAP}
   UNION ALL
   SELECT {_SD_FALLBACK_ID}, '{_SD_FALLBACK_TEXT}'),
 sdbtok AS (
@@ -1378,7 +1388,10 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     bench = (
         table(spark, sf, "documents")
-        .filter(F.col("doc_id") % _SD_BENCH_MOD == _SD_BENCH_REM)
+        .filter(
+            (F.col("doc_id") % _SD_BENCH_MOD == _SD_BENCH_REM)
+            & (F.col("doc_id") < _SD_BENCH_CAP)
+        )
         .select(
             (-(F.col("doc_id").cast("long")) - 1).alias("doc_id"),
             F.concat(
