@@ -15,21 +15,44 @@ network on a real cluster.
 Protocol notes: one warm run per query is measured (exchange bytes are
 plan properties, not timing — identical across reps, load-insensitive),
 AQE left exactly as the bench profile sets it, metrics scoped to the
-stages submitted by that query alone via a per-query job group ID.
+stages newly completed during that query's run. The denominator for
+the amplification ratio is the ON-DISK size of the parquet tables the
+query reads (from sf10_bench.QUERY_TABLES) — the stage-level
+``inputBytes`` is kept as ``scan_read_mb`` but is informational only:
+Hadoop FS read statistics under-count in many-threaded local mode.
 
 Usage: python tools/shuffle_audit.py [SF_DIR] [ROW,ROW,...]
-Prints one JSON line: {query: {input_mb, shuffle_write_mb,
-shuffle_read_mb, output_rows, amplification}}.
+Prints one JSON line: {query: {tables_mb, scan_read_mb,
+shuffle_write_mb, shuffle_read_mb, amplification}}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _table_mb(sf_dir: str, tables: list[str] | None) -> float | None:
+    if not tables:
+        return None
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return round(total / (1024.0 * 1024.0), 2)
 
 DEFAULT_ROWS = [
     # text/dedup family: the "text never crosses an exchange" claim
@@ -104,12 +127,16 @@ def main() -> None:
         inp = sum(s.get("inputBytes", 0) for s in new)
         sw = sum(s.get("shuffleWriteBytes", 0) for s in new)
         sr = sum(s.get("shuffleReadBytes", 0) for s in new)
+        from sf10_bench import QUERY_TABLES
+
+        tmb = _table_mb(sf_dir, QUERY_TABLES.get(name))
         report[name] = {
             "stages": len(new),
-            "input_mb": round(inp / mb, 2),
+            "tables_mb": tmb,
+            "scan_read_mb": round(inp / mb, 2),
             "shuffle_write_mb": round(sw / mb, 2),
             "shuffle_read_mb": round(sr / mb, 2),
-            "amplification": round(sw / inp, 4) if inp else None,
+            "amplification": round(sw / mb / tmb, 4) if tmb else None,
         }
         print(f"# {name}: {report[name]}", file=sys.stderr, flush=True)
     spark.stop()
