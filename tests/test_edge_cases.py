@@ -352,6 +352,68 @@ def test_pre_aggregated_join_matches_naive_join_agg(spark):
         pre_aggregated_join(fact, dim, ["k"], how="right")
 
 
+def test_pre_aggregated_join_modes_are_route_invariant(spark):
+    """mode="plain" (literal partials, no keyed agg) and mode="auto"
+    must produce the same finishing aggregates and the same SCHEMA as
+    mode="pre" — the contract that lets the auto cost model route
+    freely. Also pins the cost model itself: near-unique keys -> plain
+    is profitable (False), a 50%-hot key -> rewrite pays (True)."""
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        eager_agg_profitable,
+        pre_aggregated_join,
+    )
+
+    fact = spark.range(10000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 1L ELSE 2 + id % 400 END AS k",
+        "cast(id % 977 AS double) AS x",
+        "cast(id % 31 AS int) AS y",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 300)], "k long, tag string"
+    )
+
+    def finish(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("tag")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n"),
+                    F.round(F.sum("sum_x"), 6).alias("s"),
+                    F.sum("sum_y").cast("long").alias("sy"),
+                    F.min("min_x").alias("lo"),
+                )
+                .collect(),
+            ),
+            key=repr,
+        )
+
+    frames = {
+        m: pre_aggregated_join(
+            fact, dim, ["k"],
+            sum_cols=["x", "y"], min_cols=["x"], how="left", mode=m,
+        )
+        for m in ("pre", "plain", "auto")
+    }
+    # schema identity across routes (sum widens int->long in BOTH)
+    schemas = {m: [(f.name, f.dataType) for f in frames[m].schema.fields]
+               for m in frames}
+    assert schemas["plain"] == schemas["pre"] == schemas["auto"]
+    want = finish(frames["pre"])
+    assert finish(frames["plain"]) == want and want
+    assert finish(frames["auto"]) == want
+    with pytest.raises(ValueError, match="unknown mode"):
+        pre_aggregated_join(fact, dim, ["k"], mode="eager")
+
+    # the cost model: sample the WHOLE frame so the decision is exact
+    uniform = spark.range(20000).selectExpr("id AS k", "id AS x")
+    assert not eager_agg_profitable(uniform, ["k"], sample_fraction=1.0)
+    hot = spark.range(20000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 1L ELSE id END AS k"
+    )
+    assert eager_agg_profitable(hot, ["k"], sample_fraction=1.0)
+
+
 def test_skew_adaptive_driver_row_exercises_both_paths(spark):
     """The r14 driver row (skew_adaptive_join_detail) must actually
     take the two-path plan: the manufactured hot key (every 5th
