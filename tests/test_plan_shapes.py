@@ -405,3 +405,67 @@ def test_semi_anti_shuffle_hash_no_sort_no_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
     # the anti build side carries a pre-aggregate (distinct o_custkey)
     assert "HashAggregate" in plan, plan
+
+
+def test_pre_aggregated_join_plain_route_has_no_keyed_agg(spark):
+    """mode="plain" must emit literal partials with NO aggregate below
+    the join (the whole point of routing away from the rewrite), and
+    mode="pre" must keep exactly the keyed pre-aggregate."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        pre_aggregated_join,
+    )
+
+    fact = spark.range(1000).selectExpr("id % 100 AS k", "id * 1.0 AS x")
+    dim = spark.range(100).selectExpr("id AS k", "id AS tag")
+    plain = pre_aggregated_join(
+        fact, dim, ["k"], sum_cols=["x"], mode="plain"
+    )
+    pplan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in pplan
+    pre = pre_aggregated_join(fact, dim, ["k"], sum_cols=["x"], mode="pre")
+    rplan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in rplan
+    # route invariance of the finishing contract, one more time at the
+    # plan level: both frames agree after the documented finish
+    fin = lambda df: sorted(
+        map(
+            tuple,
+            df.groupBy("tag")
+            .agg(F.sum("n_rows").cast("long"), F.round(F.sum("sum_x"), 6))
+            .collect(),
+        )
+    )
+    assert fin(plain) == fin(pre)
+
+
+def test_word_weighted_stats_udf_sees_vocabulary_not_corpus(spark):
+    """The word_stats callable must receive the DISTINCT-word frame —
+    one row per vocabulary word, never per token occurrence. Pinned by
+    materializing what the callable was handed."""
+    from pyspark.sql import functions as F
+
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        word_weighted_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a a a b"), ("en", "a b c"), ("de", "a c")],
+        "lang string, text string",
+    )
+    seen = {}
+
+    def stats(words):
+        rows = words.collect()
+        seen["words"] = sorted(r["word"] for r in rows)
+        return spark.createDataFrame(
+            [(r["word"], len(r["word"])) for r in rows],
+            "word string, n long",
+        )
+
+    out = word_weighted_stats(df, "text", ["lang"], stats)
+    got = {r["lang"]: r for r in out.collect()}
+    # 9 token occurrences, 3 distinct words — the UDF input is the vocab
+    assert seen["words"] == ["a", "b", "c"]
+    assert got["en"]["sum_n"] == 7.0 and got["de"]["sum_n"] == 2.0
