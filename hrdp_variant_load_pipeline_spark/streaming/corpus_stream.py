@@ -62,6 +62,8 @@ def stream_corpus_ingest(
     quality_filter: Column | None = None,
     text_index_dir: str | None = None,
     text_index_buckets: int = 64,
+    decon_benchmark: DataFrame | None = None,
+    decon_n: int = 8,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
@@ -97,7 +99,37 @@ def stream_corpus_ingest(
     ``False`` when a first trigger may swallow a huge backlog — e.g. a
     restart over an unthrottled directory — so the band join shuffles
     instead of broadcasting a too-large batch.
+
+    ``decon_benchmark`` (optional) is the benchmark/eval frame of the
+    batch chain's n-gram decontamination stage (``operators.corpus.
+    decontaminate``): docs sharing any word ``decon_n``-gram with it are
+    DROPPED before any dedup work, so contaminated docs never enter the
+    docs store, the signature index, or the text index — the stream-side
+    twin of the batch stage, with identical shingle semantics. The
+    benchmark's distinct shingle set is eval-sized and materialized ONCE
+    at stream start (not per micro-batch); each batch pays one row-local
+    shingle pass + a broadcast semi join. Deterministic, so crash
+    replays drop the same docs. Per-batch metrics gain a
+    ``contaminated`` count.
     """
+
+    bench_shingles = None
+    if decon_benchmark is not None:
+        from hrdp_variant_load_pipeline_spark.operators.dedup import (
+            shingle_array,
+        )
+
+        # eval-sized by contract; materialized once so every micro-batch
+        # reuses the same snapshot instead of re-shingling the benchmark
+        bench_shingles = (
+            decon_benchmark.select(
+                F.explode(
+                    shingle_array(F.col(text_col), decon_n)
+                ).alias("__shingle")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
 
     _sid_cache: dict = {}
 
@@ -135,6 +167,28 @@ def stream_corpus_ingest(
             gated.unpersist()
         else:
             docs = docs.persist()
+        n_cont = 0
+        if bench_shingles is not None:
+            # the batch chain's decon stage per micro-batch: row-local
+            # shingles, broadcast semi vs the pre-materialized eval set,
+            # anti-join on the (batch-sized) contaminated id set.
+            # Deterministic -> replay-safe without any state.
+            pre = docs
+            n_before = pre.count()
+            contaminated = (
+                pre.select(
+                    F.col(id_col),
+                    F.explode(
+                        shingle_array(F.col(text_col), decon_n)
+                    ).alias("__shingle"),
+                )
+                .join(F.broadcast(bench_shingles), "__shingle", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+            docs = pre.join(contaminated, id_col, "left_anti").persist()
+            n_cont = n_before - docs.count()
+            pre.unpersist()
         try:
             n_quar = quarantine.count()
             if n_quar:
@@ -175,7 +229,7 @@ def stream_corpus_ingest(
                     on_batch(
                         batch_id,
                         {"quarantined": n_quar, "rejected": n_rej,
-                         "fresh": 0, "accepted": 0},
+                         "contaminated": n_cont, "fresh": 0, "accepted": 0},
                     )
                 return
             index = read_store(spark, index_store_dir, schema=_INDEX_SCHEMA)
@@ -251,6 +305,7 @@ def stream_corpus_ingest(
                     {
                         "quarantined": n_quar,
                         "rejected": n_rej,
+                        "contaminated": n_cont,
                         "fresh": n_fresh,
                         "accepted": n_acc,
                     },

@@ -289,3 +289,80 @@ def test_text_index_survives_checkpoint_wipe(spark, tmp_path):
            for r in text_index_scores(spark, dirs["tix"], terms).collect()}
     assert got == want
     assert 11 in got  # _B2's fresh doc made it into the index
+
+
+def test_stream_decontamination_gate(spark, tmp_path):
+    """decon_benchmark: docs sharing an n-gram with the eval set are
+    dropped BEFORE dedup/appends — never in the docs store, the
+    signature index, or the metrics' accepted count; replay of the same
+    checkpoint stays a no-op (deterministic gate, no state)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    dirs = {k: str(tmp_path / k) for k in ("docs", "index", "quar", "ckpt")}
+    bench = spark.createDataFrame(
+        # 8-gram shared with doc 20 below; doc 21 shares nothing
+        [("the quick brown fox jumps over the lazy dog benchmark item",)],
+        "text string",
+    )
+    stats = {}
+    q = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quar"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        on_batch=lambda bid, s: stats.update({bid: s}),
+        decon_benchmark=bench,
+        decon_n=8,
+    )
+    try:
+        _write_batch(
+            src,
+            "b1.jsonl",
+            [
+                {"doc_id": 20, "text": "intro words then the quick brown fox jumps over the lazy dog closing", "lang": "en"},
+                {"doc_id": 21, "text": "a fully clean training document about spark partitions and exchanges", "lang": "en"},
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(
+        r["doc_id"]
+        for r in read_store(spark, dirs["docs"], schema="doc_id BIGINT, text STRING, lang STRING").collect()
+    )
+    assert ids == [21]
+    s = stats[0]
+    assert s["contaminated"] == 1 and s["accepted"] == 1
+    # the contaminated doc paid no signature append either
+    idx_ids = {
+        r["doc"]
+        for r in read_store(
+            spark, dirs["index"],
+            schema="doc BIGINT, band_idx INT, band_val STRING, sh ARRAY<STRING>",
+        ).collect()
+    }
+    assert idx_ids == {21}
+    # replay with a fresh checkpoint: the gate drops the same doc and
+    # the exact-id probe drops the survivor -> nothing new accepted
+    stats2 = {}
+    q2 = stream_corpus_ingest(
+        spark,
+        str(src),
+        dirs["docs"],
+        dirs["index"],
+        dirs["quar"],
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+        on_batch=lambda bid, s2: stats2.update({bid: s2}),
+        decon_benchmark=bench,
+        decon_n=8,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert all(v["accepted"] == 0 for v in stats2.values())
+    assert all(v["contaminated"] == 1 for v in stats2.values())
