@@ -98,15 +98,23 @@ def word_weighted_stats(
 
     ``word_stats``: callable ``words_df -> DataFrame`` mapping a frame
     with a single ``word`` column to (word, <numeric stat columns>). It
-    must be TOTAL (a row per input word) — missing words would silently
-    drop their occurrences from every sum. Words are split with the
-    same ``\\s+``-and-drop-empties rule the vocab/TF-IDF family uses.
+    must return EXACTLY ONE row per input word: a missing word silently
+    drops its occurrences from every sum, a duplicated word double-
+    counts them (the weighted join is a plain inner join by design —
+    guarding would cost a corpus-independent but vocabulary-sized check
+    per call). Words are split with the same
+    ``\\s+``-and-drop-empties rule the vocab/TF-IDF family uses.
 
     Output: ``group_cols`` + ``n_docs_col`` (docs per group, INCLUDING
     wordless docs — counted from ``df`` itself, not the word table) +
     one ``sum_<stat>`` per stat column (double, 0.0 for groups with no
     words).
     """
+    if not group_cols:
+        raise ValueError(
+            "word_weighted_stats: group_cols must be non-empty (for a "
+            "corpus-global total, add a literal group column)"
+        )
     words = df.select(
         *group_cols,
         F.explode(

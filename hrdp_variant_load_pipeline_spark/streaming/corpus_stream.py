@@ -102,7 +102,8 @@ def stream_corpus_ingest(
 
     ``decon_benchmark`` (optional) is the benchmark/eval frame of the
     batch chain's n-gram decontamination stage (``operators.corpus.
-    decontaminate``): docs sharing any word ``decon_n``-gram with it are
+    decontaminate``); it must carry ``text_col``. Docs sharing any word
+    ``decon_n``-gram with it are
     DROPPED before any dedup work, so contaminated docs never enter the
     docs store, the signature index, or the text index — the stream-side
     twin of the batch stage, with identical shingle semantics. The
