@@ -623,3 +623,59 @@ def test_bm25_matches_bruteforce_bulk(spark):
                 )
             assert abs(got[i] - want) < 1e-9, (i, got[i], want)
             assert (got[i] == 0.0) == all(t not in ws for t in terms)
+
+
+def _collect_wws_cases():
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.sampled_from(["en", "de", "xx"]),
+                st.lists(
+                    st.integers(min_value=0, max_value=6),
+                    min_size=0, max_size=12,
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def gen(docs):
+        cases.append(docs)
+
+    gen()
+    return cases
+
+
+def test_word_weighted_stats_matches_bruteforce_bulk(spark):
+    """word_weighted_stats == brute force over random corpora: for any
+    per-word statistic, the group sums equal a direct per-doc Python
+    pass — including empty docs, all-empty groups, and repeated words.
+    All hypothesis cases ride ONE Spark job via case-namespaced groups
+    (case index folded into the group key)."""
+    from hrdp_variant_load_pipeline_spark.operators.vocab import (
+        word_weighted_stats,
+    )
+
+    rows, expect = [], {}
+    for ci, docs in enumerate(_collect_wws_cases()):
+        for lang, toks in docs:
+            g = f"c{ci}_{lang}"
+            words = [f"c{ci}w{t}" for t in toks]
+            rows.append((g, " ".join(words)))
+            n, s = expect.get(g, (0, 0))
+            expect[g] = (n + 1, s + sum(len(w) for w in words))
+    df = spark.createDataFrame(rows, "g string, text string")
+
+    def stats(words):
+        return words.select("word", F.length("word").alias("n_chars"))
+
+    got = {
+        r["g"]: (r["n_docs"], r["sum_n_chars"])
+        for r in word_weighted_stats(df, "text", ["g"], stats).collect()
+    }
+    assert set(got) == set(expect)
+    for g, (n, s) in expect.items():
+        assert got[g] == (n, float(s)), g
