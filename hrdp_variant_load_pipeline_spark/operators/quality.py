@@ -66,10 +66,24 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
 
     For range/set/pattern rules a NULL passes (pair with ``not_null`` to
     forbid it) — matching SQL CHECK-constraint semantics.
+
+    The result is LAZY — one unioned plan, zero driver-side actions
+    inside the operator (pre-r15 it collected per rule family: three
+    sequential jobs for rowwise+unique+ref). One action now evaluates
+    everything, and Spark schedules the independent subtrees' stages
+    concurrently. Row order is not guaranteed; key by ``rule``.
     """
     spark = df.sparkSession
+    for r in rules:
+        _rule_name(r)  # fail loud on unknown types before any plan builds
+        if r["type"] not in ("unique", "ref"):
+            _predicate(df, r)
+    if not rules:
+        return spark.createDataFrame(
+            [], "rule string, violations long, ok boolean"
+        )
     rowwise = [r for r in rules if r["type"] not in ("unique", "ref")]
-    results: list[tuple[str, int]] = []
+    branches: list[DataFrame] = []
     if rowwise:
         aggs = [
             F.sum(F.when(~_predicate(df, r), 1).otherwise(0))
@@ -77,35 +91,49 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             .alias(f"__r{i}")
             for i, r in enumerate(rowwise)
         ]
-        row = df.agg(*aggs).collect()[0]
-        results += [
-            (_rule_name(r), int(row[f"__r{i}"] or 0))
-            for i, r in enumerate(rowwise)
-        ]
+        # ONE aggregate row -> a stack generator fans it out to
+        # (rule, violations) rows; rule names ride literal columns, so
+        # no SQL-string quoting of user expressions
+        pairs: list = []
+        for i, r in enumerate(rowwise):
+            pairs += [
+                F.lit(_rule_name(r)),
+                F.coalesce(F.col(f"__r{i}"), F.lit(0)).cast("long"),
+            ]
+        branches.append(
+            df.agg(*aggs).select(
+                F.stack(F.lit(len(rowwise)), *pairs).alias(
+                    "rule", "violations"
+                )
+            )
+        )
     for r in rules:
         if r["type"] == "unique":
-            n = (
+            branches.append(
                 df.groupBy(*r["cols"])
                 .count()
                 .filter(F.col("count") > 1)
-                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)))
-                .collect()[0][0]
+                .agg(
+                    F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations")
+                )
+                .select(F.lit(_rule_name(r)).alias("rule"), "violations")
             )
-            results.append((_rule_name(r), int(n)))
         elif r["type"] == "ref":
-            n = (
+            branches.append(
                 df.filter(F.col(r["col"]).isNotNull())
                 .join(
-                    r["ref_df"].select(
-                        F.col(r["ref_col"]).alias(r["col"])
-                    ).distinct(),
+                    r["ref_df"]
+                    .select(F.col(r["ref_col"]).alias(r["col"]))
+                    .distinct(),
                     r["col"],
                     "left_anti",
                 )
-                .count()
+                .agg(F.count("*").cast("long").alias("violations"))
+                .select(F.lit(_rule_name(r)).alias("rule"), "violations")
             )
-            results.append((_rule_name(r), int(n)))
-    return spark.createDataFrame(
-        [(name, n, n == 0) for name, n in results],
-        "rule string, violations long, ok boolean",
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.withColumn("ok", F.col("violations") == 0)
