@@ -1382,9 +1382,19 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") % 97).cast("string"),
         ).alias("text"),
     )
-    sd_vocab = build_vocab(d2, "text", max_vocab=_SD_VOCAB)
+    # checkpoint the MODEL-SIZED vocab (consumed by dv2 AND bv2 — left
+    # lazy, each embeds the corpus vocab pass and re-runs it) and the
+    # slim corpus vectors (sparse_cosine_candidates consumes its `a`
+    # side four times: n_a count, rank-df aggregate, inverted candidate
+    # pass, exact-cosine join). Measured on this arm at sf10:
+    # 51.6 → 38.6 s (−25%), values identical (checkpoints change
+    # nothing). Vector bytes are vocab-bounded per doc — O(vectors) ≪
+    # O(text) executor-local storage for 3 saved corpus passes.
+    sd_vocab = build_vocab(d2, "text", max_vocab=_SD_VOCAB).localCheckpoint()
     n_corpus = d2.count()
-    dv2 = tfidf_vectors(d2, "doc_id", "text", sd_vocab, n_docs=n_corpus)
+    dv2 = tfidf_vectors(d2, "doc_id", "text", sd_vocab, n_docs=n_corpus).select(
+        "doc_id", "tfidf_idx", "tfidf_val"
+    ).localCheckpoint()
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     bench = (
         table(spark, sf, "documents")
@@ -1415,7 +1425,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         bench, "doc_id", "text", sd_vocab, n_docs=n_corpus
     ).select("doc_id", "tfidf_idx", "tfidf_val")
     sem = sparse_cosine_candidates(
-        dv2.select("doc_id", "tfidf_idx", "tfidf_val"),
+        dv2,
         bv2,
         "doc_id",
         min_cosine=_SD_MIN,
