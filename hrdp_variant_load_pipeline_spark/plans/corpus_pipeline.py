@@ -647,11 +647,17 @@ def run_corpus_pipeline(
 
             min_cos = float(sdec.get("min_cosine", 0.9))
             max_vocab = int(sdec.get("max_vocab", 30000))
-            # model-sized; consumed by BOTH vector builds below — left
-            # lazy each would re-run the corpus vocab pass (measured on
-            # the sf10 semdecon arm: vocab+vector checkpoints together
-            # take the stage 51.6 → 38.6 s, −25%, values identical)
-            vocab = build_vocab(docs, text_col, max_vocab=max_vocab).localCheckpoint()
+            # model-sized; consumed by BOTH vector builds below —
+            # unmaterialized, each re-runs the corpus vocab pass.
+            # eager=False: the snapshot materializes inside the first
+            # consuming action, keeping independent subtrees schedulable
+            # concurrently (eager serialized the builds as blocking
+            # construction-time jobs — measured WORSE: sf10 arm eager
+            # 40.4 s vs lazy 37.0 s vs unshared 51.6 s; in the
+            # many-component battery eager was a 45% REGRESSION)
+            vocab = build_vocab(docs, text_col, max_vocab=max_vocab).localCheckpoint(
+                eager=False
+            )
             # the bench-id disjointness mapping below (-(id)-1) is only
             # collision-free when corpus ids are non-negative — a
             # negative doc id could alias a mapped bench id and have a
@@ -704,11 +710,14 @@ def run_corpus_pipeline(
             # times (count, rank-df aggregate, inverted pass, exact
             # cosine); checkpoint the slim vectors so the corpus text
             # pass runs once — O(vector bytes) executor-local storage
-            # (vocab-bounded per doc, ≪ text) for 3 saved corpus passes
+            # (vocab-bounded per doc, ≪ text) for 3 saved corpus
+            # passes. eager=False for the same scheduling reason as the
+            # vocab above; the n_a count inside the operator is the
+            # first consumer and materializes it.
             a_vecs = (
                 dv.select(id_col, "tfidf_idx", "tfidf_val")
                 .withColumnRenamed(id_col, "doc_id")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             b_vecs = bv.withColumnRenamed("__bid", "doc_id")
             if mpt is None:

@@ -1382,19 +1382,24 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") % 97).cast("string"),
         ).alias("text"),
     )
-    # checkpoint the MODEL-SIZED vocab (consumed by dv2 AND bv2 — left
-    # lazy, each embeds the corpus vocab pass and re-runs it) and the
-    # slim corpus vectors (sparse_cosine_candidates consumes its `a`
-    # side four times: n_a count, rank-df aggregate, inverted candidate
-    # pass, exact-cosine join). Measured on this arm at sf10:
-    # 51.6 → 38.6 s (−25%), values identical (checkpoints change
-    # nothing). Vector bytes are vocab-bounded per doc — O(vectors) ≪
-    # O(text) executor-local storage for 3 saved corpus passes.
-    sd_vocab = build_vocab(d2, "text", max_vocab=_SD_VOCAB).localCheckpoint()
+    # checkpoint the MODEL-SIZED vocab (consumed by dv2 AND bv2 —
+    # unmaterialized, each embeds and re-runs the corpus vocab pass)
+    # and the slim corpus vectors (sparse_cosine_candidates consumes
+    # its `a` side four times: n_a count, rank-df aggregate, inverted
+    # candidate pass, exact-cosine join). eager=False is load-bearing:
+    # the snapshots materialize inside the battery's one union action,
+    # where the scheduler overlaps them with the other components —
+    # EAGER checkpoints serialized the builds as blocking
+    # construction-time jobs and regressed the battery 136.8 → 198.9 s
+    # at sf10; lazy measures 129.0 s (vs 136.8 unshared). Values are
+    # checkpoint-invariant; storage is O(vector bytes) ≪ O(text).
+    sd_vocab = build_vocab(d2, "text", max_vocab=_SD_VOCAB).localCheckpoint(
+        eager=False
+    )
     n_corpus = d2.count()
     dv2 = tfidf_vectors(d2, "doc_id", "text", sd_vocab, n_docs=n_corpus).select(
         "doc_id", "tfidf_idx", "tfidf_val"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     bench = (
         table(spark, sf, "documents")
