@@ -157,6 +157,14 @@ def gram_code_hashes(codes: Column, k: int = 5) -> Column:
     short-doc branch (one element) keeps the guarded taps. Measured
     −28% on the gram column at sf1 (1.129 → 0.816 s), value-identical
     (the coalesce could only ever fire on the short-doc branch).
+
+    PRECONDITION (r15 ADVICE): ``codes`` must contain no null ELEMENTS
+    — the fast path's bare ``get`` reads propagate a null element into
+    a null gram hash where the old per-tap ``coalesce`` mapped it to 0.
+    Every in-repo caller feeds :func:`char_codes` output (``ascii`` is
+    null-free on non-null input), and the branch equivalence across the
+    length boundary is pinned in tests/test_text_gram.py; callers with
+    possibly-null elements must coalesce them before hashing.
     """
     n = F.size(codes)
 

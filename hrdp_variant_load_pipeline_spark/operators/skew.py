@@ -150,6 +150,31 @@ def adaptive_salted_join(
     return out_cold.unionByName(out_hot)
 
 
+#: Below this OPTIMIZER-ESTIMATED fact size, ``eager_agg_profitable``
+#: returns False without running its sampled counting job: a sub-64 MB
+#: probe side is a handful of tasks under either plan, so the routing
+#: job (a fixed ~0.2 s driver-blocking action) can never pay for
+#: itself — while at the scales where routing matters (the sf10 drill
+#: stagings are ~GB; 100 TB facts are far past it) the estimate clears
+#: the gate and the sample runs as before. The estimate is Catalyst's
+#: logical-plan sizeInBytes (file bytes scaled by projected row width)
+#: — no job, no I/O. Callers can pass ``small_input_bytes=0`` to force
+#: the sampled decision at any size (the unit tests do, since
+#: createDataFrame fixtures are always "small").
+SMALL_FACT_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical size estimate for ``df`` (bytes), or None when
+    the internal accessor is unavailable — never runs a job."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate only; caller falls back
+        return None
+
+
 def eager_agg_profitable(
     fact: DataFrame,
     keys: Sequence[str],
@@ -157,6 +182,7 @@ def eager_agg_profitable(
     hot_share_threshold: float = 0.05,
     reduction_threshold: float = 32.0,
     seed: int = 7,
+    small_input_bytes: int = SMALL_FACT_BYTES,
 ) -> bool:
     """Decide whether the eager-aggregation rewrite pays for THIS key
     distribution — the cost model behind ``pre_aggregated_join``'s auto
@@ -173,7 +199,16 @@ def eager_agg_profitable(
     key crosses ``reduction_threshold`` (the probe side shrinks enough
     to pay for the agg; note sampling biases this estimate LOW on
     near-unique keys, which safely favors the plain join). One
-    O(sample)-sized counting job; deterministic (seeded sample)."""
+    O(sample)-sized counting job; deterministic (seeded sample).
+
+    Facts whose estimated size is under ``small_input_bytes`` skip the
+    counting job entirely and take the plain join: both routes are
+    value-identical by contract, and at that size either plan is
+    trivial, so the only effect of sampling would be its own cost."""
+    if small_input_bytes:
+        est_bytes = _estimated_bytes(fact)
+        if est_bytes is not None and est_bytes < small_input_bytes:
+            return False
     est = (
         fact.sample(fraction=sample_fraction, seed=seed)
         .groupBy(*keys)
@@ -203,6 +238,7 @@ def pre_aggregated_join(
     count_col: str = "n_rows",
     how: str = "inner",
     mode: str = "pre",
+    finishing: bool = False,
 ) -> DataFrame:
     """Eager-aggregation rewrite: collapse the fact side to one row per
     join key BEFORE the join, carrying decomposable partials
@@ -234,11 +270,20 @@ def pre_aggregated_join(
     aggregates are unchanged and the results are identical up to float
     sum reassociation (which any distributed sum already has). NOTE the
     plain route's output grain is one row per FACT ROW, not per key —
-    callers that finish with sums (the documented contract) are
-    unaffected; callers relying on the per-key grain must pass "pre".
-    ``"auto"`` routes via :func:`eager_agg_profitable` — one sampled
-    counting job; measured at sf10 it reclaims the uniform-key case
-    (−35%) while keeping the hot-key win."""
+    the partials are a PARTIAL-AGGREGATE contract, exact only under
+    finishing aggregates (``sum(count_col)`` / ``sum(sum_<c>)`` /
+    ``min(min_<c>)`` / ``max(max_<c>)``). A caller relying on per-key
+    grain (reading the partial columns as final per-key values) would
+    get a silently different frame from ``plain`` — and from ``auto``,
+    depending on a runtime sample. So the grain-unstable modes require
+    an explicit declaration: ``"plain"`` and ``"auto"`` raise unless
+    ``finishing=True`` is passed, stating that downstream consumption
+    is finishing aggregates only; per-key consumers use ``mode="pre"``
+    (grain pinned in tests/test_edge_cases.py). ``"auto"`` routes via
+    :func:`eager_agg_profitable` — one sampled counting job (skipped
+    outright under its byte-size gate on small facts); measured at sf10
+    it reclaims the uniform-key case (−35%) while keeping the hot-key
+    win."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(
             f"pre_aggregated_join: how={how!r} is not fact-preserving; "
@@ -246,6 +291,15 @@ def pre_aggregated_join(
         )
     if mode not in ("pre", "plain", "auto"):
         raise ValueError(f"pre_aggregated_join: unknown mode {mode!r}")
+    if mode in ("plain", "auto") and not finishing:
+        raise ValueError(
+            f"pre_aggregated_join: mode={mode!r} can emit one row per "
+            "FACT ROW instead of one per key (partial-aggregate "
+            "contract); pass finishing=True to declare that the result "
+            "is consumed only through finishing aggregates "
+            "(sum/min/max of the partial columns), or use mode='pre' "
+            "for stable per-key grain"
+        )
     aggs = [F.count("*").cast("long").alias(count_col)]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]

@@ -121,13 +121,19 @@ def word_weighted_stats(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
         ).alias("word"),
     )
-    # (group, word) frequencies: the ONE corpus-sized pass. Materialized
-    # eagerly — both the distinct-word frame and the weighted join read
-    # it, and an unmaterialized diamond would re-run the explode twice.
+    # (group, word) frequencies: the ONE corpus-sized pass. Snapshotted
+    # — both the distinct-word frame and the weighted join read it, and
+    # an unmaterialized diamond would re-run the explode twice.
+    # eager=False (r15's eager-trap lesson applied here, r16): the
+    # snapshot materializes inside the FIRST consuming action instead
+    # of as a blocking construction-time job, so a battery that unions
+    # this operator with sibling components keeps scheduling them
+    # concurrently (measured in model_ops_battery's union action at
+    # sf10 — see OPTIMIZATION_r16.md).
     wf = (
         words.groupBy(*group_cols, "word")
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     stats = word_stats(wf.select("word").distinct())
     stat_cols = [c for c in stats.columns if c != "word"]
@@ -313,6 +319,7 @@ def sparse_cosine_candidates(
     min_cosine: float = 0.0,
     max_df_frac: float = 0.2,
     max_probe_terms: int = 16,
+    n_a: int | None = None,
 ) -> DataFrame:
     """``sparse_cosine_pairs`` with the pair space bounded BY
     CONSTRUCTION — the corpus-scale path. The plain form cross-joins
@@ -344,10 +351,18 @@ def sparse_cosine_candidates(
     one row per distinct rank per partition), then sum over probed
     ranks of df(rank) x queries-probing(rank) candidate rows, df capped
     by ``max_df_frac`` — never |a|·|b|. Output: (id_a, id_b, cosine),
-    like the plain form."""
+    like the plain form.
+
+    ``n_a`` (the |a| the df cutoff scales by) is a metadata scalar like
+    ``tfidf_vectors``' ``n_docs``: pass it when the caller already
+    knows the corpus row count (one parquet metadata count serves the
+    vector build AND this probe, r16) — else ONE count() action derives
+    it here, which also makes this operator's construction a blocking
+    driver job when ``a`` is an unmaterialized lazy snapshot."""
     a_slim = a.select(F.col(id_col).alias("id_a"), idx_col, val_col)
     b_slim = b.select(F.col(id_col).alias("id_b"), idx_col, val_col)
-    n_a = a_slim.count()
+    if n_a is None:
+        n_a = a_slim.count()
     # corpus df per rank, from the vectors themselves (one explode +
     # map-combined count; ranks are vocab-bounded so the result is
     # model-sized)
@@ -588,14 +603,52 @@ def lm_doc_score(
 
 
 #: LM model tables (seen-gram scores, word backstops, context counts)
-#: broadcast below this row count and probe via a shuffle-hash join with
-#: the model as the hinted build side above it. 1M rows ~ tens of MB of
-#: gram strings — past the point where N executor copies of the hash map
-#: beat one partitioned build, and far below where a broadcast would
-#: simply fail (the r14 Zipf staging measured a 3M-row bigram model at
-#: the 100x scale: shuffle-hash 22.9 s vs broadcast 24.5 s, and the
-#: model keeps growing with the corpus).
+#: broadcast below this CORPUS-SIZE estimate and probe via a
+#: shuffle-hash join with the model as the hinted build side above it.
+#: r14 established the row-count form of this gate (1M model rows —
+#: past the point where N executor copies of the hash map beat one
+#: partitioned build, and far below where a broadcast simply fails;
+#: the r14 Zipf staging measured a 3M-row model at the 100x scale:
+#: shuffle-hash 22.9 s vs broadcast 24.5 s — a near-tie, so the
+#: crossover is a BAND, not an edge). r16 moves the gate off
+#: ``counts.count()`` onto Catalyst's logical size estimate of the
+#: CORPUS side: the exact count was a blocking construction-time job
+#: that ran the full bigram aggregate before any consumer action
+#: existed (measured 23.8 s of corpus_stats_battery's 69.9 s
+#: construction at sf10 — the single largest construction job), while
+#: the estimate is metadata-only. The gate's only effect is physical
+#: join strategy — both routes are value-identical — and the mapping
+#: is pinned by measurement: 32 MB estimated (doc_id, text) bytes sits
+#: between sf1 (5.0 MB est → 284k model rows, broadcast measured
+#: faster) and sf10 (53.4 MB est → 2.97M rows, shuffle-hash measured
+#: faster), i.e. ~1.8M rows at the measured rows-per-estimated-byte —
+#: inside the r14 tie band. The failure direction is safe: bigger
+#: corpora only ever move AWAY from broadcast, so the 8 GB broadcast
+#: cap can never be hit by a mis-estimate of a large model.
+_BROADCAST_MODEL_INPUT_BYTES = 32 * 1024 * 1024
+
+#: the r14 row-count gate, kept as the FALLBACK when no size estimate
+#: exists (RDD-backed frames — e.g. createDataFrame corpora — report
+#: spark.sql.defaultSizeInBytes = Long.MaxValue, not a measurement)
 _BROADCAST_MODEL_ROWS = 1_000_000
+
+#: estimates at or above this are "no statistics", not measurements
+#: (Catalyst propagates Long.MaxValue from stat-less leaves)
+_UNRELIABLE_EST_BYTES = 1 << 60
+
+
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical size estimate (bytes) — metadata-only, no
+    job; None when the accessor is unavailable OR the estimate is the
+    stat-less Long.MaxValue default (file-backed frames, the declared
+    query paths, always carry real file-size stats)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate only
+        return None
+    return None if est >= _UNRELIABLE_EST_BYTES else est
 
 
 def _lm_scored(
@@ -647,11 +700,24 @@ def _lm_scored(
     # ~500), and it GROWS with the corpus — a broadcast model is a
     # hard ceiling at 100 TB (multi-GB broadcast fails outright) and
     # already measured slightly slower than a shuffle-hash probe at sf10
-    # (24.5 s vs 22.9 s). Gate on the model's row count: broadcast below
-    # (the pinned small-scale plan), shuffle-hash join with the model as
-    # the hinted BUILD side above. The count materializes the (lazy)
-    # checkpoint the first broadcast would have paid for anyway.
-    big_model = counts.count() > _BROADCAST_MODEL_ROWS
+    # (24.5 s vs 22.9 s). Gate on the CORPUS-SIZE estimate (see
+    # _BROADCAST_MODEL_INPUT_BYTES): broadcast below (the pinned
+    # small-scale plan), shuffle-hash join with the model as the hinted
+    # BUILD side above. r16: the previous counts.count() gate was a
+    # blocking construction-time job running the full bigram aggregate
+    # (23.8 s at sf10); the estimate gate routes identically at every
+    # measured scale, and the model now materializes inside the first
+    # consuming action (under AQE its exchange stages still execute
+    # when the lazy checkpoint converts to an RDD, so a broadcast
+    # thread at most runs the model's final reduce stage, never the
+    # whole pass). No estimate (RDD-backed corpus, a test fixture or an
+    # exotic plan) falls back to the r14 exact-count gate — correct at
+    # any size, just paid as a construction-time job.
+    est = _estimated_input_bytes(df)
+    if est is not None:
+        big_model = est > _BROADCAST_MODEL_INPUT_BYTES
+    else:
+        big_model = counts.count() > _BROADCAST_MODEL_ROWS
 
     def _model_side(mdf: DataFrame) -> DataFrame:
         return mdf.hint("shuffle_hash") if big_model else F.broadcast(mdf)

@@ -49,6 +49,24 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _release_blocks(df: DataFrame) -> None:
+    """Free the executor storage behind a persisted OR localCheckpoint'd
+    frame. ``Dataset.unpersist`` only reaches CacheManager entries
+    (``.persist()``); a checkpoint's blocks belong to an internal RDD
+    that otherwise waits for ContextCleaner GC of the DataFrame — on a
+    long-lived session, repeated pipeline invocations would accumulate
+    corpus-sized MEMORY_AND_DISK blocks (r15 ADVICE). Best-effort: a
+    non-LogicalRDD plan (plain persisted frame) just takes the
+    ``unpersist`` half."""
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — GC remains the fallback
+        pass
+
+
 @dataclass
 class CorpusResult:
     """Final frames + per-stage counts. ``packed``/``shard_dir`` are None
@@ -706,14 +724,14 @@ def run_corpus_pipeline(
             # unrunnable at the 100x staging (r14). max_probe_terms=None
             # opts back into the exact exhaustive form for small runs.
             mpt = sdec.get("max_probe_terms", 16)
-            # sparse_cosine_candidates consumes its corpus side FOUR
-            # times (count, rank-df aggregate, inverted pass, exact
-            # cosine); checkpoint the slim vectors so the corpus text
-            # pass runs once — O(vector bytes) executor-local storage
-            # (vocab-bounded per doc, ≪ text) for 3 saved corpus
-            # passes. eager=False for the same scheduling reason as the
-            # vocab above; the n_a count inside the operator is the
-            # first consumer and materializes it.
+            # sparse_cosine_candidates consumes its corpus side three
+            # times (rank-df aggregate, inverted pass, exact cosine);
+            # checkpoint the slim vectors so the corpus text pass runs
+            # once — O(vector bytes) executor-local storage (vocab-
+            # bounded per doc, ≪ text) for the saved corpus passes.
+            # eager=False for the same scheduling reason as the vocab
+            # above; with n_a passed in (below) nothing materializes
+            # until the probe job itself runs.
             a_vecs = (
                 dv.select(id_col, "tfidf_idx", "tfidf_val")
                 .withColumnRenamed(id_col, "doc_id")
@@ -732,11 +750,25 @@ def run_corpus_pipeline(
                     min_cosine=min_cos,
                     max_df_frac=float(sdec.get("max_df_frac", 0.2)),
                     max_probe_terms=int(mpt),
+                    # |a_vecs| == |docs| (tfidf_vectors is row-
+                    # preserving): reuse the fused count/min aggregate
+                    # above instead of the operator's internal count,
+                    # so the vector snapshot materializes inside the
+                    # probe job, not a construction-time count
+                    n_a=n_docs,
                 )
             # materialize before the anti-join broadcast (same rule as
             # the retrieval stage: never run the probe inside the
             # broadcast-exchange thread's timeout)
             hits = hits.localCheckpoint()
+            # the vector/vocab snapshots are fully consumed once `hits`
+            # materializes (the line above) — release their executor
+            # blocks after the stage boundary instead of waiting for
+            # driver GC (r15 ADVICE: a_vecs is a corpus-sized slim
+            # table, and repeated pipeline runs in one session would
+            # accumulate such blocks)
+            stage_scratch.append(vocab)
+            stage_scratch.append(a_vecs)
             if sdec.get("report", False):
                 semantic_out.append(hits)
             flagged = hits.select(F.col("id_a").alias(id_col)).distinct()
@@ -889,7 +921,7 @@ def run_corpus_pipeline(
             if ticked:
                 docs = tick(i, stage, docs)
                 while stage_scratch:
-                    stage_scratch.pop().unpersist()
+                    _release_blocks(stage_scratch.pop())
                 timings[stage] = round(time.monotonic() - t0, 3)
                 t0 = time.monotonic()
     except BaseException:
@@ -897,7 +929,7 @@ def run_corpus_pipeline(
         # the caller never gets a handle to (the crash case the
         # checkpointing exists for)
         for df in (*pinned, *stage_scratch):
-            df.unpersist()
+            _release_blocks(df)
         raise
 
     # ---- 9. chunk + pack + shard export ------------------------------

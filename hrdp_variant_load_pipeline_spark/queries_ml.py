@@ -1243,10 +1243,14 @@ def skew_salted_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     # mode="auto": the sampled cost model picks the plain join on these
     # uniform keys (~4 rows/key — the rewrite measured −35% there at
     # sf10) and the eager rewrite wherever a hot key or a high
-    # reduction factor makes it pay; the finishing aggregates below are
-    # route-invariant by the operator's contract
+    # reduction factor makes it pay; below the operator's byte-size
+    # gate (sub-64 MB estimated fact) the sampling job itself is
+    # skipped — either plan is trivial there. finishing=True declares
+    # the grain contract: the aggregates below are route-invariant
+    # finishing sums, never per-key reads of the partial columns.
     joined = pre_aggregated_join(
-        li, o, ["l_orderkey"], sum_cols=["l_extendedprice"], mode="auto"
+        li, o, ["l_orderkey"], sum_cols=["l_extendedprice"], mode="auto",
+        finishing=True,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.sum("n_rows").cast("long").alias("n"),

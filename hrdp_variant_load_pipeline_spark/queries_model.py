@@ -396,10 +396,12 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     # 5 rows, consumed by three component branches: checkpoint so the
-    # decomposition pass runs once
+    # decomposition pass runs once; eager=False (r16) so it
+    # materializes inside the union action alongside the other
+    # components instead of as a blocking construction-time job
     tok_agg = word_weighted_stats(
         d, "text", ["lang"], _word_stats
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bpe = tok_agg.select(
         F.lit("bpe").alias("component"),
         F.col("n_docs").alias("k"),
@@ -420,9 +422,10 @@ def model_ops_battery(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    # 50 rows, consumed twice (tf + df branches): materialize so the
-    # explode + token aggregate + TakeOrdered subtree runs once
-    vocab = build_vocab(d, "text", max_vocab=50).localCheckpoint()
+    # 50 rows, consumed twice (tf + df branches): snapshot so the
+    # explode + token aggregate + TakeOrdered subtree runs once;
+    # eager=False for the same scheduling reason as tok_agg above
+    vocab = build_vocab(d, "text", max_vocab=50).localCheckpoint(eager=False)
     vocab_tf = vocab.select(
         F.lit("vocab_tf").alias("component"),
         F.col("rank").cast("long").alias("k"),
@@ -1120,7 +1123,21 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     vocab = build_vocab(docs, "text", max_vocab=_CS_VOCAB)
-    vecs = tfidf_vectors(docs, "doc_id", "text", vocab).localCheckpoint()
+    # ONE metadata count serves every arm that needs |corpus| (tfidf's
+    # idf N here, semdecon's two vector builds and its probe-df cutoff
+    # below): a bare parquet count() is row-group metadata only, where
+    # the r15 form paid tfidf_vectors' internal docs.count() (a full
+    # construction-time job over the repartitioned scan) PLUS a second
+    # d2.count() for semdecon. Identical value — spread_for_cpu and the
+    # d2 marker projection are row-preserving.
+    n_corpus = table(spark, sf, "documents").count()
+    # eager=False (r16, the r15 semdecon lesson applied to this arm):
+    # the snapshot materializes inside the battery's union action where
+    # the scheduler overlaps it with the sibling components, instead of
+    # as a blocking construction-time job
+    vecs = tfidf_vectors(
+        docs, "doc_id", "text", vocab, n_docs=n_corpus
+    ).localCheckpoint(eager=False)
     cos = sparse_cosine_pairs(
         vecs,
         vecs.filter(F.col("doc_id") < _CS_TFIDF_Q),
@@ -1134,9 +1151,14 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cosine").alias("x"),
     )
 
+    # eager=False (r16): consumed by lm + ccnet + the percentile
+    # aggregate's broadcast; the internal id-sized pin inside
+    # lm_doc_score dedups the expensive scoring plan, and this battery-
+    # level snapshot now materializes lazily instead of serializing a
+    # full LM pass before the union action is even built
     lm_scored = lm_doc_score(
         docs, "doc_id", "text", counts, smoothing="stupid_backoff"
-    ).select("doc_id", "lm_logprob").localCheckpoint()
+    ).select("doc_id", "lm_logprob").localCheckpoint(eager=False)
     lm = lm_scored.select(
         F.lit("lmscore").alias("component"),
         F.col("doc_id").alias("k"),
@@ -1311,10 +1333,18 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     # at sf1, BENCH_NOTES.md) and target counts / raw counts / scoring
     # would otherwise each pay it; the pin lasts only until `scored`
     # materializes below
+    # lazy snapshot instead of persist+unpersist (r16): dl appears
+    # three times in scored's plan (the raw pool, the target slice,
+    # the scoring pass), so the snapshot still computes the gram
+    # featurization once — but it now materializes inside whichever
+    # action first consumes scored, not as an eagerly-scheduled
+    # construction job the battery must wait on. (The old
+    # persist+eager-checkpoint+unpersist sequencing also could not be
+    # kept under a lazy scored: the unpersist ran before any action.)
     dl = featurize(
         table(spark, sf, "documents").select("doc_id", "text", "lang"),
         "text", _CS_DSIR_B, salt=_CS_DSIR_SALT,
-    ).persist()
+    ).localCheckpoint(eager=False)
     lr = bucket_logratio(
         dl.filter(F.col("lang") == "en"), dl, "text",
         n_buckets=_CS_DSIR_B, salt=_CS_DSIR_SALT,
@@ -1328,9 +1358,8 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
             buckets_col="_dsir_buckets",
         )
         .select("doc_id", "dsir_logw")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    dl.unpersist()
     dsir = scored.select(
         F.lit("dsir").alias("component"),
         F.col("doc_id").alias("k"),
@@ -1385,18 +1414,20 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoint the MODEL-SIZED vocab (consumed by dv2 AND bv2 —
     # unmaterialized, each embeds and re-runs the corpus vocab pass)
     # and the slim corpus vectors (sparse_cosine_candidates consumes
-    # its `a` side four times: n_a count, rank-df aggregate, inverted
-    # candidate pass, exact-cosine join). eager=False is load-bearing:
-    # the snapshots materialize inside the battery's one union action,
-    # where the scheduler overlaps them with the other components —
-    # EAGER checkpoints serialized the builds as blocking
-    # construction-time jobs and regressed the battery 136.8 → 198.9 s
-    # at sf10; lazy measures 129.0 s (vs 136.8 unshared). Values are
-    # checkpoint-invariant; storage is O(vector bytes) ≪ O(text).
+    # its `a` side multiple times: rank-df aggregate, inverted
+    # candidate pass, exact-cosine join — and, in r15, an internal n_a
+    # count that made dv2's construction a blocking job; r16 passes
+    # n_a=n_corpus below, so BOTH snapshots now materialize inside the
+    # battery's one union action). eager=False is load-bearing: EAGER
+    # checkpoints serialized the builds as separate construction-time
+    # jobs — measured 136.8 → 198.9 s at sf10 (eager) vs 129.0 s
+    # (lazy, vs 136.8 unshared, r15 protocol). Values are checkpoint-
+    # invariant; storage is O(vector bytes) ≪ O(text).
     sd_vocab = build_vocab(d2, "text", max_vocab=_SD_VOCAB).localCheckpoint(
         eager=False
     )
-    n_corpus = d2.count()
+    # n_corpus (one parquet metadata count, computed once above) is
+    # reused here: |d2| == |documents| (row-preserving projection)
     dv2 = tfidf_vectors(d2, "doc_id", "text", sd_vocab, n_docs=n_corpus).select(
         "doc_id", "tfidf_idx", "tfidf_val"
     ).localCheckpoint(eager=False)
@@ -1429,6 +1460,11 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
     bv2 = tfidf_vectors(
         bench, "doc_id", "text", sd_vocab, n_docs=n_corpus
     ).select("doc_id", "tfidf_idx", "tfidf_val")
+    # n_a=n_corpus (|dv2| == |d2| — tfidf_vectors left-joins back onto
+    # its input, one vector row per doc): skips the operator's internal
+    # count, which was the blocking construction-time job that
+    # materialized dv2+sd_vocab before the union action existed — now
+    # every semdecon subtree schedules inside the battery's one action
     sem = sparse_cosine_candidates(
         dv2,
         bv2,
@@ -1436,6 +1472,7 @@ def corpus_stats_battery(spark: SparkSession, sf: str) -> DataFrame:
         min_cosine=_SD_MIN,
         max_df_frac=_SD_FRAC,
         max_probe_terms=_SD_MPT,
+        n_a=n_corpus,
     ).select(
         F.lit("semdecon").alias("component"),
         F.col("id_a").alias("k"),

@@ -794,3 +794,81 @@ def test_semantic_decontaminate_catches_rewrites(spark, tmp_path):
         **cfg["semantic_decontaminate"], "min_cosine": 0.5,
     }
     assert _cfg_fingerprint(cfg3) != base_fp
+
+
+def test_release_blocks_frees_checkpoint_storage(spark):
+    """r15 ADVICE closure: _release_blocks must free the executor blocks
+    behind BOTH persist() frames and localCheckpoint'd frames (eager and
+    lazy) — Dataset.unpersist alone only reaches the CacheManager, so
+    checkpoint RDD blocks otherwise linger until driver GC."""
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        _release_blocks,
+    )
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = persisted_ids()
+    frames = [
+        spark.range(100).selectExpr("id", "id * 2 AS x").persist(),
+        spark.range(100).selectExpr("id", "id * 3 AS x").localCheckpoint(),
+        spark.range(100).selectExpr("id", "id * 5 AS x").localCheckpoint(
+            eager=False
+        ),
+    ]
+    for df in frames:
+        df.count()  # materialize blocks (lazy forms included)
+    assert len(persisted_ids() - base) >= 3
+    for df in frames:
+        _release_blocks(df)
+    assert persisted_ids() - base == set()
+
+
+def test_semantic_stage_releases_vector_snapshots(spark, tmp_path):
+    """The semantic stage's vocab + corpus-vector snapshots (lazy
+    localCheckpoints) must be released once the stage boundary
+    materializes — a long-lived session running many pipelines must not
+    accumulate corpus-sized blocks (r15 ADVICE). Only the stage
+    boundary's own pinned frame may remain, and unpersist_all clears
+    that."""
+    from hrdp_variant_load_pipeline_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon doc{i}", "en")
+            for i in range(30)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    bdir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon doc3")],
+        "doc_id long, text string",
+    ).write.parquet(bdir)
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = persisted_ids()
+    res = run_corpus_pipeline(spark, {
+        "input": {"format": "parquet", "path": src},
+        "dedup": {"exact": False},
+        "semantic_decontaminate": {"path": bdir, "min_cosine": 0.9},
+    })
+    assert {r.doc_id for r in res.docs.select("doc_id").collect()} == (
+        set(range(30)) - {3}
+    )
+    res.unpersist_all()
+    leaked = persisted_ids() - base
+    # tolerated survivors, both bounded by the BENCHMARK size (never
+    # the corpus): the hits checkpoint (handed to the caller when
+    # report=True) and sparse_cosine_candidates' internal probe-set
+    # snapshot (max_probe_terms rows per bench item). The corpus-sized
+    # snapshots (vocab, a_vecs) must be gone — that is the r15 ADVICE
+    # this pins.
+    assert len(leaked) <= 2, leaked

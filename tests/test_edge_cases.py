@@ -392,6 +392,7 @@ def test_pre_aggregated_join_modes_are_route_invariant(spark):
         m: pre_aggregated_join(
             fact, dim, ["k"],
             sum_cols=["x", "y"], min_cols=["x"], how="left", mode=m,
+            finishing=True,
         )
         for m in ("pre", "plain", "auto")
     }
@@ -406,12 +407,56 @@ def test_pre_aggregated_join_modes_are_route_invariant(spark):
         pre_aggregated_join(fact, dim, ["k"], mode="eager")
 
     # the cost model: sample the WHOLE frame so the decision is exact
+    # (small_input_bytes=0 disables the byte gate — these in-memory
+    # fixtures are below any sensible production threshold)
     uniform = spark.range(20000).selectExpr("id AS k", "id AS x")
-    assert not eager_agg_profitable(uniform, ["k"], sample_fraction=1.0)
+    assert not eager_agg_profitable(
+        uniform, ["k"], sample_fraction=1.0, small_input_bytes=0
+    )
     hot = spark.range(20000).selectExpr(
         "CASE WHEN id % 2 = 0 THEN 1L ELSE id END AS k"
     )
-    assert eager_agg_profitable(hot, ["k"], sample_fraction=1.0)
+    assert eager_agg_profitable(
+        hot, ["k"], sample_fraction=1.0, small_input_bytes=0
+    )
+
+
+def test_pre_aggregated_join_grain_contract(spark):
+    """The grain hazard closed (r15 verdict #2): mode="pre" is the ONLY
+    per-key-grain route — exactly one output row per (key, dim row), so
+    a per-key consumer can read the partial columns as final values.
+    plain/auto change the grain to per-fact-row and therefore REFUSE to
+    run without finishing=True (the caller's declaration that it only
+    ever applies finishing aggregates); with the declaration, plain's
+    finishing aggregates equal pre's (pinned above). No runtime sample
+    can silently hand a per-key consumer a per-row frame."""
+    from hrdp_variant_load_pipeline_spark.operators.skew import (
+        pre_aggregated_join,
+    )
+
+    fact = spark.range(1000).selectExpr(
+        "id % 7 AS k", "cast(id AS double) AS x"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "k long, tag string"
+    )
+    # per-key grain: one row per key, partials ARE the per-key values
+    pre = pre_aggregated_join(fact, dim, ["k"], sum_cols=["x"], mode="pre")
+    rows = pre.collect()
+    assert len(rows) == 7
+    assert {r["k"] for r in rows} == set(range(7))
+    naive = {
+        r["k"]: (r["n"], r["s"])
+        for r in fact.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    for r in rows:
+        assert (r["n_rows"], r["sum_x"]) == naive[r["k"]]
+    # grain-unstable modes refuse without the declaration
+    for m in ("plain", "auto"):
+        with pytest.raises(ValueError, match="finishing=True"):
+            pre_aggregated_join(fact, dim, ["k"], sum_cols=["x"], mode=m)
 
 
 def test_skew_adaptive_driver_row_exercises_both_paths(spark):

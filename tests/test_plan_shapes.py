@@ -420,7 +420,7 @@ def test_pre_aggregated_join_plain_route_has_no_keyed_agg(spark):
     fact = spark.range(1000).selectExpr("id % 100 AS k", "id * 1.0 AS x")
     dim = spark.range(100).selectExpr("id AS k", "id AS tag")
     plain = pre_aggregated_join(
-        fact, dim, ["k"], sum_cols=["x"], mode="plain"
+        fact, dim, ["k"], sum_cols=["x"], mode="plain", finishing=True
     )
     pplan = plain._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in pplan
