@@ -148,7 +148,9 @@ def shingle_sets(
     )
 
 
-def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame, max_df: int | None, sizes: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, with Jaccard over df-pruned
     shingle sets: ``n_shared`` counts only shingles with document
     frequency ≤ ``max_df`` while the union denominator uses the
@@ -156,8 +158,19 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
     ``max_df`` the reported value is a LOWER BOUND on the exact Jaccard
     (equal when ``max_df is None``). df-pruning is the standard recall/
     cost trade: hot shingles generate O(df²) candidate pairs while
-    contributing the least similarity evidence."""
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    contributing the least similarity evidence.
+
+    ``sizes``: optional (doc, n_sh) frame with each doc's UNFILTERED
+    distinct-shingle count. Callers that hold the pre-explode corpus
+    pass the row-local ``size(shingle_array(...))`` projection (r16):
+    the shingle arrays are already distinct, so the count needs no
+    explode, no aggregate and no exchange — one fewer corpus-sized
+    Generate in the plan. Defaults to deriving it from ``sh`` (one
+    map-combined aggregate), for callers that only have the exploded
+    layout. Extra rows for shingle-less docs are harmless — every
+    consumer inner-joins on docs that appear in pairs."""
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         # inverted-list pair expansion (r14): ONE aggregate keyed on the
         # shingle collects its (<= max_df, sorted) doc list, and the
@@ -180,21 +193,32 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None) -> DataFrame:
         # collect_list — the C(max_df, 2) bound below applies to pair
         # EXPANSION, not the aggregation buffer, and one unbounded doc
         # list per hot key is exactly the executor-memory cliff the r14
-        # rebuild was meant to remove. The count aggregate is map-side
-        # combinable (wire = one row per distinct shingle per partition);
-        # the join output arrives partitioned on __sh, so the collect_list
-        # groupBy reuses that exchange — the full (doc, shingle) table
-        # still crosses the wire exactly once. The size(ds) filter stays
-        # as a belt-and-braces re-check of the same bound.
+        # rebuild was meant to remove.
+        # The prune is an ANTI-join against the HOT set (r16), not a
+        # semi-join against the rare set: "df <= max_df" keeps almost
+        # every shingle on any Zipf-shaped corpus (measured at the 100x
+        # staging: 20,279,790 of 20,279,825 distinct shingles are rare,
+        # 35 are hot), so joining on the KEEP side made the build/
+        # broadcast side corpus-sized — the planner shipped a 1.5 GiB,
+        # 20M-row broadcast at sf10, the exact anti-pattern this family
+        # is specced to avoid at 100 TB. The DROP side is bounded by
+        # total_occurrences / max_df and in practice is the Zipf head
+        # (boilerplate grams — model-sized), so the anti-join's build
+        # side stays broadcastable and the full (doc, shingle) table
+        # crosses the wire exactly once, for the collect_list exchange.
+        # The count aggregate is unchanged (map-side combinable) and the
+        # size(ds) filter stays as a belt-and-braces re-check of the
+        # same bound. Values identical: keep(df <= max_df) == drop(df >
+        # max_df), pinned vs the oracle at sf0.01/sf0.1.
         hashed = sh.select("doc", F.xxhash64("shingle").alias("__sh"))
-        rare_sh = (
+        hot_sh = (
             hashed.groupBy("__sh")
             .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("__sh")
         )
         docs_by_sh = (
-            hashed.join(rare_sh, "__sh")
+            hashed.join(hot_sh, "__sh", "left_anti")
             .groupBy("__sh")
             .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
             .filter(F.size("ds") <= max_df)
@@ -253,8 +277,14 @@ def ngram_jaccard_pairs(
     bound — see ``_pair_jaccard`` — so the pair list errs toward fewer,
     higher-precision matches)."""
     sh = shingle_sets(df, id_col, text_col, k)
+    # per-doc set sizes row-locally from the (already-distinct) shingle
+    # array — no third corpus explode, no aggregate (r16)
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingle_array(F.col(text_col), k)).alias("n_sh"),
+    )
     return (
-        _pair_jaccard(sh, max_df)
+        _pair_jaccard(sh, max_df, sizes=sizes)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -512,12 +542,20 @@ def connected_components(
     reliable = resolve_reliable(pairs, reliable)
     with _REGISTRY_LOCK:
         seen = _persistent_rdd_ids(sc)
+        # pre-partition the symmetrized edge set by the per-round join
+        # key (r16, depth drill): one exchange now, zero edge exchanges
+        # in every round — the persisted frame's hashpartitioning(dst)
+        # satisfies each round's join requirement. On the shallow
+        # (1-round) in-repo fixtures this is cost-neutral; on deep
+        # components it is paid back every round.
+        sp = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         edges = (
             pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
             .unionByName(
                 pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
             )
             .distinct()
+            .repartition(sp, "dst")
             .persist()
         )
         try:
@@ -539,6 +577,7 @@ def connected_components(
             )
             prev_round = _persistent_rdd_ids(sc) - seen
             seen |= prev_round
+            lbl_type = labels.schema["label"].dataType
             for _ in range(max_iter):
                 if skew:
                     from hrdp_variant_load_pipeline_spark.operators.skew import (
@@ -555,21 +594,33 @@ def connected_components(
                     stepped_join = edges.join(
                         labels, edges.dst == labels.node
                     )
-                neighbor_min = stepped_join.groupBy("src").agg(
-                    F.min("label").alias("nmin")
+                # union-form round (r16, adopted from the depth drill):
+                # the neighbor rows and each node's own label row union
+                # into ONE aggregate — min(label) is the propagation,
+                # max(__self) (non-null only on the self row) carries the
+                # previous label for convergence detection. 2 exchanges
+                # per round (labels into the join + the src aggregate;
+                # edges are pre-partitioned) vs the previous join +
+                # groupBy + label-carry join at 3 — measured per-round
+                # 2.50 -> 2.00 s on 32-deep path components (1.24M
+                # edges), value-identical, and tied on the shallow
+                # star/pair fixtures every in-repo caller produces.
+                neighbor = stepped_join.select(
+                    "src", "label", F.lit(None).cast(lbl_type).alias("__self")
                 )
-                # carry the previous label through the checkpoint: convergence
-                # is a cheap filter on the materialized frame, no extra join
-                # per round
+                self_rows = labels.select(
+                    F.col("node").alias("src"),
+                    "label",
+                    F.col("label").alias("__self"),
+                )
                 stepped = _truncate_lineage(
-                    labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                    .select(
-                        "node",
-                        F.col("label").alias("__old"),
-                        F.least(
-                            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                        ).alias("label"),
-                    ),
+                    neighbor.unionByName(self_rows)
+                    .groupBy("src")
+                    .agg(
+                        F.min("label").alias("label"),
+                        F.max("__self").alias("__old"),
+                    )
+                    .select(F.col("src").alias("node"), "__old", "label"),
                     reliable,
                     # lazy checkpoint: the convergence count below materializes
                     # it — ONE job per round, not checkpoint-job + count-job

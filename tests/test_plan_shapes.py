@@ -440,7 +440,31 @@ def test_pre_aggregated_join_plain_route_has_no_keyed_agg(spark):
     assert fin(plain) == fin(pre)
 
 
-def test_word_weighted_stats_udf_sees_vocabulary_not_corpus(spark):
+def test_pair_jaccard_prunes_via_hot_anti_join(spark):
+    """The df-prune must ANTI-join against the (Zipf-head-sized) HOT
+    shingle set, never semi-join against the rare KEEP set: rare is
+    nearly every shingle on real corpora (measured at the 100x staging:
+    20,279,790 of 20,279,825), so a keep-side join gave the planner a
+    corpus-sized build/broadcast side (1.5 GiB at sf10). Also pins the
+    r16 sizes path: the per-doc set size comes from the row-local
+    shingle array, so the plan carries exactly TWO corpus explodes
+    (df-count branch + collect branch), not three."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hrdp_variant_load_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, max_df=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    # corpus-shingle explodes (the pair-struct explode is also a
+    # Generate, so count the shingle form specifically)
+    assert plan.count("Generate explode(CASE WHEN") == 2, plan
     """The word_stats callable must receive the DISTINCT-word frame —
     one row per vocabulary word, never per token occurrence. Pinned by
     materializing what the callable was handed."""
