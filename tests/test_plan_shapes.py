@@ -465,6 +465,9 @@ def test_pair_jaccard_prunes_via_hot_anti_join(spark):
     # corpus-shingle explodes (the pair-struct explode is also a
     # Generate, so count the shingle form specifically)
     assert plan.count("Generate explode(CASE WHEN") == 2, plan
+
+
+def test_word_weighted_stats_udf_sees_vocabulary_not_corpus(spark):
     """The word_stats callable must receive the DISTINCT-word frame —
     one row per vocabulary word, never per token occurrence. Pinned by
     materializing what the callable was handed."""
